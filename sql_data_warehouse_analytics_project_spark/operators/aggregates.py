@@ -1,0 +1,175 @@
+"""Aggregation operators (maps reference §2.4: A1 group/having
+``sql/query_builder.py:129-137``, A2/A3 conditional + distinct counts
+``sql/common_queries.py:224-242``, A5 pivot :297-341, A6 percentiles
+``logs/performance_monitor.py:589-593``, A8/Q1-Q4 quality checks
+``sql/common_queries.py:196-294``).
+
+All aggregations are single-pass ``groupBy().agg()`` — Spark computes
+partial (map-side) aggregates before the shuffle, so only one combined row
+per group per partition moves. HAVING is a post-agg filter.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+from typing import Any
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from sql_data_warehouse_analytics_project_spark.operators.relational import where
+
+_AGG_FNS = {
+    "sum": F.sum,
+    "avg": F.avg,
+    "min": F.min,
+    "max": F.max,
+    "count": F.count,
+    "stddev": F.stddev,
+}
+
+
+def group_agg(
+    df: DataFrame,
+    group_by: Sequence[str],
+    aggs: Sequence[Column],
+    having: Sequence[Mapping[str, Any] | Column | str] | None = None,
+) -> DataFrame:
+    """A1 — GROUP BY + aggregates + HAVING (post-aggregation filter)."""
+    out = df.groupBy(*group_by).agg(*aggs)
+    if having:
+        out = where(out, having)
+    return out
+
+
+def count_if(cond: Column, alias: str) -> Column:
+    """A2 — ``COUNT(CASE WHEN cond THEN 1 END)``."""
+    return F.count(F.when(cond, F.lit(1))).alias(alias)
+
+
+def duplicate_count(df: DataFrame, columns: Sequence[str]) -> DataFrame:
+    """A3 — ``COUNT(*) - COUNT(DISTINCT c1, c2)`` duplicate detector
+    (``common_queries.py:238-242``). Exact; at extreme cardinality swap the
+    distinct count for ``approx_count_distinct``."""
+    return df.agg(
+        (F.count(F.lit(1)) - F.count_distinct(*[F.col(c) for c in columns])).alias("duplicate_rows")
+    )
+
+
+def pivot_table(
+    df: DataFrame,
+    row_columns: Sequence[str],
+    pivot_column: str,
+    value_column: str,
+    pivot_values: Sequence[str],
+    aggregate_function: str = "sum",
+) -> DataFrame:
+    """A5 — rows × pivot-values matrix (reference ``compute_pivot_table``
+    ``common_queries.py:297-341``). Explicit ``pivot_values`` avoids the
+    extra distinct-values job AND makes the output schema static — required
+    for a deterministic plan at scale."""
+    fn = _AGG_FNS[aggregate_function.lower()]
+    return (
+        df.groupBy(*row_columns)
+        .pivot(pivot_column, list(pivot_values))
+        .agg(fn(F.col(value_column)))
+    )
+
+
+def percentiles(
+    df: DataFrame,
+    value_column: str,
+    probabilities: Sequence[float],
+    group_by: Sequence[str] | None = None,
+    *,
+    exact: bool = True,
+) -> DataFrame:
+    """A6 — PERCENTILE_CONT equivalent. ``exact=True`` → ``percentile()``
+    (exact interpolated, needs per-group sort — fine for telemetry tables);
+    ``exact=False`` → ``percentile_approx`` (mergeable sketch, the 100 TB
+    path)."""
+    fn = "percentile" if exact else "percentile_approx"
+    aggs = [
+        F.expr(f"{fn}({value_column}, {p})").alias(f"p{int(p * 100):02d}")
+        for p in probabilities
+    ]
+    if group_by:
+        return df.groupBy(*group_by).agg(*aggs)
+    return df.agg(*aggs)
+
+
+# ---------------------------------------------------------------------------
+# A8 / Q1-Q4 — data-quality report
+# ---------------------------------------------------------------------------
+
+
+def quality_checks(
+    df: DataFrame,
+    checks: Sequence[Mapping[str, Any]],
+) -> DataFrame:
+    """Multi-check data-quality report in ONE pass (reference
+    ``check_data_quality`` ``sql/common_queries.py:196-294`` glues N
+    SELECTs with UNION ALL — N table scans; here all checks are columns of
+    a single ``.agg()`` then unpivoted with ``stack``, so the table is
+    scanned once regardless of check count).
+
+    Check specs:
+      {"type": "null_check", "column": c}
+      {"type": "duplicate_check", "columns": [c, ...]}
+      {"type": "range_check", "column": c, "min": lo, "max": hi}
+
+    Output rows: (check_name, check_type, issue_count, total_rows,
+    issue_percentage, status) with PASS/WARNING/FAIL at 0% / ≤5% / >5%
+    (``common_queries.py:286-290``).
+    """
+    aggs: list[Column] = [F.count(F.lit(1)).alias("_total")]
+    names: list[tuple[str, str]] = []
+    for i, spec in enumerate(checks):
+        ctype = spec["type"]
+        if ctype == "null_check":
+            col = spec["column"]
+            expr = F.sum(F.col(col).isNull().cast("long"))
+            name = f"null_check_{col}"
+        elif ctype == "duplicate_check":
+            cols = spec["columns"]
+            expr = F.count(F.lit(1)) - F.count_distinct(*[F.col(c) for c in cols])
+            name = "duplicate_check_" + "_".join(cols)
+        elif ctype == "range_check":
+            col = spec["column"]
+            lo, hi = spec["min"], spec["max"]
+            expr = F.sum(
+                ((F.col(col) < F.lit(lo)) | (F.col(col) > F.lit(hi))).cast("long")
+            )
+            name = f"range_check_{col}"
+        else:
+            raise ValueError(f"unknown check type: {ctype!r}")
+        aggs.append(F.coalesce(expr, F.lit(0)).alias(f"_c{i}"))
+        names.append((name, ctype))
+
+    wide = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{name}', '{ctype}', _c{i}" for i, (name, ctype) in enumerate(names)
+    )
+    tall = wide.select(
+        F.expr(
+            f"stack({len(names)}, {stack_args}) as (check_name, check_type, issue_count)"
+        ),
+        F.col("_total").alias("total_rows"),
+    )
+    issue_pct = F.round(
+        F.when(F.col("total_rows") == 0, F.lit(0.0)).otherwise(
+            F.col("issue_count") * 100.0 / F.col("total_rows")
+        ),
+        2,
+    )
+    return tall.select(
+        "check_name",
+        "check_type",
+        "issue_count",
+        "total_rows",
+        issue_pct.alias("issue_percentage"),
+        F.when(F.col("issue_count") == 0, "PASS")
+        .when(issue_pct <= 5.0, "WARNING")
+        .otherwise("FAIL")
+        .alias("status"),
+    )

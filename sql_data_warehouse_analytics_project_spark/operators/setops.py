@@ -1,0 +1,78 @@
+"""Set operations + bounded recursion (maps reference §2.7: U1 UNION ALL,
+U2 cte_builder ``sql/query_builder.py:245-275``, U3 recursive_cte_builder
+:361-387 — real recursion lives in lineage traversal
+``logs/data_lineage.py:378-435``).
+
+Spark has no recursive CTE; ``iterate`` is the engine-wide replacement — a
+depth-bounded driver loop of DataFrame joins (each iteration is a
+distributed job; the loop itself only sequences plans, it never touches
+rows).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Mapping
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def union_all(*dfs: DataFrame) -> DataFrame:
+    """U1 — UNION ALL by column name (schema-aligned, no dedup)."""
+    out = dfs[0]
+    for df in dfs[1:]:
+        out = out.unionByName(df)
+    return out
+
+
+def union_distinct(*dfs: DataFrame) -> DataFrame:
+    """Plain SQL UNION (dedup) — one extra shuffle for the distinct."""
+    return union_all(*dfs).distinct()
+
+
+def intersect(a: DataFrame, b: DataFrame) -> DataFrame:
+    return a.intersect(b)
+
+
+def except_all(a: DataFrame, b: DataFrame) -> DataFrame:
+    return a.exceptAll(b)
+
+
+def with_ctes(
+    spark: SparkSession, ctes: Mapping[str, DataFrame], sql: str
+) -> DataFrame:
+    """U2 — CTE composition: register each intermediate DataFrame as a temp
+    view and run the main query (Catalyst inlines views; no materialization
+    unless the plan reuses one, in which case caller should .cache())."""
+    for name, df in ctes.items():
+        df.createOrReplaceTempView(name)
+    return spark.sql(sql)
+
+
+def iterate(
+    base: DataFrame,
+    step: Callable[[DataFrame, int], DataFrame],
+    max_depth: int,
+    *,
+    checkpoint_every: int | None = 4,
+) -> DataFrame:
+    """U3 — recursive-CTE semantics as a bounded fixpoint loop:
+    ``result = base ∪ step(base) ∪ step²(base) ...`` up to ``max_depth``
+    (the reference bounds at 3-5: ``common_queries.py:118``,
+    ``data_lineage.py:362``).
+
+    ``step(frontier, depth)`` returns the next frontier; empty frontier
+    short-circuits. ``checkpoint_every`` truncates the lineage of the
+    accumulated plan periodically (localCheckpoint) so deep iterations
+    don't build an exponentially nested plan — essential beyond ~10 rounds.
+    """
+    result = base
+    frontier = base
+    for depth in range(1, max_depth + 1):
+        frontier = step(frontier, depth)
+        if frontier.isEmpty():
+            break
+        result = result.unionByName(frontier)
+        if checkpoint_every and depth % checkpoint_every == 0:
+            result = result.localCheckpoint(eager=True)
+            frontier = frontier.localCheckpoint(eager=True)
+    return result

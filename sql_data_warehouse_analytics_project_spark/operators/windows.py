@@ -1,0 +1,220 @@
+"""Window-function operators (maps reference §2.5: W1 generic builder
+``sql/query_builder.py:278-327``, W2 running totals
+``sql/common_queries.py:344-396``, W3 lag/lead :399-445, W4 gap detection
+:514-580, W5 cohort retention :448-511).
+
+Scale note: every window here is ``partitionBy(...)`` — per-key state, one
+shuffle on the partition keys, no global sort. A window WITHOUT partitionBy
+collapses to a single task; the helpers refuse that unless the caller
+explicitly opts in.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window, WindowSpec
+
+_RESET_EXTRACTORS = {
+    "yearly": lambda d: [F.year(d)],
+    "monthly": lambda d: [F.year(d), F.month(d)],
+    "quarterly": lambda d: [F.year(d), F.quarter(d)],
+}
+
+
+def window_spec(
+    partition_by: Sequence[str | Column] | None,
+    order_by: Sequence[str | Column] | None = None,
+    *,
+    rows_between: tuple[int, int] | None = None,
+    range_between: tuple[int, int] | None = None,
+    allow_unpartitioned: bool = False,
+) -> WindowSpec:
+    """W1 — generic window builder (PARTITION BY / ORDER BY / frame)."""
+    if not partition_by and not allow_unpartitioned:
+        raise ValueError(
+            "unpartitioned window collapses to one task; pass "
+            "allow_unpartitioned=True only for small results"
+        )
+    w = Window.partitionBy(*partition_by) if partition_by else Window.partitionBy()
+    if order_by:
+        w = w.orderBy(*order_by)
+    if rows_between is not None:
+        w = w.rowsBetween(*rows_between)
+    elif range_between is not None:
+        w = w.rangeBetween(*range_between)
+    return w
+
+
+def running_totals(
+    df: DataFrame,
+    value_column: str,
+    date_column: str,
+    partition_columns: Sequence[str] = (),
+    reset_frequency: str | None = None,
+    *,
+    value_expr: Column | None = None,
+) -> DataFrame:
+    """W2 — running SUM + running AVG over date order
+    (reference ``compute_running_totals`` ``common_queries.py:344-396``:
+    ``ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW``, optional reset
+    partitions by EXTRACT(YEAR/MONTH/QUARTER)).
+
+    Adds ``running_total`` and ``running_avg`` columns.
+    """
+    d = F.col(date_column)
+    parts: list[Column] = [F.col(c) for c in partition_columns]
+    if reset_frequency:
+        try:
+            parts += _RESET_EXTRACTORS[reset_frequency.lower()](d)
+        except KeyError:
+            raise ValueError(f"unknown reset_frequency: {reset_frequency!r}") from None
+    v = value_expr if value_expr is not None else F.col(value_column)
+    w = (
+        Window.partitionBy(*parts)
+        .orderBy(d)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ) if parts else (
+        Window.orderBy(d).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumn("running_total", F.sum(v).over(w)).withColumn(
+        "running_avg", F.avg(v).over(w)
+    )
+
+
+def lag_lead(
+    df: DataFrame,
+    value_column: str,
+    date_column: str,
+    partition_columns: Sequence[str] = (),
+    periods: Sequence[int] = (1,),
+) -> DataFrame:
+    """W3 — multi-period LAG/LEAD with absolute and % change
+    (reference ``analyze_lag_lead`` ``common_queries.py:399-445``; NULLIF
+    divide guard at :433).
+
+    Per period k adds: lag_k, lead_k, change_k, pct_change_k.
+    """
+    base = Window.partitionBy(*[F.col(c) for c in partition_columns]).orderBy(
+        F.col(date_column)
+    ) if partition_columns else Window.orderBy(F.col(date_column))
+    v = F.col(value_column)
+    out = df
+    for k in periods:
+        lag_v = F.lag(v, k).over(base)
+        out = (
+            out.withColumn(f"lag_{k}", lag_v)
+            .withColumn(f"lead_{k}", F.lead(v, k).over(base))
+            .withColumn(f"change_{k}", v - lag_v)
+            .withColumn(
+                f"pct_change_{k}",
+                F.round(
+                    F.when(lag_v == 0, F.lit(None)).otherwise((v - lag_v) * 100.0 / lag_v),
+                    2,
+                ),
+            )
+        )
+    return out
+
+
+_FREQ_DAYS = {"daily": 1, "weekly": 7, "monthly": 31}
+
+
+def detect_gaps(
+    df: DataFrame,
+    date_column: str,
+    partition_columns: Sequence[str] = (),
+    expected_frequency: str = "daily",
+) -> DataFrame:
+    """W4 — time-series gap detection via LEAD
+    (reference ``detect_time_series_gaps`` ``common_queries.py:514-580``).
+
+    Emits one row per gap: partition cols + gap_start, gap_end,
+    gap_length_days (strictly-greater-than-frequency rule, matching the
+    reference's ``next - curr > INTERVAL freq``).
+    """
+    if expected_frequency not in _FREQ_DAYS:
+        raise ValueError(f"unknown expected_frequency: {expected_frequency!r}")
+    thresh = _FREQ_DAYS[expected_frequency]
+    d = F.to_date(F.col(date_column))
+    base = Window.partitionBy(*[F.col(c) for c in partition_columns]).orderBy(d) if (
+        partition_columns
+    ) else Window.orderBy(d)
+    # distinct dates per partition first: gaps are between observed dates
+    dcols = [*partition_columns]
+    dates = df.select(*dcols, d.alias("_d")).distinct()
+    w = Window.partitionBy(*dcols).orderBy(F.col("_d")) if dcols else Window.orderBy("_d")
+    nxt = F.lead(F.col("_d")).over(w)
+    return (
+        dates.withColumn("_next", nxt)
+        .withColumn("_gap", F.datediff(F.col("_next"), F.col("_d")))
+        .filter(F.col("_gap") > thresh)
+        .select(
+            *dcols,
+            F.col("_d").alias("gap_start"),
+            F.col("_next").alias("gap_end"),
+            F.col("_gap").alias("gap_length_days"),
+        )
+    )
+
+
+def cohort_retention(
+    df: DataFrame,
+    user_id_column: str,
+    event_date_column: str,
+    cohort_date_column: str,
+    metric_column: str | None = None,
+    periods: int = 12,
+) -> DataFrame:
+    """W5 — cohort retention matrix (reference ``analyze_cohort_retention``
+    ``common_queries.py:448-511``): period_number = month-diff(event,
+    cohort); cohort×period aggregate (COUNT DISTINCT user or SUM metric);
+    join back to period-0 cohort size; retention %.
+
+    Output: (cohort_month, period_number, metric_value, cohort_size,
+    retention_pct). One shuffle for the groupBy; period-0 sizes are tiny →
+    broadcast join back.
+    """
+    # DATE (not timestamp) bucket: immune to session/process timezone
+    cohort_month = F.trunc(F.col(cohort_date_column), "month")
+    period = (
+        (F.year(F.col(event_date_column)) - F.year(F.col(cohort_date_column))) * 12
+        + (F.month(F.col(event_date_column)) - F.month(F.col(cohort_date_column)))
+    ).cast("int")
+    metric = (
+        F.count_distinct(F.col(user_id_column))
+        if metric_column is None
+        else F.sum(F.col(metric_column))
+    )
+    cohorts = (
+        df.select(
+            cohort_month.alias("cohort_month"),
+            period.alias("period_number"),
+            F.col(user_id_column).alias("_uid"),
+            *( [F.col(metric_column)] if metric_column else [] ),
+        )
+        .filter((F.col("period_number") >= 0) & (F.col("period_number") <= periods))
+    )
+    agg = cohorts.groupBy("cohort_month", "period_number").agg(
+        (
+            F.count_distinct("_uid") if metric_column is None else F.sum(metric_column)
+        ).alias("metric_value")
+    )
+    sizes = (
+        agg.filter(F.col("period_number") == 0)
+        .select("cohort_month", F.col("metric_value").alias("cohort_size"))
+    )
+    return agg.join(F.broadcast(sizes), "cohort_month", "left").select(
+        "cohort_month",
+        "period_number",
+        "metric_value",
+        "cohort_size",
+        F.round(
+            F.when(F.col("cohort_size") == 0, F.lit(None)).otherwise(
+                F.col("metric_value") * 100.0 / F.col("cohort_size")
+            ),
+            2,
+        ).alias("retention_pct"),
+    )

@@ -1,0 +1,185 @@
+"""Unit tests for the relational operator library over tiny DataFrames
+(mirrors the reference's pyramid: operator-level units + pipeline checks,
+``/root/reference/tests`` style, SURVEY.md §5)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from sql_data_warehouse_analytics_project_spark.functions.scalars import (
+    row_hash,
+    yyyymmdd_to_date,
+)
+from sql_data_warehouse_analytics_project_spark.operators import (
+    aggregates,
+    joins,
+    relational,
+    setops,
+    windows,
+)
+
+
+@pytest.fixture(scope="module")
+def people(spark):
+    return spark.createDataFrame(
+        [
+            Row(id=1, name="a", dept="x", score=10.0),
+            Row(id=2, name="b", dept="x", score=20.0),
+            Row(id=3, name="c", dept="y", score=30.0),
+            Row(id=4, name="d", dept="y", score=None),
+        ]
+    )
+
+
+def test_where_dict_conditions(people):
+    out = relational.where(
+        people,
+        [
+            {"column": "dept", "operator": "=", "value": "x"},
+            {"column": "score", "operator": ">=", "value": 15},
+        ],
+    )
+    assert [r.id for r in out.collect()] == [2]
+
+
+def test_where_in_and_or(people):
+    out = relational.where(
+        people,
+        [
+            {"column": "id", "value": [1, 3]},
+            {"column": "dept", "operator": "=", "value": "y"},
+        ],
+        combine="OR",
+    )
+    assert sorted(r.id for r in out.collect()) == [1, 3, 4]
+
+
+def test_exclude_soft_deleted(spark):
+    df = spark.createDataFrame(
+        [Row(id=1, is_deleted=False), Row(id=2, is_deleted=True), Row(id=3, is_deleted=None)]
+    )
+    out = relational.exclude_soft_deleted(df)
+    assert sorted(r.id for r in out.collect()) == [1, 3]
+
+
+def test_not_in_subquery_null_semantics(spark):
+    df = spark.createDataFrame([Row(k=1), Row(k=2), Row(k=None)])
+    sub = spark.createDataFrame([Row(v=2), Row(v=None)])
+    out = relational.not_in_subquery(df, "k", sub, "v")
+    # SQL NOT IN with NULL in subquery list: only non-null non-matching rows
+    assert [r.k for r in out.collect()] == [1]
+
+
+def test_paginate_requires_order(people):
+    with pytest.raises(ValueError):
+        relational.paginate(people, [], 1, 2)
+
+
+def test_paginate_pages(people):
+    p1 = relational.paginate(people, [F.col("id")], 1, 2)
+    p2 = relational.paginate(people, [F.col("id")], 2, 2)
+    assert [r.id for r in p1.collect()] == [1, 2]
+    assert [r.id for r in p2.collect()] == [3, 4]
+
+
+def test_classify_changes(spark):
+    src = spark.createDataFrame([Row(k=1), Row(k=2)])
+    tgt = spark.createDataFrame([Row(k=2), Row(k=3)])
+    out = {r.k: r.operation for r in joins.classify_changes(src, tgt, ["k"]).collect()}
+    assert out == {1: "INSERT", 2: "UPDATE"}
+
+
+def test_quality_checks(spark):
+    df = spark.createDataFrame(
+        [Row(a=1, b="x"), Row(a=1, b="x"), Row(a=None, b="y")]
+    )
+    out = {
+        r.check_name: r
+        for r in aggregates.quality_checks(
+            df,
+            [
+                {"type": "null_check", "column": "a"},
+                {"type": "duplicate_check", "columns": ["a", "b"]},
+                {"type": "range_check", "column": "a", "min": 0, "max": 10},
+            ],
+        ).collect()
+    }
+    assert out["null_check_a"].issue_count == 1
+    assert out["null_check_a"].status == "FAIL"  # 33% > 5%
+    # SQL COUNT(DISTINCT a,b) excludes tuples containing NULL, so the
+    # NULL-keyed row also counts toward the duplicate delta (2 = 3 - 1)
+    assert out["duplicate_check_a_b"].issue_count == 2
+    assert out["range_check_a"].issue_count == 0
+    assert out["range_check_a"].status == "PASS"
+
+
+def test_running_totals_reset(spark):
+    df = spark.createDataFrame(
+        [
+            Row(g="a", d="2024-01-01", v=1.0),
+            Row(g="a", d="2024-01-02", v=2.0),
+            Row(g="a", d="2025-01-01", v=5.0),
+        ]
+    ).withColumn("d", F.to_date("d"))
+    out = windows.running_totals(df, "v", "d", ["g"], reset_frequency="yearly")
+    rows = {r.d.isoformat(): r.running_total for r in out.collect()}
+    assert rows["2024-01-02"] == 3.0
+    assert rows["2025-01-01"] == 5.0  # reset at year boundary
+
+
+def test_detect_gaps(spark):
+    df = spark.createDataFrame(
+        [Row(g="a", d="2024-01-01"), Row(g="a", d="2024-01-02"), Row(g="a", d="2024-01-10")]
+    ).withColumn("d", F.to_date("d"))
+    out = windows.detect_gaps(df, "d", ["g"], "daily").collect()
+    assert len(out) == 1
+    assert out[0].gap_length_days == 8
+
+
+def test_cohort_retention_shape(spark):
+    df = spark.createDataFrame(
+        [
+            Row(u=1, e="2024-01-05", c="2024-01-05"),
+            Row(u=1, e="2024-02-10", c="2024-01-05"),
+            Row(u=2, e="2024-01-20", c="2024-01-20"),
+        ]
+    ).withColumn("e", F.to_timestamp("e")).withColumn("c", F.to_timestamp("c"))
+    out = windows.cohort_retention(df, "u", "e", "c").collect()
+    by_period = {r.period_number: r for r in out}
+    assert by_period[0].metric_value == 2
+    assert by_period[1].metric_value == 1
+    assert by_period[1].retention_pct == 50.0
+
+
+def test_iterate_fixpoint(spark):
+    edges = spark.createDataFrame([Row(src=1, dst=2), Row(src=2, dst=3), Row(src=3, dst=4)])
+    base = spark.createDataFrame([Row(node=1)])
+
+    def step(frontier, depth):
+        return (
+            edges.join(frontier, edges.src == frontier.node)
+            .select(F.col("dst").alias("node"))
+        )
+
+    out = setops.iterate(base, step, max_depth=10, checkpoint_every=2)
+    assert sorted(r.node for r in out.collect()) == [1, 2, 3, 4]
+
+
+def test_row_hash_order_independent_and_null_safe(spark):
+    df = spark.createDataFrame([Row(a="x", b=None), Row(a=None, b="x")])
+    out = df.select(
+        row_hash("a", "b").alias("h1"), row_hash("b", "a").alias("h2")
+    ).collect()
+    # same columns in any order → same hash per row
+    assert all(r.h1 == r.h2 for r in out)
+    # but (x, NULL) and (NULL, x) are different contents → different hashes
+    assert out[0].h1 != out[1].h1
+
+
+def test_yyyymmdd_to_date(spark):
+    df = spark.createDataFrame([Row(d=20240131), Row(d=0), Row(d=99999999), Row(d=None)])
+    out = df.select(yyyymmdd_to_date("d").alias("dt")).collect()
+    assert out[0].dt.isoformat() == "2024-01-31"
+    assert out[1].dt is None and out[2].dt is None and out[3].dt is None
