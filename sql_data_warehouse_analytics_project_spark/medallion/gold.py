@@ -1,0 +1,134 @@
+"""Gold-layer star schema (maps reference sample gold shapes,
+``setup/setup_orchestrator.py:484-516``: dim_customers, dim_products,
+fact_sales + KPI aggregates per ``README.md:69-73``).
+
+Surrogate keys: the reference uses SERIAL (``customer_key SERIAL``,
+``setup_orchestrator.py:488``). A contiguous global sequence needs a total
+order — acceptable for dimension tables (small), expressed as
+``row_number()`` over the natural key; fact tables reference dims via the
+natural key join, never a global sequence (SURVEY.md §7.2 risk 3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def build_dim_customers(
+    crm_customers: DataFrame,
+    erp_customers: DataFrame,
+    erp_locations: DataFrame,
+) -> DataFrame:
+    """CRM master + ERP birthdate/gender + ERP country. CRM gender wins
+    unless n/a (CRM is the system of record). Dimension-sized data →
+    broadcast joins."""
+    c = crm_customers.alias("c")
+    e = F.broadcast(erp_customers).alias("e")
+    l = F.broadcast(erp_locations).alias("l")
+    joined = (
+        c.join(e, F.col("c.cst_key") == F.col("e.cid"), "left")
+        .join(l, F.col("c.cst_key") == F.col("l.cid"), "left")
+    )
+    w = Window.orderBy(F.col("c.cst_id"))
+    return joined.select(
+        F.row_number().over(w).alias("customer_key"),
+        F.col("c.cst_id").alias("customer_id"),
+        F.col("c.cst_key").alias("customer_number"),
+        F.col("c.cst_firstname").alias("first_name"),
+        F.col("c.cst_lastname").alias("last_name"),
+        F.coalesce(F.col("l.cntry"), F.lit("n/a")).alias("country"),
+        F.col("c.cst_marital_status").alias("marital_status"),
+        F.when(F.col("c.cst_gndr") != "n/a", F.col("c.cst_gndr"))
+        .otherwise(F.coalesce(F.col("e.gen"), F.lit("n/a")))
+        .alias("gender"),
+        F.col("e.bdate").alias("birthdate"),
+        F.col("c.cst_create_date").alias("create_date"),
+    )
+
+
+def build_dim_products(
+    crm_products: DataFrame, erp_product_categories: DataFrame
+) -> DataFrame:
+    """Current product versions (SCD2 end date NULL) + category attributes."""
+    p = crm_products.filter(F.col("prd_end_dt").isNull()).alias("p")
+    cat = F.broadcast(erp_product_categories).alias("cat")
+    joined = p.join(cat, F.col("p.cat_id") == F.col("cat.id"), "left")
+    w = Window.orderBy(F.col("p.prd_start_dt"), F.col("p.prd_key"))
+    return joined.select(
+        F.row_number().over(w).alias("product_key"),
+        F.col("p.prd_id").alias("product_id"),
+        F.col("p.prd_key").alias("product_number"),
+        F.col("p.prd_nm").alias("product_name"),
+        F.col("p.cat_id").alias("category_id"),
+        F.col("cat.cat").alias("category"),
+        F.col("cat.subcat").alias("subcategory"),
+        F.col("cat.maintenance").alias("maintenance"),
+        F.col("p.prd_cost").alias("cost"),
+        F.col("p.prd_line").alias("product_line"),
+        F.col("p.prd_start_dt").alias("start_date"),
+    )
+
+
+def build_fact_sales(
+    crm_sales: DataFrame, dim_products: DataFrame, dim_customers: DataFrame
+) -> DataFrame:
+    """Sales facts keyed to the dims' surrogate keys. Dims broadcast; the
+    fact table never shuffles on a join at scale."""
+    s = crm_sales.alias("s")
+    dp = F.broadcast(dim_products.select("product_key", "product_number")).alias("dp")
+    dc = F.broadcast(dim_customers.select("customer_key", "customer_id")).alias("dc")
+    return (
+        s.join(dp, F.col("s.sls_prd_key") == F.col("dp.product_number"), "left")
+        .join(dc, F.col("s.sls_cust_id") == F.col("dc.customer_id"), "left")
+        .select(
+            F.col("s.sls_ord_num").alias("order_number"),
+            F.col("dp.product_key").alias("product_key"),
+            F.col("dc.customer_key").alias("customer_key"),
+            F.col("s.sls_order_dt").alias("order_date"),
+            F.col("s.sls_ship_dt").alias("shipping_date"),
+            F.col("s.sls_due_dt").alias("due_date"),
+            F.col("s.sls_sales").alias("sales_amount"),
+            F.col("s.sls_quantity").alias("quantity"),
+            F.col("s.sls_price").alias("price"),
+        )
+    )
+
+
+def run_gold(catalog, *, run_context=None) -> dict[str, int]:
+    """Silver → gold star schema as managed tables."""
+    from sql_data_warehouse_analytics_project_spark.catalog import (
+        with_medallion_metadata,
+    )
+
+    read = lambda t: catalog.read("silver", t)  # noqa: E731
+    dim_customers = build_dim_customers(
+        read("crm_customers"), read("erp_customers"), read("erp_locations")
+    )
+    dim_products = build_dim_products(
+        read("crm_products"), read("erp_product_categories")
+    )
+    fact_sales = build_fact_sales(read("crm_sales"), dim_products, dim_customers)
+
+    results: dict[str, int] = {}
+    for name, df in [
+        ("dim_customers", dim_customers),
+        ("dim_products", dim_products),
+        ("fact_sales", fact_sales),
+    ]:
+        managed = with_medallion_metadata(df, created_by="gold", source_system="silver")
+        catalog.create_table("gold", name, managed.schema, medallion_metadata=False)
+        catalog.overwrite(managed, "gold", name)
+        n = catalog.spark.table(catalog.qualified("gold", name)).count()
+        results[name] = n
+        if run_context is not None:
+            run_context.log_lineage(
+                source_schema=catalog.db("silver"),
+                source_table="*",
+                target_schema=catalog.db("gold"),
+                target_table=name,
+                transformation_logic=f"build_{name}",
+                record_count=n,
+            )
+    return results

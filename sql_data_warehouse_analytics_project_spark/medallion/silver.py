@@ -1,0 +1,185 @@
+"""Silver-layer cleansing transforms for the reference dataset.
+
+The reference declares silver ("cleansed, standardized") but never
+implements it (``main.py:551-603``); these transforms implement the
+intended semantics, driven by the profiled defects of the six source CSVs
+(SURVEY.md §1.4, FIXTURES.md §A). Each is DataFrame-in → DataFrame-out,
+built from the generic cleansing operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sql_data_warehouse_analytics_project_spark.functions.scalars import (
+    safe_div,
+    yyyymmdd_to_date,
+)
+from sql_data_warehouse_analytics_project_spark.operators.cleansing import (
+    clamp_to_null,
+    dedup_keep_latest,
+    null_if_blank,
+    scd2_end_dates,
+    standardize_codes,
+)
+
+MARITAL_STATUS = {"M": "Married", "S": "Single"}
+GENDER = {"M": "Male", "F": "Female", "MALE": "Male", "FEMALE": "Female"}
+PRODUCT_LINE = {"M": "Mountain", "R": "Road", "S": "Other Sales", "T": "Touring"}
+COUNTRY = {
+    "US": "United States",
+    "USA": "United States",
+    "UNITED STATES": "United States",
+    "DE": "Germany",
+    "GERMANY": "Germany",
+    "AUSTRALIA": "Australia",
+    "CANADA": "Canada",
+    "FRANCE": "France",
+    "UNITED KINGDOM": "United Kingdom",
+}
+
+
+def clean_crm_customers(df: DataFrame) -> DataFrame:
+    """cust_info defects: whitespace in names, duplicate ``cst_id`` (keep
+    latest by create date), null ids, code columns with blanks."""
+    out = df.filter(F.col("cst_id").isNotNull())
+    out = dedup_keep_latest(out, ["cst_id"], "cst_create_date")
+    return out.select(
+        F.col("cst_id").cast("int"),
+        F.trim(F.col("cst_key")).alias("cst_key"),
+        F.trim(F.col("cst_firstname")).alias("cst_firstname"),
+        F.trim(F.col("cst_lastname")).alias("cst_lastname"),
+        standardize_codes("cst_marital_status", MARITAL_STATUS).alias(
+            "cst_marital_status"
+        ),
+        standardize_codes("cst_gndr", GENDER).alias("cst_gndr"),
+        F.col("cst_create_date").cast("date"),
+    )
+
+
+def clean_crm_products(df: DataFrame) -> DataFrame:
+    """prd_info defects: trailing-space line codes, null cost, SCD2 rows
+    with inverted end dates. Adds the ERP category join key
+    (first 5 chars of ``prd_key``, '-'→'_') and the sales join key
+    (chars 7+)."""
+    out = scd2_end_dates(df, ["prd_key"], "prd_start_dt", "prd_end_dt")
+    return out.select(
+        F.col("prd_id").cast("int"),
+        F.replace(F.substring("prd_key", 1, 5), F.lit("-"), F.lit("_")).alias("cat_id"),
+        F.expr("substring(prd_key, 7)").alias("prd_key"),
+        F.col("prd_nm"),
+        F.coalesce(F.col("prd_cost").cast("int"), F.lit(0)).alias("prd_cost"),
+        standardize_codes("prd_line", PRODUCT_LINE).alias("prd_line"),
+        F.col("prd_start_dt").cast("date"),
+        F.col("prd_end_dt").cast("date"),
+    )
+
+
+def clean_crm_sales(df: DataFrame) -> DataFrame:
+    """sales_details defects: int yyyymmdd dates with 0/garbage → NULL;
+    ``sls_sales`` null or ≠ quantity×price → recompute; null/≤0 price →
+    derive from sales/quantity."""
+    sales_raw = F.col("sls_sales").cast("double")
+    qty = F.col("sls_quantity").cast("int")
+    price_raw = F.col("sls_price").cast("double")
+    sales_fixed = F.when(
+        sales_raw.isNull() | (sales_raw <= 0) | (sales_raw != qty * F.abs(price_raw)),
+        qty * F.abs(price_raw),
+    ).otherwise(sales_raw)
+    price_fixed = F.when(
+        price_raw.isNull() | (price_raw <= 0), safe_div(sales_fixed, qty)
+    ).otherwise(price_raw)
+    return df.select(
+        F.col("sls_ord_num"),
+        F.col("sls_prd_key"),
+        F.col("sls_cust_id").cast("int"),
+        yyyymmdd_to_date("sls_order_dt").alias("sls_order_dt"),
+        yyyymmdd_to_date("sls_ship_dt").alias("sls_ship_dt"),
+        yyyymmdd_to_date("sls_due_dt").alias("sls_due_dt"),
+        sales_fixed.alias("sls_sales"),
+        qty.alias("sls_quantity"),
+        price_fixed.alias("sls_price"),
+    )
+
+
+def clean_erp_customers(df: DataFrame) -> DataFrame:
+    """CUST_AZ12 defects: ``NAS`` prefix on CID; future birthdates; messy
+    gender variants."""
+    cid = F.upper(F.trim(F.col("CID")))
+    return df.select(
+        F.when(cid.startswith("NAS"), F.expr("substring(trim(CID), 4)"))
+        .otherwise(F.trim(F.col("CID")))
+        .alias("cid"),
+        clamp_to_null(
+            F.col("BDATE").cast("date"), max_value=F.current_date()
+        ).alias("bdate"),
+        standardize_codes("GEN", GENDER).alias("gen"),
+    )
+
+
+def clean_erp_locations(df: DataFrame) -> DataFrame:
+    """LOC_A101 defects: ``-`` inside CID; country variants + blanks."""
+    return df.select(
+        F.replace(F.trim(F.col("CID")), F.lit("-"), F.lit("")).alias("cid"),
+        standardize_codes("CNTRY", COUNTRY, default="n/a").alias("cntry"),
+    )
+
+
+def clean_erp_product_categories(df: DataFrame) -> DataFrame:
+    """PX_CAT_G1V2 — clean dimension; normalize names only."""
+    return df.select(
+        F.trim(F.col("ID")).alias("id"),
+        F.trim(F.col("CAT")).alias("cat"),
+        F.trim(F.col("SUBCAT")).alias("subcat"),
+        F.trim(F.col("MAINTENANCE")).alias("maintenance"),
+    )
+
+
+SILVER_TRANSFORMS = {
+    "crm_customers_raw": ("crm_customers", clean_crm_customers),
+    "crm_products_raw": ("crm_products", clean_crm_products),
+    "crm_sales_raw": ("crm_sales", clean_crm_sales),
+    "erp_customers_raw": ("erp_customers", clean_erp_customers),
+    "erp_locations_raw": ("erp_locations", clean_erp_locations),
+    "erp_product_categories_raw": ("erp_product_categories", clean_erp_product_categories),
+}
+
+
+def run_silver(catalog, *, run_context=None) -> dict[str, int]:
+    """Bronze → silver for every registered transform. Reads only current
+    bronze rows (``_is_current``), drops the ``_`` metadata columns, applies
+    the cleansing, writes managed silver tables."""
+    from sql_data_warehouse_analytics_project_spark.catalog import (
+        with_medallion_metadata,
+    )
+    from sql_data_warehouse_analytics_project_spark.medallion.bronze import (
+        BRONZE_METADATA_COLUMNS,
+    )
+
+    results: dict[str, int] = {}
+    for raw_table, (silver_table, fn) in SILVER_TRANSFORMS.items():
+        if not catalog.table_exists("bronze", raw_table):
+            continue
+        src = catalog.spark.table(catalog.qualified("bronze", raw_table))
+        if "_is_current" in src.columns:
+            src = src.filter(F.col("_is_current"))
+        src = src.drop(*[c for c in BRONZE_METADATA_COLUMNS if c in src.columns])
+        cleaned = with_medallion_metadata(
+            fn(src), source_system=raw_table.split("_")[0], created_by="silver"
+        )
+        catalog.create_table("silver", silver_table, cleaned.schema,
+                             medallion_metadata=False)
+        catalog.overwrite(cleaned, "silver", silver_table)
+        n = catalog.spark.table(catalog.qualified("silver", silver_table)).count()
+        results[silver_table] = n
+        if run_context is not None:
+            run_context.log_lineage(
+                source_schema=catalog.db("bronze"),
+                source_table=raw_table,
+                target_schema=catalog.db("silver"),
+                target_table=silver_table,
+                transformation_logic=fn.__name__,
+                record_count=n,
+            )
+    return results

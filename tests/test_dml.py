@@ -1,0 +1,129 @@
+"""Write-path DML semantics tests (reference §2.9: upsert, soft delete,
+batch update, merge-with-counts, incremental watermark, hash-CDC)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from sql_data_warehouse_analytics_project_spark import dml
+from sql_data_warehouse_analytics_project_spark.catalog import (
+    Catalog,
+    with_medallion_metadata,
+)
+
+
+@pytest.fixture()
+def target(spark):
+    return with_medallion_metadata(
+        spark.createDataFrame(
+            [Row(k=1, v="old1", n=10), Row(k=2, v="old2", n=20)]
+        ),
+        source_system="test",
+    )
+
+
+def test_upsert_insert_and_update(spark, target):
+    src = spark.createDataFrame([Row(k=2, v="new2", n=99), Row(k=3, v="new3", n=30)])
+    new_state, counts = dml.upsert(target, src, ["k"])
+    assert counts == {"inserted": 1, "updated": 1}
+    rows = {r.k: r for r in new_state.collect()}
+    assert rows[1].v == "old1"          # untouched
+    assert rows[2].v == "new2"          # updated in place
+    assert rows[2].n == 99
+    assert rows[3].v == "new3"          # inserted
+    assert rows[2].updated_by == "engine"
+    # untouched row keeps original metadata; updated row got bumped
+    assert rows[1].updated_at is not None
+
+
+def test_upsert_null_source_value_overwrites(spark, target):
+    src = spark.createDataFrame([(1, None, None)], "k long, v string, n long")
+    new_state, counts = dml.upsert(target, src, ["k"])
+    rows = {r.k: r for r in new_state.collect()}
+    assert counts == {"inserted": 0, "updated": 1}
+    assert rows[1].v is None            # NULL overwrites (matched-flag, not null-check)
+
+
+def test_soft_delete(spark, target):
+    out = dml.soft_delete(target, {"column": "k", "operator": "=", "value": 1},
+                          deleted_by="tester")
+    rows = {r.k: r for r in out.collect()}
+    assert rows[1].is_deleted is True and rows[1].updated_by == "tester"
+    assert rows[2].is_deleted is False
+
+
+def test_batch_update(spark, target):
+    out = dml.batch_update(
+        target, {"n": F.col("n") * 2}, {"column": "k", "operator": ">", "value": 1}
+    )
+    rows = {r.k: r for r in out.collect()}
+    assert rows[1].n == 10 and rows[2].n == 40
+
+
+def test_merge_with_delete(spark, target):
+    src = spark.createDataFrame([Row(k=3, v="v3", n=30)])
+    new_state, counts = dml.merge(
+        target, src, ["k"], delete_condition={"column": "k", "operator": "=", "value": 1}
+    )
+    assert counts == {"inserted": 1, "updated": 0, "deleted": 1}
+    assert sorted(r.k for r in new_state.collect()) == [2, 3]
+
+
+def test_incremental_batch_and_watermark(spark):
+    src = spark.createDataFrame([Row(id=i, ts=i * 10) for i in range(10)])
+    b1 = dml.incremental_batch(src, "ts", last_processed_value=30, batch_size=3)
+    rows = [r.ts for r in b1.collect()]
+    assert rows == [40, 50, 60]
+    assert dml.next_watermark(b1, "ts") == 60
+
+
+def test_changed_rows_cdc(spark):
+    existing = spark.createDataFrame([Row(k=1, v="a"), Row(k=2, v="b")])
+    incoming = spark.createDataFrame(
+        [Row(k=1, v="a"), Row(k=2, v="B"), Row(k=3, v="c")]
+    )
+    out = dml.changed_rows(incoming, existing, ["k", "v"])
+    assert sorted(r.k for r in out.collect()) == [2, 3]  # changed + new only
+
+
+def test_recompute_is_current(spark):
+    df = spark.createDataFrame(
+        [
+            Row(k=1, _ingestion_timestamp=1, v="old"),
+            Row(k=1, _ingestion_timestamp=2, v="new"),
+            Row(k=2, _ingestion_timestamp=1, v="only"),
+        ]
+    )
+    out = dml.recompute_is_current(df, ["k"])
+    cur = {(r.k, r.v): r._is_current for r in out.collect()}
+    assert cur == {(1, "old"): False, (1, "new"): True, (2, "only"): True}
+
+
+def test_catalog_roundtrip_upsert_table(spark):
+    cat = Catalog(spark, prefix="t1_")
+    cat.create_layers()
+    try:
+        base = with_medallion_metadata(
+            spark.createDataFrame([Row(k=1, v="a"), Row(k=2, v="b")])
+        )
+        from pyspark.sql import types as T
+        cat.create_table("silver", "kv", base.schema, medallion_metadata=False)
+        assert cat.table_exists("silver", "kv")
+        cat.append(base, "silver", "kv")
+
+        counts = dml.upsert_table(
+            cat, "silver", "kv",
+            spark.createDataFrame([Row(k=2, v="B"), Row(k=3, v="c")]), ["k"],
+        )
+        assert counts == {"inserted": 1, "updated": 1}
+        rows = {r.k: r.v for r in cat.read("silver", "kv").collect()}
+        assert rows == {1: "a", 2: "B", 3: "c"}
+
+        # soft delete hides from standard read, visible with include_deleted
+        dml.soft_delete_table(cat, "silver", "kv", {"column": "k", "operator": "=", "value": 1})
+        assert sorted(r.k for r in cat.read("silver", "kv").collect()) == [2, 3]
+        assert cat.read("silver", "kv", include_deleted=True).count() == 3
+    finally:
+        cat.drop_layers()

@@ -1,0 +1,119 @@
+"""End-to-end medallion pipeline over the reference's real source CSVs
+(/root/reference/datasets — used as DATA only): bronze ingestion with the
+seven _-metadata columns, silver cleansing of the profiled defects,
+gold star schema."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sql_data_warehouse_analytics_project_spark.catalog import Catalog
+from sql_data_warehouse_analytics_project_spark.medallion import bronze, gold, silver
+
+CRM_DIR = "/root/reference/datasets/source_crm"
+ERP_DIR = "/root/reference/datasets/source_erp"
+
+
+@pytest.fixture(scope="module")
+def cat(spark):
+    c = Catalog(spark, prefix="med_")
+    c.create_layers()
+    yield c
+    c.drop_layers()
+
+
+@pytest.fixture(scope="module")
+def loaded(cat):
+    r1 = bronze.load_source_system(cat, CRM_DIR, bronze.CRM_FILES)
+    r2 = bronze.load_source_system(cat, ERP_DIR, bronze.ERP_FILES)
+    return {**r1, **r2}
+
+
+def test_bronze_loads_all_six(cat, loaded):
+    assert all(r["status"] == "SUCCESS" for r in loaded.values()), loaded
+    assert loaded["crm_customers_raw"]["rows_loaded"] == 18494
+    assert loaded["crm_sales_raw"]["rows_loaded"] == 60398
+    assert loaded["erp_product_categories_raw"]["rows_loaded"] == 37
+
+
+def test_bronze_metadata_columns(cat, loaded):
+    df = cat.spark.table(cat.qualified("bronze", "crm_customers_raw"))
+    for c in bronze.BRONZE_METADATA_COLUMNS:
+        assert c in df.columns, c
+    row = df.limit(1).collect()[0]
+    assert row._source_row_number >= 1
+    assert len(row._row_hash) == 64
+    assert row._is_current is True
+    # row numbers are 1..N contiguous per file
+    n = df.count()
+    assert df.agg(F.max("_source_row_number")).collect()[0][0] == n
+
+
+def test_silver_cleansing(cat, loaded):
+    results = silver.run_silver(cat)
+    assert set(results) == {
+        "crm_customers", "crm_products", "crm_sales",
+        "erp_customers", "erp_locations", "erp_product_categories",
+    }
+    cust = cat.read("silver", "crm_customers")
+    # dedup-keep-latest removed duplicate ids; no null ids
+    assert cust.filter(F.col("cst_id").isNull()).count() == 0
+    assert cust.groupBy("cst_id").count().filter("count > 1").count() == 0
+    # codes standardized
+    genders = {r.cst_gndr for r in cust.select("cst_gndr").distinct().collect()}
+    assert genders <= {"Male", "Female", "n/a"}
+    # names trimmed
+    assert cust.filter(F.col("cst_firstname") != F.trim("cst_firstname")).count() == 0
+
+    prod = cat.read("silver", "crm_products")
+    # SCD2 repair: no end date before start date
+    assert prod.filter(F.col("prd_end_dt") < F.col("prd_start_dt")).count() == 0
+    lines = {r.prd_line for r in prod.select("prd_line").distinct().collect()}
+    assert lines <= {"Mountain", "Road", "Other Sales", "Touring", "n/a"}
+
+    sales = cat.read("silver", "crm_sales")
+    # sales == quantity * price wherever all parts are present
+    bad = sales.filter(
+        F.col("sls_sales").isNotNull()
+        & F.col("sls_price").isNotNull()
+        & (F.abs(F.col("sls_sales") - F.col("sls_quantity") * F.col("sls_price")) > 0.01)
+    ).count()
+    assert bad == 0
+    # invalid yyyymmdd became NULL, valid parsed
+    assert sales.filter(F.col("sls_order_dt").isNull()).count() > 0
+    assert sales.filter(F.col("sls_order_dt").isNotNull()).count() > 59000
+
+    erp_c = cat.read("silver", "erp_customers")
+    # NAS prefix stripped → cids join to crm cst_key values
+    assert erp_c.filter(F.col("cid").startswith("NAS")).count() == 0
+    # no future birthdates
+    assert erp_c.filter(F.col("bdate") > F.current_date()).count() == 0
+
+    loc = cat.read("silver", "erp_locations")
+    assert loc.filter(F.col("cid").contains("-")).count() == 0
+    cntry = {r.cntry for r in loc.select("cntry").distinct().collect()}
+    assert "US" not in cntry and "DE" not in cntry
+
+
+def test_gold_star_schema(cat, loaded):
+    silver.run_silver(cat)
+    results = gold.run_gold(cat)
+    assert results["dim_customers"] > 18000
+    assert results["dim_products"] > 200
+    assert results["fact_sales"] == 60398
+
+    dim_c = cat.read("gold", "dim_customers")
+    # surrogate keys contiguous from 1
+    assert dim_c.agg(F.min("customer_key")).collect()[0][0] == 1
+    assert dim_c.agg(F.max("customer_key")).collect()[0][0] == dim_c.count()
+    # ERP enrichment took: most customers got a country
+    with_country = dim_c.filter(F.col("country") != "n/a").count()
+    assert with_country > dim_c.count() * 0.9
+
+    facts = cat.read("gold", "fact_sales")
+    # >99% of facts resolve both dimensions
+    resolved = facts.filter(
+        F.col("product_key").isNotNull() & F.col("customer_key").isNotNull()
+    ).count()
+    assert resolved > facts.count() * 0.99
