@@ -111,6 +111,16 @@ def run_gold(catalog, *, run_context=None) -> dict[str, int]:
     )
     fact_sales = build_fact_sales(read("crm_sales"), dim_products, dim_customers)
 
+    # one lineage edge per real input table (multi-source fan-in like the
+    # reference's log_table_lineage, data_lineage.py:233-266) so upstream
+    # traversal crosses the gold boundary table-by-table
+    inputs = {
+        "dim_customers": [("silver", "crm_customers"), ("silver", "erp_customers"),
+                          ("silver", "erp_locations")],
+        "dim_products": [("silver", "crm_products"), ("silver", "erp_product_categories")],
+        "fact_sales": [("silver", "crm_sales"), ("gold", "dim_products"),
+                       ("gold", "dim_customers")],
+    }
     results: dict[str, int] = {}
     for name, df in [
         ("dim_customers", dim_customers),
@@ -123,12 +133,13 @@ def run_gold(catalog, *, run_context=None) -> dict[str, int]:
         n = catalog.spark.table(catalog.qualified("gold", name)).count()
         results[name] = n
         if run_context is not None:
-            run_context.log_lineage(
-                source_schema=catalog.db("silver"),
-                source_table="*",
-                target_schema=catalog.db("gold"),
-                target_table=name,
-                transformation_logic=f"build_{name}",
-                record_count=n,
-            )
+            for src_layer, src_table in inputs[name]:
+                run_context.log_lineage(
+                    source_schema=catalog.db(src_layer),
+                    source_table=src_table,
+                    target_schema=catalog.db("gold"),
+                    target_table=name,
+                    transformation_logic=f"build_{name}",
+                    record_count=n,
+                )
     return results

@@ -1,0 +1,130 @@
+"""Analytics over the ``logs`` tables (maps reference L6 error-pattern
+analysis ``error_handler.py:573-699``, L12 perf summary / throughput
+``performance_monitor.py:385-537``, L13 bottleneck identification
+:552-636). All plain groupBy aggregations — one pass each."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sql_data_warehouse_analytics_project_spark.functions.scalars import pct
+from sql_data_warehouse_analytics_project_spark.ops.context import RunContext
+
+
+# -- L6: error pattern analysis --------------------------------------------
+
+
+def error_frequency(ctx: RunContext, days: int = 30) -> DataFrame:
+    """Frequency by error_code × level (error_handler.py:585-598)."""
+    return (
+        _recent_errors(ctx, days)
+        .groupBy("error_code", "error_level")
+        .agg(
+            F.count(F.lit(1)).alias("error_count"),
+            F.max("error_timestamp").alias("latest_occurrence"),
+        )
+        .orderBy(F.col("error_count").desc())
+    )
+
+
+def error_daily_trend(ctx: RunContext, days: int = 30) -> DataFrame:
+    """Daily counts (error_handler.py:601-610)."""
+    return (
+        _recent_errors(ctx, days)
+        .groupBy(F.to_date("error_timestamp").alias("error_date"))
+        .agg(F.count(F.lit(1)).alias("error_count"))
+        .orderBy("error_date")
+    )
+
+
+def top_problem_tables(ctx: RunContext, days: int = 30, k: int = 10) -> DataFrame:
+    """Top-k tables by error count (error_handler.py:613-624)."""
+    return (
+        _recent_errors(ctx, days)
+        .filter(F.col("table_name").isNotNull())
+        .groupBy("table_name")
+        .agg(F.count(F.lit(1)).alias("error_count"))
+        .orderBy(F.col("error_count").desc(), "table_name")
+        .limit(k)
+    )
+
+
+def resolution_rate(ctx: RunContext, days: int = 30) -> DataFrame:
+    errs = _recent_errors(ctx, days)
+    return errs.agg(
+        F.count(F.lit(1)).alias("total_errors"),
+        F.sum(F.col("is_resolved").cast("long")).alias("resolved_errors"),
+        pct(
+            F.sum(F.col("is_resolved").cast("long")), F.count(F.lit(1))
+        ).alias("resolution_pct"),
+    )
+
+
+def _recent_errors(ctx: RunContext, days: int) -> DataFrame:
+    return ctx.table("error_log").filter(
+        F.col("error_timestamp") >= F.date_sub(F.current_timestamp(), days)
+    )
+
+
+# -- L12: performance summary & throughput ---------------------------------
+
+
+def performance_summary(ctx: RunContext) -> DataFrame:
+    """count/avg/min/max/stddev per metric (performance_monitor.py:385-450)."""
+    return (
+        ctx.table("performance_metrics")
+        .groupBy("metric_name", "metric_unit")
+        .agg(
+            F.count(F.lit(1)).alias("n_measurements"),
+            F.avg("metric_value").alias("avg_value"),
+            F.min("metric_value").alias("min_value"),
+            F.max("metric_value").alias("max_value"),
+            F.stddev("metric_value").alias("stddev_value"),
+        )
+    )
+
+
+def throughput_analysis(ctx: RunContext, days: int = 30) -> DataFrame:
+    """Daily rows/sec from process_log (performance_monitor.py:452-537)."""
+    hist = ctx.process_history(days=days, status="SUCCESS")
+    return (
+        hist.filter(F.col("rows_processed").isNotNull() & (F.col("duration_seconds") > 0))
+        .groupBy(F.to_date("start_time").alias("run_date"))
+        .agg(
+            F.sum("rows_processed").alias("total_rows"),
+            F.sum("duration_seconds").alias("total_seconds"),
+            F.round(
+                F.sum("rows_processed") / F.sum("duration_seconds"), 2
+            ).alias("rows_per_second"),
+        )
+        .orderBy("run_date")
+    )
+
+
+# -- L13: bottleneck identification ----------------------------------------
+
+
+def identify_bottlenecks(ctx: RunContext, percentile: float = 0.95) -> DataFrame:
+    """Processes beyond the p95 execution-time threshold, categorized
+    (performance_monitor.py:552-636): per-metric p95 via percentile_approx
+    (mergeable sketch — the scalable variant of PERCENTILE_CONT), crossJoin
+    of the single-row threshold back onto measurements."""
+    metrics = ctx.table("performance_metrics").filter(
+        F.col("metric_name").endswith(".execution_time")
+    )
+    thresholds = metrics.groupBy("metric_name").agg(
+        F.percentile_approx("metric_value", percentile).alias("p_threshold")
+    )
+    return (
+        metrics.join(F.broadcast(thresholds), "metric_name")
+        .filter(F.col("metric_value") > F.col("p_threshold"))
+        .select(
+            "metric_name",
+            F.col("metric_value").alias("execution_time"),
+            "p_threshold",
+            F.lit("SLOW_EXECUTION").alias("bottleneck_type"),
+            "measurement_timestamp",
+        )
+        .orderBy(F.col("execution_time").desc())
+    )

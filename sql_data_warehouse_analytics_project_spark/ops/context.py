@@ -1,0 +1,378 @@
+"""RunContext — the engine's operational-metadata writer (maps reference
+``logs/audit_logger.py`` L1-L3, ``logs/error_handler.py`` L4,
+``logs/data_lineage.py`` L7, ``logs/performance_monitor.py`` L11).
+
+Reproduces the reference's job lifecycle contract
+(``bronze.py:441-560``): start_process → work → log_lineage →
+record_metric → end_process(SUCCESS) / on exception log_exception +
+end_process(FAILED).
+
+Implementation notes:
+- Log rows are driver-side single-row appends to parquet ``logs.*``
+  tables — low volume (one per job, not per record), so the per-append
+  Spark job overhead is irrelevant.
+- IDs: the reference uses BIGSERIAL; a distributed engine has no cheap
+  global sequence, so ids are microsecond-timestamp longs with a
+  process-local counter tiebreak — monotonic per driver, collision-safe
+  in practice, and never load-bearing (joins use them, ordering uses
+  timestamps).
+"""
+
+from __future__ import annotations
+
+import itertools
+import time
+import traceback
+from contextlib import contextmanager
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sql_data_warehouse_analytics_project_spark.catalog import Catalog
+from sql_data_warehouse_analytics_project_spark.ops import schemas
+
+_counter = itertools.count()
+
+
+def _new_id() -> int:
+    return int(time.time() * 1_000_000) * 1000 + (next(_counter) % 1000)
+
+
+class RunContext:
+    """Writes/queries the five ``logs`` tables for a warehouse catalog."""
+
+    def __init__(self, catalog: Catalog, created_by: str = "engine"):
+        self.catalog = catalog
+        self.spark = catalog.spark
+        self.created_by = created_by
+        self._ensure_tables()
+
+    def _ensure_tables(self) -> None:
+        for name, schema in schemas.LOGS_TABLES.items():
+            self.catalog.create_table("logs", name, schema, medallion_metadata=False)
+
+    def _append(self, table: str, row: dict) -> None:
+        schema = schemas.LOGS_TABLES[table]
+        df = self.spark.createDataFrame([row], schema)
+        self.catalog.append(df, "logs", table)
+
+    def table(self, name: str) -> DataFrame:
+        return self.spark.table(self.catalog.qualified("logs", name))
+
+    # -- L1: process lifecycle (audit_logger.py:188-399) --------------------
+
+    def start_process(
+        self,
+        process_name: str,
+        *,
+        description: str | None = None,
+        source_system: str | None = None,
+        target_layer: str | None = None,
+        metadata: dict[str, str] | None = None,
+    ) -> int:
+        log_id = _new_id()
+        self._append(
+            "process_log",
+            {
+                "log_id": log_id,
+                "process_name": process_name,
+                "process_description": description,
+                "start_time": _now(),
+                "end_time": None,
+                "status": "RUNNING",
+                "rows_processed": None,
+                "rows_inserted": None,
+                "rows_updated": None,
+                "rows_deleted": None,
+                "source_system": source_system,
+                "target_layer": target_layer,
+                "error_message": None,
+                "process_metadata": metadata,
+                "created_by": self.created_by,
+            },
+        )
+        return log_id
+
+    def end_process(
+        self,
+        log_id: int,
+        status: str = "SUCCESS",
+        *,
+        rows_processed: int | None = None,
+        rows_inserted: int | None = None,
+        rows_updated: int | None = None,
+        rows_deleted: int | None = None,
+        error_message: str | None = None,
+    ) -> None:
+        """The reference UPDATEs the row in place; append-friendly columnar
+        logs instead append a terminal row with the same ``log_id`` —
+        ``process_history`` reads the latest row per id (window dedup)."""
+        start = (
+            self.table("process_log")
+            .filter(F.col("log_id") == log_id)
+            .select("process_name", "start_time", "source_system", "target_layer")
+            .limit(1)
+            .collect()
+        )
+        name, start_time, src, layer = (
+            (start[0][0], start[0][1], start[0][2], start[0][3])
+            if start
+            else (None, None, None, None)
+        )
+        self._append(
+            "process_log",
+            {
+                "log_id": log_id,
+                "process_name": name or "unknown",
+                "process_description": None,
+                "start_time": start_time,
+                "end_time": _now(),
+                "status": status,
+                "rows_processed": rows_processed,
+                "rows_inserted": rows_inserted,
+                "rows_updated": rows_updated,
+                "rows_deleted": rows_deleted,
+                "source_system": src,
+                "target_layer": layer,
+                "error_message": error_message,
+                "process_metadata": None,
+                "created_by": self.created_by,
+            },
+        )
+
+    def process_history(
+        self,
+        *,
+        days: int | None = None,
+        process_name: str | None = None,
+        status: str | None = None,
+    ) -> DataFrame:
+        """Latest state per log_id + duration (audit_logger.py:320-399)."""
+        from pyspark.sql.window import Window
+
+        df = self.table("process_log")
+        w = Window.partitionBy("log_id").orderBy(
+            F.col("end_time").desc_nulls_last(), F.col("start_time").desc()
+        )
+        df = df.withColumn("_rn", F.row_number().over(w)).filter("_rn = 1").drop("_rn")
+        if days is not None:
+            df = df.filter(F.col("start_time") >= F.date_sub(F.current_timestamp(), days))
+        if process_name is not None:
+            df = df.filter(F.col("process_name") == process_name)
+        if status is not None:
+            df = df.filter(F.col("status") == status)
+        return df.withColumn(
+            "duration_seconds",
+            F.unix_timestamp("end_time") - F.unix_timestamp("start_time"),
+        ).orderBy(F.col("start_time").desc())
+
+    def get_active_processes(self) -> DataFrame:
+        return self.process_history(status="RUNNING")
+
+    # -- L2: configuration log (audit_logger.py:473-569) --------------------
+
+    def log_config_change(
+        self,
+        key: str,
+        new_value: str,
+        *,
+        old_value: str | None = None,
+        reason: str | None = None,
+        environment: str = "default",
+    ) -> None:
+        self._append(
+            "configuration_log",
+            {
+                "config_log_id": _new_id(),
+                "config_key": key,
+                "old_value": old_value,
+                "new_value": new_value,
+                "change_reason": reason,
+                "changed_by": self.created_by,
+                "change_timestamp": _now(),
+                "environment": environment,
+            },
+        )
+
+    def get_config_value(self, key: str, environment: str = "default"):
+        """Latest value for a key — used as the M5 watermark store."""
+        rows = (
+            self.table("configuration_log")
+            .filter((F.col("config_key") == key) & (F.col("environment") == environment))
+            .orderBy(F.col("change_timestamp").desc())
+            .limit(1)
+            .collect()
+        )
+        return rows[0]["new_value"] if rows else None
+
+    # -- L4: error log (error_handler.py:185-376) ---------------------------
+
+    def log_error(
+        self,
+        error: Exception | str,
+        *,
+        process_log_id: int | None = None,
+        level: str = "ERROR",
+        table_name: str | None = None,
+        column_name: str | None = None,
+        row_context: str | None = None,
+        recovery_suggestion: str | None = None,
+    ) -> int:
+        error_id = _new_id()
+        if isinstance(error, Exception):
+            code = type(error).__name__  # auto error-code from exception type
+            message = str(error)
+            detail = "".join(
+                traceback.format_exception(type(error), error, error.__traceback__)
+            )[-4000:]
+        else:
+            code, message, detail = "GENERIC", str(error), None
+        self._append(
+            "error_log",
+            {
+                "error_id": error_id,
+                "process_log_id": process_log_id,
+                "error_timestamp": _now(),
+                "error_level": level,
+                "error_code": code,
+                "error_message": message,
+                "error_detail": detail,
+                "table_name": table_name,
+                "column_name": column_name,
+                "row_context": row_context,
+                "recovery_suggestion": recovery_suggestion,
+                "is_resolved": False,
+                "resolved_by": None,
+                "resolved_timestamp": None,
+            },
+        )
+        return error_id
+
+    def get_unresolved_errors(self) -> DataFrame:
+        return self.table("error_log").filter(~F.coalesce("is_resolved", F.lit(False)))
+
+    def mark_error_resolved(self, error_id: int, resolved_by: str) -> None:
+        from sql_data_warehouse_analytics_project_spark import dml
+
+        updated = dml.batch_update(
+            self.table("error_log"),
+            {
+                "is_resolved": F.lit(True),
+                "resolved_by": F.lit(resolved_by),
+                "resolved_timestamp": F.current_timestamp(),
+            },
+            F.col("error_id") == error_id,
+        )
+        self.catalog.overwrite(updated, "logs", "error_log")
+
+    # -- L7: lineage edges (data_lineage.py:179-307) ------------------------
+
+    def log_lineage(
+        self,
+        *,
+        source_schema: str,
+        source_table: str,
+        target_schema: str,
+        target_table: str,
+        source_column: str | None = None,
+        target_column: str | None = None,
+        transformation_logic: str | None = None,
+        record_count: int | None = None,
+        process_log_id: int | None = None,
+    ) -> None:
+        self._append(
+            "data_lineage",
+            {
+                "lineage_id": _new_id(),
+                "process_log_id": process_log_id,
+                "source_schema": source_schema,
+                "source_table": source_table,
+                "source_column": source_column,
+                "target_schema": target_schema,
+                "target_table": target_table,
+                "target_column": target_column,
+                "transformation_logic": transformation_logic,
+                "record_count": record_count,
+                "created_timestamp": _now(),
+            },
+        )
+
+    # -- L11: performance metrics (performance_monitor.py:184-334) ----------
+
+    def record_metric(
+        self,
+        name: str,
+        value: float,
+        unit: str = "seconds",
+        *,
+        process_log_id: int | None = None,
+        context: str | None = None,
+    ) -> None:
+        from decimal import Decimal
+
+        self._append(
+            "performance_metrics",
+            {
+                "metric_id": _new_id(),
+                "process_log_id": process_log_id,
+                "metric_name": name,
+                "metric_value": Decimal(str(round(value, 4))),
+                "metric_unit": unit,
+                "measurement_timestamp": _now(),
+                "additional_context": context,
+            },
+        )
+
+    @contextmanager
+    def measure(self, name: str, *, process_log_id: int | None = None):
+        """Context-managed timing (+ psutil cpu/mem when available,
+        performance_monitor.py:273-322)."""
+        try:
+            import psutil
+
+            proc = psutil.Process()
+            cpu0 = proc.cpu_times()
+            mem0 = proc.memory_info().rss
+        except Exception:  # noqa: BLE001 — psutil optional
+            proc = None
+        t0 = time.time()
+        try:
+            yield
+        finally:
+            elapsed = time.time() - t0
+            self.record_metric(f"{name}.execution_time", elapsed, "seconds",
+                               process_log_id=process_log_id)
+            if proc is not None:
+                cpu1 = proc.cpu_times()
+                self.record_metric(
+                    f"{name}.cpu_time",
+                    (cpu1.user - cpu0.user) + (cpu1.system - cpu0.system),
+                    "seconds", process_log_id=process_log_id,
+                )
+                self.record_metric(
+                    f"{name}.memory_delta",
+                    (proc.memory_info().rss - mem0) / 1e6,
+                    "MB", process_log_id=process_log_id,
+                )
+
+    # -- lifecycle wrapper --------------------------------------------------
+
+    @contextmanager
+    def run(self, process_name: str, **start_kwargs):
+        """start → yield log_id → end(SUCCESS) / log_exception + end(FAILED)
+        — the bronze.py:441-591 contract as a context manager."""
+        log_id = self.start_process(process_name, **start_kwargs)
+        try:
+            yield log_id
+        except Exception as e:
+            self.log_error(e, process_log_id=log_id)
+            self.end_process(log_id, "FAILED", error_message=str(e))
+            raise
+        else:
+            self.end_process(log_id, "SUCCESS")
+
+
+def _now():
+    import datetime
+
+    return datetime.datetime.now(datetime.timezone.utc).replace(tzinfo=None)
