@@ -1,0 +1,319 @@
+"""Deduplication operators for training-data pipelines: exact (hash),
+n-gram Jaccard, MinHash+LSH, SimHash, embedding-cosine near-dup.
+
+Scale design:
+- exact: one shuffle on the 32-byte fingerprint, never on the text.
+- ngram-Jaccard: exact pairwise similarity but candidates come from an
+  inverted shingle index (self-join on shingle), so cost is
+  Σ|docs per shingle|² — not |docs|². Hot shingles are capped.
+- MinHash+LSH: the 100 TB path — fixed-size signatures (one aggregation
+  pass), banding join for candidates, exact Jaccard verify on candidates.
+- SimHash: 64-bit signature per doc in one aggregation pass; near-dups =
+  small Hamming distance.
+All logic is built-in expressions (xxhash64, explode, groupBy) — no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from sql_data_warehouse_analytics_project_spark.llm.text import fingerprint, shingles, tokens
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """Keep the lowest-id document per normalized-content fingerprint.
+    Deterministic winner (min id), one shuffle on the hash."""
+    w = Window.partitionBy("_fp").orderBy(F.col(id_col))
+    return (
+        df.withColumn("_fp", fingerprint(text_col))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_fp", "_rn")
+    )
+
+
+def exact_dup_groups(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """Duplicate report: (fingerprint, n_docs, keeper_id) for groups > 1."""
+    return (
+        df.withColumn("_fp", fingerprint(text_col))
+        .groupBy(F.col("_fp").alias("fingerprint"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(id_col).alias("keeper_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (inverted-index candidate join + exact verify)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    *,
+    max_docs_per_shingle: int = 1000,
+) -> DataFrame:
+    """Pairs (id_a < id_b, jaccard) with shingle-set Jaccard ≥ threshold.
+
+    Plan: doc→distinct shingles → explode (inverted index) → self-join on
+    shingle → per-pair intersection count → |A∪B| from per-doc sizes →
+    filter. ``max_docs_per_shingle`` drops degenerate stop-shingles that
+    would otherwise create quadratic candidate blowup (standard trick; at
+    scale prefer MinHash banding below).
+    """
+    sh = df.select(
+        F.col(id_col).alias("doc"), F.explode(shingles(text_col, n)).alias("shingle")
+    )
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df_"))
+        .filter(F.col("df_") > max_docs_per_shingle)
+        .select("shingle")
+    )
+    sh = sh.join(hot, "shingle", "left_anti")
+    a = sh.select(F.col("doc").alias("id_a"), "shingle")
+    b = sh.select(F.col("doc").alias("id_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    out = (
+        common.join(sizes.withColumnsRenamed({"doc": "id_a", "n_shingles": "n_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"doc": "id_b", "n_shingles": "n_b"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH banding
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    num_hashes: int = 64,
+    n: int = 3,
+) -> DataFrame:
+    """k min-hashes per doc in ONE aggregation pass: explode shingles, each
+    hash_i = min(xxhash64(shingle, seed_i)). Output: (id, sig:array<long>)."""
+    sh = df.select(
+        F.col(id_col).alias("doc"), F.explode(shingles(text_col, n)).alias("shingle")
+    )
+    mins = sh.groupBy("doc").agg(
+        *[
+            F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    return mins.select(
+        F.col("doc").alias(id_col),
+        F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("minhash_sig"),
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str,
+    num_bands: int = 16,
+    sig_col: str = "minhash_sig",
+) -> DataFrame:
+    """Banding: split the signature into bands, hash each band, join docs
+    sharing any band bucket → candidate pairs (id_a < id_b). With 64 hashes
+    and 16 bands (r=4) the S-curve crosses ~0.5 at j≈0.7."""
+    sig_len_row = signatures.select(F.size(sig_col).alias("n")).limit(1).collect()
+    rows_per_band = (sig_len_row[0]["n"] if sig_len_row else 0) // num_bands or 1
+    bands = signatures.select(
+        F.col(id_col).alias("doc"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at(F.col(sig_col), b * rows_per_band + r + 1)
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(num_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc", "bb.band", "bb.bucket")
+    a = bands.select(F.col("doc").alias("id_a"), "band", "bucket")
+    b = bands.select(F.col("doc").alias("id_b"), "band", "bucket")
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    num_bands: int = 16,
+    n: int = 3,
+) -> DataFrame:
+    """Full MinHash+LSH pipeline: signatures → banding candidates → exact
+    Jaccard verification of candidates only. Returns (id_a, id_b, jaccard)."""
+    sh = df.select(
+        F.col(id_col).alias("doc"), F.explode(shingles(text_col, n)).alias("shingle")
+    )
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, n)
+    cands = lsh_candidate_pairs(sigs, id_col, num_bands)
+    a = sh.select(F.col("doc").alias("id_a"), "shingle")
+    b = sh.select(F.col("doc").alias("id_b"), "shingle")
+    common = (
+        a.join(cands, "id_a")  # restrict the inverted-index join to candidates
+        .join(b, ["shingle", "id_b"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        common.join(sizes.withColumnsRenamed({"doc": "id_a", "n_shingles": "n_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"doc": "id_b", "n_shingles": "n_b"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """64-bit SimHash per doc in one pass: token → xxhash64 → each bit
+    contributes ±1; signature bit = sign of the sum. Output (id, simhash)."""
+    tok = df.select(F.col(id_col).alias("doc"), F.explode(tokens(text_col)).alias("t"))
+    h = F.xxhash64("t")
+    sums = tok.groupBy("doc").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(64)
+        ]
+    )
+    sig = sums.select(
+        F.col("doc").alias(id_col),
+        sum(
+            [
+                F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long") * (1 << i)).otherwise(0)
+                for i in range(63)  # bit 63 kept clear to stay in signed range
+            ],
+            F.lit(0).cast("long"),
+        ).alias("simhash"),
+    )
+    return sig
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str = "text", max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ k. Candidates via
+    4-block banding (docs sharing any 16-bit block), exact popcount verify."""
+    sigs = simhash(df, id_col, text_col)
+    blocks = sigs.select(
+        F.col(id_col).alias("doc"),
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("blk"),
+                        F.shiftright("simhash", b * 16).bitwiseAND(F.lit(0xFFFF)).alias("v"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc", "simhash", "bb.blk", "bb.v")
+    a = blocks.select(F.col("doc").alias("id_a"), F.col("simhash").alias("sig_a"), "blk", "v")
+    b = blocks.select(F.col("doc").alias("id_b"), F.col("simhash").alias("sig_b"), "blk", "v")
+    cands = (
+        a.join(b, ["blk", "v"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        cands.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Exact cosine between two array<numeric> columns, computed in double.
+    zip_with + aggregate stay inside codegen — no UDF."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")))
+    return F.when((na == 0) | (nb == 0), F.lit(None)).otherwise(dot / (na * nb))
+
+
+def embedding_dup_pairs(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Brute-force O(n²/2) cosine pairs ≥ threshold — the exact baseline.
+    For the scale path use similarity.lsh_ann to generate candidates first."""
+    a = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", F.round("cos", 6).alias("cosine"))
+    )

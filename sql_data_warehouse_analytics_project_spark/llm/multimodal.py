@@ -1,0 +1,156 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata structs, processed batch-wise via
+``mapInPandas`` (Arrow-batched — the only sanctioned Python hot path).
+
+The actual decode libraries (PIL/ffmpeg/librosa) are NOT in this
+container, so the decode kernels are STUBBED: ``decode="fake"`` runs a
+deterministic pure-Python fake (parses our own fake header format) so the
+Spark-side plumbing — schema, batching, partitioning, UDF signatures — is
+real and tested end-to-end; ``decode="real"`` raises NotImplementedError
+at the exact integration point where PIL/ffmpeg would slot in.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: Canonical multimodal schema: content is opaque bytes; metadata is typed.
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), False),  # image|audio|video
+        T.StructField("content", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                    T.StructField("duration_ms", T.IntegerType(), True),
+                    T.StructField("format", T.StringType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+#: Fake on-disk format for tests: b"FAKE" + <u32 width> + <u32 height> + payload
+FAKE_MAGIC = b"FAKE"
+
+
+def pack_fake_image(width: int, height: int, payload: bytes = b"") -> bytes:
+    return FAKE_MAGIC + struct.pack("<II", width, height) + payload
+
+
+def _decode_fake(content: bytes) -> tuple[int, int]:
+    if content is None or content[:4] != FAKE_MAGIC:
+        raise ValueError("not a FAKE image")
+    w, h = struct.unpack("<II", content[4:12])
+    return w, h
+
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("aspect_ratio", T.DoubleType(), True),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("decode_ok", T.BooleanType(), False),
+    ]
+)
+
+
+def extract_image_features(df: DataFrame, *, decode: str = "fake") -> DataFrame:
+    """Decode + feature-extract over Arrow batches (``mapInPandas``).
+
+    Batch shape: the kernel sees pandas DataFrames of whole rows; output
+    rows are independent of batching (pure per-row kernel), so the operator
+    is partition-count invariant — safe to repartition freely at scale.
+    """
+    if decode not in ("fake", "real"):
+        raise ValueError(decode)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                content = row["content"]
+                if decode == "real":
+                    # integration point for PIL.Image.open(io.BytesIO(content))
+                    raise NotImplementedError(
+                        "real image decoding requires PIL/opencv, not in container"
+                    )
+                try:
+                    w, h = _decode_fake(content)
+                    out.append((row["media_id"], w, h, w / h if h else None,
+                                len(content), True))
+                except Exception:  # noqa: BLE001 — corrupt media → flagged row
+                    out.append((row["media_id"], None, None, None,
+                                len(content) if content is not None else None, False))
+            yield pd.DataFrame(
+                out, columns=["media_id", "width", "height", "aspect_ratio",
+                              "n_bytes", "decode_ok"]
+            )
+
+    return df.select("media_id", "content").mapInPandas(kernel, FEATURE_SCHEMA)
+
+
+def resize_images(df: DataFrame, max_side: int, *, decode: str = "fake") -> DataFrame:
+    """Resize plumbing: recompute target dims (aspect-preserving clamp to
+    ``max_side``) and re-encode. Fake path rewrites the fake header; real
+    path is the PIL/cv2 integration point."""
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("content", T.BinaryType(), True),
+            T.StructField("width", T.IntegerType(), True),
+            T.StructField("height", T.IntegerType(), True),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                if decode == "real":
+                    raise NotImplementedError("real resize requires PIL/opencv")
+                try:
+                    w, h = _decode_fake(row["content"])
+                    scale = min(1.0, max_side / max(w, h)) if max(w, h) else 1.0
+                    nw, nh = max(int(w * scale), 1), max(int(h * scale), 1)
+                    rows.append((row["media_id"], pack_fake_image(nw, nh), nw, nh))
+                except Exception:  # noqa: BLE001
+                    rows.append((row["media_id"], None, None, None))
+            yield pd.DataFrame(rows, columns=["media_id", "content", "width", "height"])
+
+    return df.select("media_id", "content").mapInPandas(kernel, out_schema)
+
+
+def sample_video_frames(
+    df: DataFrame, every_ms: int = 1000, *, decode: str = "fake"
+) -> DataFrame:
+    """Frame-sampling plumbing: one output row per sampled timestamp
+    (explodes duration/every_ms rows per video). Fake path synthesizes
+    frame ids from metadata; real path is the ffmpeg integration point."""
+    if decode == "real":
+        raise NotImplementedError("real frame sampling requires ffmpeg")
+    n_frames = F.greatest(
+        (F.col("meta.duration_ms") / every_ms).cast("int"), F.lit(1)
+    )
+    return (
+        df.filter(F.col("media_type") == "video")
+        .select(
+            "media_id",
+            F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_index"),
+        )
+        .withColumn("timestamp_ms", F.col("frame_index") * every_ms)
+    )

@@ -1,0 +1,155 @@
+"""Similarity search over embedding columns: brute-force cosine top-k
+(exact baseline) and random-hyperplane LSH ANN (the scale path).
+
+Everything is array-expression math in double precision — no UDFs, no
+numpy in the hot path. LSH hyperplanes are DETERMINISTIC (seeded from
+sha256 of (plane, dim)) so plans are reproducible run-to-run.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from sql_data_warehouse_analytics_project_spark.llm.dedup import cosine
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors per query vector (brute force).
+
+    Output: (query_id, neighbor_id, cosine, rank), rank 1..k, self excluded,
+    ties broken by neighbor id. ``queries`` is usually small → broadcast it
+    so the corpus never shuffles; the per-query ranking is a window over
+    query_id (uniform key distribution)."""
+    q = F.broadcast(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    )
+    c = embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"))
+    scored = (
+        c.crossJoin(q)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", cosine(F.col("qv"), F.col("nv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos", 6).alias("cosine"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+def _hyperplanes(num_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes in [-1, 1]^dim: each weight
+    is derived from sha256(plane, dim) — reproducible with no RNG state."""
+    planes = []
+    for p in range(num_planes):
+        row = []
+        for d in range(dim):
+            h = hashlib.sha256(struct.pack("<II", p, d)).digest()
+            val = int.from_bytes(h[:8], "little") / 2**64  # [0, 1)
+            row.append(2.0 * val - 1.0)
+        planes.append(row)
+    return planes
+
+
+def lsh_signatures(
+    embeddings: DataFrame,
+    num_planes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Random-hyperplane signature: bit_p = (v · plane_p) > 0, packed into a
+    long. sign-cosine property: P(bit differs) = angle/π."""
+    if dim is None:
+        row = embeddings.select(F.size(vec_col).alias("n")).limit(1).collect()
+        dim = row[0]["n"] if row else 0
+    planes = _hyperplanes(num_planes, dim)
+    sig = None
+    v = F.col(vec_col)
+    for p, weights in enumerate(planes):
+        plane = F.array(*[F.lit(w) for w in weights])
+        dot = F.aggregate(
+            F.zip_with(v, plane, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bit = F.when(dot > 0, F.lit(1).cast("long") * (1 << p)).otherwise(F.lit(0).cast("long"))
+        sig = bit if sig is None else sig + bit
+    return embeddings.select(F.col(id_col), v.alias(vec_col), sig.alias("lsh_sig"))
+
+
+def lsh_ann_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    num_planes: int = 16,
+    num_bands: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates = corpus vectors sharing ≥1 LSH band
+    with the query, then exact cosine rank on candidates only. Recall is
+    tunable via planes/bands; candidates shrink the cross join from |corpus|
+    to the bucket size — that is the 100 TB path (bucket-partitioned join
+    instead of broadcast-everything)."""
+    rows_per_band = num_planes // num_bands
+    dim_row = embeddings.select(F.size(vec_col).alias("n")).limit(1).collect()
+    dim = dim_row[0]["n"] if dim_row else 0
+
+    def with_bands(df: DataFrame, prefix: str) -> DataFrame:
+        sigs = lsh_signatures(df, num_planes, id_col, vec_col, dim)
+        mask = (1 << rows_per_band) - 1
+        return sigs.select(
+            F.col(id_col).alias(f"{prefix}_id"),
+            F.col(vec_col).alias(f"{prefix}_vec"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.shiftright("lsh_sig", b * rows_per_band)
+                            .bitwiseAND(F.lit(mask))
+                            .alias("bucket"),
+                        )
+                        for b in range(num_bands)
+                    ]
+                )
+            ).alias("bb"),
+        ).select(f"{prefix}_id", f"{prefix}_vec", "bb.band", "bb.bucket")
+
+    qb = with_bands(queries, "query")
+    cb = with_bands(embeddings, "neighbor")
+    cands = (
+        qb.join(cb, ["band", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "query_vec", "neighbor_id", "neighbor_vec")
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        cands.withColumn("cos", cosine(F.col("query_vec"), F.col("neighbor_vec")))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos", 6).alias("cosine"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

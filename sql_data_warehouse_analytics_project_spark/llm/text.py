@@ -1,0 +1,149 @@
+"""Text-analysis operators for training-data pipelines: tokenization,
+language-ID (n-gram/stopword heuristic), quality scoring, token counting,
+document fingerprinting.
+
+Beyond the reference's own surface (BASELINE.json north-star extensions);
+all built-in column expressions — these run inside whole-stage codegen at
+100 TB with zero Python in the hot path. Every operator has an exact
+ANSI-SQL twin (see queries_llm.py) so the DuckDB oracle can check it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Tokenizer contract shared with the oracles: lowercase, split on runs of
+#: non-alphanumerics, drop empties. Simple whitespace+punct tokenization —
+#: the BPE-ish path is `token_count_bpe` below.
+TOKEN_SPLIT_RE = "[^a-z0-9]+"
+
+#: Tiny per-language stopword lists for the lang-ID heuristic.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "to", "is", "in", "that", "it", "for"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "es", "se", "no"),
+    "de": ("der", "die", "und", "das", "ist", "ein", "nicht", "mit", "sich", "auf"),
+    "fr": ("le", "la", "les", "de", "et", "un", "est", "pour", "que", "dans"),
+    "zh": ("的", "是", "了", "在", "我", "有", "和", "不", "人", "这"),
+}
+
+EN_STOPWORDS = LANG_MARKERS["en"] + ("on", "with", "as", "at", "by", "this")
+
+
+def tokens(text: str | Column) -> Column:
+    """Lowercase whitespace+punctuation tokenization → array<string>."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(F.lower(c), TOKEN_SPLIT_RE), lambda t: t != "")
+
+
+def token_count(text: str | Column) -> Column:
+    return F.size(tokens(text))
+
+
+def token_count_bpe(text: str | Column) -> Column:
+    """BPE-ish token estimate without a vocab: word-piece proxy =
+    ceil(len(word)/4) per word (subword units average ~4 chars), plus one
+    per punctuation run. Deterministic and SQL-expressible."""
+    c = F.col(text) if isinstance(text, str) else text
+    word_pieces = F.aggregate(
+        tokens(c),
+        F.lit(0),
+        lambda acc, t: acc + F.ceil(F.length(t) / 4.0).cast("int"),
+    )
+    punct_runs = F.size(
+        F.filter(F.split(F.lower(c), "[a-z0-9\\s]+"), lambda t: t != "")
+    )
+    return word_pieces + punct_runs
+
+
+def _member_of(words: tuple[str, ...]):
+    # NB: a plain 1-arg lambda per call — PySpark derives lambda-variable
+    # count from the function arity, so closure-by-default-arg (2 params)
+    # would silently bind the array INDEX to the second parameter.
+    return lambda t: t.isin(list(words))
+
+
+def lang_scores(text: str | Column) -> dict[str, Column]:
+    """Occurrence count of each language's marker words (duplicates count)."""
+    toks = tokens(text)
+    return {
+        lang: F.size(F.filter(toks, _member_of(words)))
+        for lang, words in LANG_MARKERS.items()
+    }
+
+
+def detect_language(text: str | Column) -> Column:
+    """Argmax language with deterministic tie-break (language key order);
+    'und' (undetermined) when no marker hits at all."""
+    scores = lang_scores(text)
+    langs = list(LANG_MARKERS)
+    best = F.greatest(*[scores[lang] for lang in langs])
+    expr = F.when(best <= 0, F.lit("und"))
+    for lang in langs:  # first-wins tie-break in declared order
+        expr = expr.when(scores[lang] == best, F.lit(lang))
+    return expr.otherwise(F.lit("und"))
+
+
+def punct_ratio(text: str | Column) -> Column:
+    """Fraction of characters that are neither alphanumeric nor space."""
+    c = F.col(text) if isinstance(text, str) else text
+    n = F.length(c)
+    punct = F.length(F.regexp_replace(F.lower(c), "[a-z0-9\\s]", ""))
+    return F.when(n == 0, F.lit(0.0)).otherwise(punct / n)
+
+
+def stopword_ratio(text: str | Column) -> Column:
+    toks = tokens(text)
+    n = F.size(toks)
+    hits = F.size(F.filter(toks, _member_of(EN_STOPWORDS)))
+    return F.when(n == 0, F.lit(0.0)).otherwise(hits.cast("double") / n)
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality signals (length / punctuation / stopword ratio /
+    mean token length) + a composite 0-1 score. The score is a transparent
+    heuristic: long-enough docs with natural word lengths and some
+    stopwords rank high; symbol soup ranks low."""
+    toks = tokens(text_col)
+    n_chars = F.length(F.col(text_col))
+    n_toks = F.size(toks)
+    mean_tok_len = F.when(n_toks == 0, F.lit(0.0)).otherwise(
+        F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t)).cast("double") / n_toks
+    )
+    length_ok = (n_chars >= 50) & (n_chars <= 100_000)
+    tok_len_ok = (mean_tok_len >= 2.0) & (mean_tok_len <= 12.0)
+    score = (
+        length_ok.cast("double") * 0.4
+        + tok_len_ok.cast("double") * 0.2
+        + (1.0 - F.least(punct_ratio(text_col) * F.lit(4.0), F.lit(1.0))) * 0.2
+        + F.least(stopword_ratio(text_col) * F.lit(4.0), F.lit(1.0)) * 0.2
+    )
+    return df.select(
+        "*",
+        n_chars.alias("q_n_chars"),
+        n_toks.alias("q_n_tokens"),
+        F.round(mean_tok_len, 4).alias("q_mean_token_len"),
+        F.round(punct_ratio(text_col), 4).alias("q_punct_ratio"),
+        F.round(stopword_ratio(text_col), 4).alias("q_stopword_ratio"),
+        F.round(score, 4).alias("q_score"),
+    )
+
+
+def fingerprint(text: str | Column) -> Column:
+    """Content fingerprint: whitespace-normalized lowercase text → SHA-256.
+    Equal fingerprints ⇔ equal normalized content (exact-dedup key)."""
+    c = F.col(text) if isinstance(text, str) else text
+    normalized = F.trim(F.regexp_replace(F.lower(c), "\\s+", " "))
+    return F.sha2(normalized, 256)
+
+
+def shingles(text: str | Column, n: int = 3) -> Column:
+    """Word n-gram shingles → array<string> (distinct). The unit of
+    near-duplicate detection for Jaccard/MinHash."""
+    toks = tokens(text)
+    k = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(k - n, F.lit(0)))
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
+    )
+    return F.array_distinct(F.when(k >= n, grams).otherwise(F.array()))

@@ -1,0 +1,309 @@
+"""Oracle-checked queries for the LLM-data-pipeline operators (dedup,
+similarity search, text analysis) over the ``documents`` / ``embeddings``
+testdata tables. Registered into the same driver-facing registry as the
+relational catalog (queries.py).
+
+Shared determinism contracts with the DuckDB oracles:
+- tokenizer: lower → split on ``[^a-z0-9]+`` → drop empties (both engines)
+- fingerprint: sha256 of whitespace-collapsed lowercase text
+- cosine: element-wise double math; verified BIT-EXACT between Spark
+  ``aggregate``/``zip_with`` and DuckDB ``list_sum``/``list_transform``
+- MinHash/SimHash/LSH use Spark's xxhash64 (no DuckDB twin) → registered
+  WITHOUT oracles; their correctness gates are recall tests vs the exact
+  operators in tests/test_llm.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sql_data_warehouse_analytics_project_spark.llm import dedup, similarity, text
+from sql_data_warehouse_analytics_project_spark.queries import register
+from sql_data_warehouse_analytics_project_spark.sources.readers import load_table
+
+# DuckDB-side shared fragments (tokenizer twin of text.tokens)
+_TOKS = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+_FP = "sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
+_DOT = (
+    "list_sum(list_transform(list_zip({a}, {b}), "
+    "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+)
+_NORM = "sqrt(list_sum(list_transform({v}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+_COS = f"{_DOT.format(a='{a}', b='{b}')} / ({_NORM.format(v='{a}')} * {_NORM.format(v='{b}')})"
+
+
+@register(
+    "qd01_exact_dedup",
+    f"""
+    WITH fp AS (
+      SELECT doc_id, lang, source, {_FP} AS f,
+             row_number() OVER (PARTITION BY {_FP} ORDER BY doc_id) AS rn
+      FROM documents
+    )
+    SELECT doc_id, lang, source FROM fp WHERE rn = 1
+    """,
+)
+def qd01_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: keep lowest doc_id per normalized-content fingerprint."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.exact_dedup(docs, "doc_id").select("doc_id", "lang", "source")
+
+
+@register(
+    "qd02_ngram_jaccard",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS t FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t)-1)]) AS shingles
+      FROM toks WHERE len(t) >= 3
+    ), ex AS (
+      SELECT doc_id, unnest(shingles) AS s FROM sh
+    ), sizes AS (
+      SELECT doc_id, len(shingles) AS n FROM sh
+    ), common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE), 6) AS jaccard
+    FROM common
+    JOIN sizes sa ON id_a = sa.doc_id
+    JOIN sizes sb ON id_b = sb.doc_id
+    WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.8
+    """,
+)
+def qd02_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs: 3-gram shingle Jaccard ≥ 0.8 via inverted index."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
+
+
+@register(
+    "qd03_token_stats",
+    f"""
+    WITH t AS (
+      SELECT source, len({_TOKS}) AS n_toks, length(text) AS n_chars FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           ROUND(CAST(SUM(n_toks) AS DOUBLE) / COUNT(*), 4) AS avg_tokens_per_doc
+    FROM t GROUP BY source
+    """,
+)
+def qd03_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting rolled up per source."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "source",
+            text.token_count("text").alias("n_toks"),
+            F.length("text").alias("n_chars"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").cast("bigint").alias("total_tokens"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.round(F.sum("n_toks").cast("double") / F.count(F.lit(1)), 4).alias(
+                "avg_tokens_per_doc"
+            ),
+        )
+    )
+
+
+@register(
+    "qd04_quality_scores",
+    f"""
+    WITH q AS (
+      SELECT source,
+             length(text) AS n_chars,
+             len({_TOKS}) AS n_toks,
+             CASE WHEN len({_TOKS}) = 0 THEN 0.0
+                  ELSE CAST(list_sum(list_transform({_TOKS}, t -> length(t))) AS DOUBLE)
+                       / len({_TOKS}) END AS mean_tok_len,
+             CASE WHEN length(text) = 0 THEN 0.0
+                  ELSE CAST(length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) AS DOUBLE)
+                       / length(text) END AS punct_ratio,
+             CASE WHEN len({_TOKS}) = 0 THEN 0.0
+                  ELSE CAST(len(list_filter({_TOKS},
+                       t -> list_contains(['the','a','and','of','to','is','in','that','it','for','on','with','as','at','by','this'], t))) AS DOUBLE)
+                       / len({_TOKS}) END AS stop_ratio
+      FROM documents
+    ), scored AS (
+      SELECT source,
+             (CASE WHEN n_chars >= 50 AND n_chars <= 100000 THEN 1.0 ELSE 0.0 END) * 0.4
+             + (CASE WHEN mean_tok_len >= 2.0 AND mean_tok_len <= 12.0 THEN 1.0 ELSE 0.0 END) * 0.2
+             + (1.0 - least(punct_ratio * 4.0, 1.0)) * 0.2
+             + least(stop_ratio * 4.0, 1.0) * 0.2 AS score
+      FROM q
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(AVG(score), 4) AS avg_quality,
+           CAST(SUM(CASE WHEN score >= 0.6 THEN 1 ELSE 0 END) AS BIGINT) AS n_high_quality
+    FROM scored GROUP BY source
+    """,
+)
+def qd04_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring rolled up per source (avg + high-quality count).
+    Recomputed from unrounded components so AVG matches the oracle exactly
+    (quality_features rounds its per-doc output columns for display)."""
+    docs = load_table(spark, sf_dir, "documents")
+    q2 = docs.select(
+        "source",
+        F.length("text").alias("n_chars"),
+        text.token_count("text").alias("n_toks"),
+        text.punct_ratio("text").alias("punct_ratio"),
+        text.stopword_ratio("text").alias("stop_ratio"),
+        F.when(F.size(text.tokens("text")) == 0, F.lit(0.0))
+        .otherwise(
+            F.aggregate(text.tokens("text"), F.lit(0), lambda a, t: a + F.length(t)).cast("double")
+            / F.size(text.tokens("text"))
+        )
+        .alias("mean_tok_len"),
+    )
+    score = (
+        ((F.col("n_chars") >= 50) & (F.col("n_chars") <= 100_000)).cast("double") * 0.4
+        + ((F.col("mean_tok_len") >= 2.0) & (F.col("mean_tok_len") <= 12.0)).cast("double") * 0.2
+        + (1.0 - F.least(F.col("punct_ratio") * 4.0, F.lit(1.0))) * 0.2
+        + F.least(F.col("stop_ratio") * 4.0, F.lit(1.0)) * 0.2
+    )
+    return (
+        q2.withColumn("score", score)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("score"), 4).alias("avg_quality"),
+            F.sum((F.col("score") >= 0.6).cast("long")).alias("n_high_quality"),
+        )
+    )
+
+
+@register(
+    "qd05_language_id",
+    f"""
+    WITH scores AS (
+      SELECT lang,
+             len(list_filter({_TOKS}, t -> list_contains(['the','a','and','of','to','is','in','that','it','for'], t))) AS s_en,
+             len(list_filter({_TOKS}, t -> list_contains(['el','la','de','que','y','en','un','es','se','no'], t))) AS s_es,
+             len(list_filter({_TOKS}, t -> list_contains(['der','die','und','das','ist','ein','nicht','mit','sich','auf'], t))) AS s_de,
+             len(list_filter({_TOKS}, t -> list_contains(['le','la','les','de','et','un','est','pour','que','dans'], t))) AS s_fr,
+             len(list_filter({_TOKS}, t -> list_contains(['的','是','了','在','我','有','和','不','人','这'], t))) AS s_zh
+      FROM documents
+    ), pred AS (
+      SELECT lang,
+             CASE WHEN greatest(s_en, s_es, s_de, s_fr, s_zh) <= 0 THEN 'und'
+                  WHEN s_en = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'en'
+                  WHEN s_es = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'es'
+                  WHEN s_de = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'de'
+                  WHEN s_fr = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'fr'
+                  ELSE 'zh' END AS predicted_lang
+      FROM scores
+    )
+    SELECT lang, predicted_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM pred GROUP BY lang, predicted_lang
+    """,
+)
+def qd05_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram/marker-word language ID: labeled × predicted confusion counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", text.detect_language("text").alias("predicted_lang"))
+        .groupBy("lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@register(
+    "qd06_cosine_topk",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             {_COS.format(a='q.qv', b='e.embedding')} AS cos
+      FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+    ), ranked AS (
+      SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, round(cos, 6) AS cosine, CAST(rank AS INTEGER) AS rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def qd06_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for query vectors (vec_id < 8)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
+
+
+@register(
+    "qd07_embedding_dupes",
+    f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round({_COS.format(a='a.embedding', b='b.embedding')}, 6) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE {_COS.format(a='a.embedding', b='b.embedding')} >= 0.4
+    """,
+)
+def qd07_embedding_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (exact baseline, threshold 0.4)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return dedup.embedding_dup_pairs(emb, threshold=0.4)
+
+
+@register(
+    "qd08_bpe_token_estimate",
+    f"""
+    WITH t AS (
+      SELECT source,
+             CAST(list_sum(list_transform({_TOKS},
+                  t -> CAST(ceil(length(t) / 4.0) AS INTEGER))) AS BIGINT)
+             + len(list_filter(regexp_split_to_array(lower(text), '[a-z0-9\\s]+'), x -> x <> ''))
+             AS bpe_tokens
+      FROM documents
+    )
+    SELECT source, CAST(SUM(bpe_tokens) AS BIGINT) AS total_bpe_tokens
+    FROM t GROUP BY source
+    """,
+)
+def qd08_bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token estimate (subword proxy) rolled up per source."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("source", text.token_count_bpe("text").alias("bpe_tokens"))
+        .groupBy("source")
+        .agg(F.sum("bpe_tokens").cast("bigint").alias("total_bpe_tokens"))
+    )
+
+
+# -- xxhash64-based operators: no SQL twin → rows-only driver check ---------
+
+
+@register("qd09_minhash_lsh_pairs")
+def qd09_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs (the 100 TB dedup path). Correctness is
+    gated in tests/test_llm.py: recall vs the exact qd02 pairs must be 100%
+    at this data scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_dedup_pairs(docs, "doc_id", threshold=0.8)
+
+
+@register("qd10_simhash_pairs")
+def qd10_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (Hamming ≤ 3 on 64-bit signatures)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_pairs(docs, "doc_id", max_hamming=3)
+
+
+@register("qd11_lsh_ann_topk")
+def qd11_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate nearest neighbors (recall-gated in tests)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.lsh_ann_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)

@@ -1,0 +1,172 @@
+"""LLM-pipeline operator tests: dedup recall gates (MinHash/SimHash/LSH vs
+their exact counterparts), text analysis edge cases, multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from sql_data_warehouse_analytics_project_spark.llm import dedup, multimodal, similarity, text
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+# -- text ------------------------------------------------------------------
+
+
+def test_tokens_and_shingles_edges(spark):
+    df = spark.createDataFrame(
+        [Row(t="Hello,  World! 123"), Row(t="one two"), Row(t=""), Row(t="x")]
+    )
+    rows = df.select(
+        text.tokens("t").alias("toks"), text.shingles("t", 3).alias("sh")
+    ).collect()
+    assert rows[0].toks == ["hello", "world", "123"]
+    assert rows[0].sh == ["hello world 123"]
+    assert rows[1].sh == []          # fewer tokens than n → no shingles
+    assert rows[2].toks == [] and rows[2].sh == []
+    assert rows[3].toks == ["x"]
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [Row(a="Hello   World"), Row(a="hello world"), Row(a="  HELLO\tWORLD  ")]
+    )
+    fps = [r.f for r in df.select(text.fingerprint("a").alias("f")).collect()]
+    assert fps[0] == fps[1] == fps[2]
+
+
+def test_detect_language_english(spark):
+    df = spark.createDataFrame(
+        [
+            Row(t="the cat sat on the mat and it is happy"),
+            Row(t="el perro es un animal que no se ve"),
+            Row(t="zzz qqq www"),
+        ]
+    )
+    out = [r.lang for r in df.select(text.detect_language("t").alias("lang")).collect()]
+    assert out == ["en", "es", "und"]
+
+
+def test_exact_dedup_keeps_lowest_id(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=3, text="same  text"), Row(doc_id=1, text="Same Text"),
+         Row(doc_id=2, text="different")]
+    )
+    kept = sorted(r.doc_id for r in dedup.exact_dedup(df, "doc_id").collect())
+    assert kept == [1, 2]
+    groups = dedup.exact_dup_groups(df, "doc_id").collect()
+    assert len(groups) == 1 and groups[0].n_docs == 2 and groups[0].keeper_id == 1
+
+
+# -- dedup recall gates ----------------------------------------------------
+
+
+def test_minhash_lsh_recall_vs_exact(docs):
+    """LSH banding (64 hashes / 16 bands) must recover every exact
+    Jaccard≥0.8 pair at this scale, with identical verified jaccard."""
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(docs, "doc_id", threshold=0.8).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.minhash_dedup_pairs(docs, "doc_id", threshold=0.8).collect()
+    }
+    assert exact, "fixture should contain near-dup pairs"
+    missed = set(exact) - set(lsh)
+    assert not missed, f"LSH missed {missed}"
+    for k in exact:
+        assert lsh[k] == exact[k]  # verify stage computes the same jaccard
+    # and no pair below threshold leaks through
+    assert all(j >= 0.8 for j in lsh.values())
+
+
+def test_simhash_pairs_overlap_exact(docs):
+    """SimHash(hamming≤3) pairs should be near-dups: the high-jaccard pair
+    set and the simhash pair set must overlap substantially."""
+    exact = set(
+        (r.id_a, r.id_b)
+        for r in dedup.ngram_jaccard_pairs(docs, "doc_id", threshold=0.9).collect()
+    )
+    sim = set((r.id_a, r.id_b) for r in dedup.simhash_pairs(docs, "doc_id").collect())
+    assert sim, "simhash should find pairs"
+    assert len(sim & exact) / max(len(exact), 1) >= 0.5
+
+
+def test_lsh_ann_recall_vs_brute(emb):
+    queries = emb.filter(F.col("vec_id") < 8)
+    brute = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.cosine_topk(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.lsh_ann_topk(emb, queries, k=5).collect()
+    }
+    recall = len(brute & approx) / len(brute)
+    assert recall >= 0.5, f"ANN recall too low: {recall}"
+
+
+def test_lsh_signatures_deterministic(emb):
+    s1 = {r.vec_id: r.lsh_sig for r in similarity.lsh_signatures(emb.limit(20)).collect()}
+    s2 = {r.vec_id: r.lsh_sig for r in similarity.lsh_signatures(emb.limit(20)).collect()}
+    assert s1 == s2
+
+
+# -- multimodal ------------------------------------------------------------
+
+
+@pytest.fixture()
+def media(spark):
+    rows = [
+        (1, "image", multimodal.pack_fake_image(640, 480), (640, 480, None, "fake")),
+        (2, "image", multimodal.pack_fake_image(100, 200, b"xyz"), (100, 200, None, "fake")),
+        (3, "image", b"CORRUPT", (None, None, None, None)),
+        (4, "video", multimodal.pack_fake_image(1920, 1080), (1920, 1080, 3500, "fake")),
+    ]
+    return spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+
+
+def test_image_features_and_corruption_flag(media):
+    out = {r.media_id: r for r in multimodal.extract_image_features(media).collect()}
+    assert out[1].width == 640 and out[1].height == 480
+    assert abs(out[1].aspect_ratio - 4 / 3) < 1e-9
+    assert out[2].n_bytes == 12 + 3
+    assert out[3].decode_ok is False and out[3].width is None
+    assert out[1].decode_ok is True
+
+
+def test_resize_images(media):
+    out = {r.media_id: r for r in multimodal.resize_images(media, max_side=320).collect()}
+    assert (out[1].width, out[1].height) == (320, 240)
+    assert (out[2].width, out[2].height) == (100, 200)  # never upscaled
+    # re-encoded content parses back
+    assert out[1].content[:4] == multimodal.FAKE_MAGIC
+    assert out[3].content is None  # corrupt in → null out
+
+
+def test_real_decode_is_stubbed(media):
+    with pytest.raises(Exception) as exc_info:
+        multimodal.extract_image_features(media, decode="real").collect()
+    assert "NotImplementedError" in str(exc_info.value) or isinstance(
+        exc_info.value, NotImplementedError
+    )
+
+
+def test_video_frame_sampling(media):
+    frames = multimodal.sample_video_frames(media, every_ms=1000).collect()
+    by_vid = [r for r in frames if r.media_id == 4]
+    assert len(by_vid) == 3  # 3500ms / 1000ms
+    assert [r.timestamp_ms for r in by_vid] == [0, 1000, 2000]
