@@ -14,6 +14,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from sql_data_warehouse_analytics_project_spark import queries as _q
+from sql_data_warehouse_analytics_project_spark import queries_events as _qev  # noqa: F401 — registers window/setop/json queries
 from sql_data_warehouse_analytics_project_spark import queries_llm as _qllm  # noqa: F401 — registers LLM queries
 
 

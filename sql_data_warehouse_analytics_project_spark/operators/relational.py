@@ -125,6 +125,34 @@ def exclude_soft_deleted(df: DataFrame, flag_column: str = "is_deleted") -> Data
 # ---------------------------------------------------------------------------
 
 
+def analyze_medallion_layer(
+    df: DataFrame,
+    *,
+    business_date=None,
+    source_system: str | None = None,
+    batch_id: str | None = None,
+    columns: Sequence[str] | None = None,
+    order_by_latest: bool = True,
+) -> DataFrame:
+    """P4 — medallion layer analysis filterset (reference
+    ``analyze_medallion_layer`` ``sql/common_queries.py:40-110``):
+    ``created_at::date = business_date`` + source_system + batch_id
+    equality filters, latest-first. When the table is partitioned on the
+    derived date these filters become partition pruning."""
+    out = df
+    if business_date is not None:
+        out = out.filter(F.to_date(F.col("created_at")) == F.lit(business_date))
+    if source_system is not None:
+        out = out.filter(F.col("source_system") == source_system)
+    if batch_id is not None:
+        out = out.filter(F.col("batch_id") == batch_id)
+    if columns:
+        out = out.select(*columns)
+    if order_by_latest and "created_at" in out.columns:
+        out = out.orderBy(F.col("created_at").desc())
+    return out
+
+
 def exists(df: DataFrame, sub: DataFrame, on: Sequence[str] | Column) -> DataFrame:
     """EXISTS correlation → left-semi join (no row duplication, no shuffle of
     sub's payload columns — only join keys move)."""

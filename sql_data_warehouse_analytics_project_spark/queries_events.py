@@ -1,0 +1,196 @@
+"""Oracle-checked queries: event-time windows (tumbling/sliding/session),
+grouping sets (rollup/cube), set operations, JSON extraction — the
+streaming-adjacent and free-extension operator surface (SURVEY.md §2.7
+note, §2.13). The window helpers are the SAME code used by the streaming
+module (batch/stream parity invariant).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sql_data_warehouse_analytics_project_spark.functions.scalars import money
+from sql_data_warehouse_analytics_project_spark.queries import register
+from sql_data_warehouse_analytics_project_spark.sources.readers import load_table
+from sql_data_warehouse_analytics_project_spark.streaming.ingest import (
+    sessionized_counts,
+    windowed_event_counts,
+)
+
+# DuckDB: epoch-aligned naive-timestamp window start (to_timestamp would
+# yield TIMESTAMPTZ; make_timestamp(µs) stays naive like Spark's collect)
+_WSTART = "make_timestamp(CAST(floor(epoch(ts) / {w}) * {w} AS BIGINT) * 1000000)"
+
+
+@register(
+    "q25_tumbling_window",
+    f"""
+    WITH w AS (
+      SELECT {_WSTART.format(w=600)} AS window_start, event_type,
+             CAST(value AS DECIMAL(18,2)) AS v
+      FROM events
+    )
+    SELECT window_start,
+           window_start + INTERVAL 10 MINUTE AS window_end,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(v) AS DOUBLE) AS total_value
+    FROM w GROUP BY window_start, event_type
+    """,
+)
+def q25_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 10-minute event-time windows (same helper as streaming)."""
+    ev = load_table(spark, sf_dir, "events").withColumn("value", money("value"))
+    out = windowed_event_counts(ev, window_duration="10 minutes")
+    return out.select(
+        "window_start", "window_end", "event_type", "n_events",
+        F.col("total_value").cast("double").alias("total_value"),
+    )
+
+
+@register(
+    "q26_sliding_window",
+    f"""
+    WITH w AS (
+      SELECT make_timestamp(
+               (CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) - off) * 1000000
+             ) AS window_start,
+             event_type, CAST(value AS DECIMAL(18,2)) AS v
+      FROM events, unnest([0, 300]) AS t(off)
+    )
+    SELECT window_start,
+           window_start + INTERVAL 10 MINUTE AS window_end,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(v) AS DOUBLE) AS total_value
+    FROM w GROUP BY window_start, event_type
+    """,
+)
+def q26_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows: 10-minute length, 5-minute slide (each event lands
+    in exactly two windows; the oracle enumerates both starts)."""
+    ev = load_table(spark, sf_dir, "events").withColumn("value", money("value"))
+    out = windowed_event_counts(
+        ev, window_duration="10 minutes", slide_duration="5 minutes"
+    )
+    return out.select(
+        "window_start", "window_end", "event_type", "n_events",
+        F.col("total_value").cast("double").alias("total_value"),
+    )
+
+
+@register(
+    "q27_session_windows",
+    """
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL 5 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sessions AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM marked
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 5 MINUTE AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def q27_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows (5-minute timeout) per user — Spark's
+    stateful ``session_window`` vs the oracle's gaps-and-islands SQL."""
+    ev = load_table(spark, sf_dir, "events")
+    return sessionized_counts(ev, gap="5 minutes")
+
+
+@register(
+    "q21_rollup",
+    """
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+           o_orderpriority,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders
+    GROUP BY ROLLUP (order_year, o_orderpriority)
+    """,
+)
+def q21_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets (year, priority) → subtotals + grand total."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            F.year("o_orderdate").alias("order_year"),
+            "o_orderpriority",
+            money("o_totalprice").alias("v"),
+        )
+        .rollup("order_year", "o_orderpriority")
+        .agg(
+            F.sum("v").cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "q22_intersect",
+    """
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    INTERSECT
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 300000
+    """,
+)
+def q22_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct) — building-segment customers with big orders."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    a = customer.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = orders.filter(F.col("o_totalprice") > 300000).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return a.intersect(b)
+
+
+@register(
+    "q23_except",
+    """
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    EXCEPT
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 300000
+    """,
+)
+def q23_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct) — building-segment customers without big orders."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    a = customer.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = orders.filter(F.col("o_totalprice") > 300000).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return a.subtract(b)
+
+
+@register(
+    "q24_json_extract",
+    """
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS avg_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q24_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON property extraction (§2.8 JSON surface: get_json_object)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).cast("bigint").alias("sum_k"),
+        F.avg(k).alias("avg_k"),
+    )

@@ -1,0 +1,138 @@
+"""Structured Streaming extensions (SURVEY.md §2.13: the reference has no
+streaming — these extend its incremental-load (M5) and batch-logger (L3)
+concepts to streams, per the north-star brief).
+
+- ``stream_csv_drop_zone`` — the reference's CSV drop-zone directories
+  (``datasets/source_crm`` etc., ``core/config.py:159``) become a
+  file-source stream: new files are discovered and ingested continuously.
+- ``stream_bronze_ingest`` — foreachBatch: each micro-batch runs the SAME
+  columnar bronze enrichment as batch mode and appends, wrapped in the
+  RunContext lifecycle (one process_log row per batch — the reference's
+  BatchLogger contract, ``audit_logger.py:578-693``).
+- Event-time windowed aggregations with watermarks for late data.
+
+Batch/stream parity is a design invariant: enrich_bronze and the window
+helpers are the same code in both modes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+
+from sql_data_warehouse_analytics_project_spark.catalog import Catalog
+from sql_data_warehouse_analytics_project_spark.medallion.bronze import enrich_bronze
+
+
+def stream_csv_drop_zone(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    *,
+    header: bool = True,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source CSV stream over a drop-zone directory. Streaming sources
+    require an explicit schema (no inference mid-stream)."""
+    # NB: the file source tracks seen files by (path, modification time);
+    # a file written within the same mtime tick as an already-committed
+    # batch can be skipped on restart. Real drop zones should write files
+    # atomically (tmp name + rename) — standard practice this source assumes.
+    reader = (
+        spark.readStream.schema(schema)
+        .option("header", header)
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.csv(path)
+
+
+def stream_bronze_ingest(
+    stream: DataFrame,
+    catalog: Catalog,
+    table: str,
+    *,
+    checkpoint_dir: str,
+    run_context=None,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """foreachBatch bronze sink: per micro-batch — enrich (same columnar
+    path as batch ingestion) → append → audit row. Exactly-once at the
+    batch level via the checkpoint + idempotent batch_id."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        enriched = enrich_bronze(batch_df, batch_id=f"stream-{batch_id}")
+        catalog.create_table("bronze", table, enriched.schema, medallion_metadata=False)
+        n = enriched.count()
+        catalog.append(enriched, "bronze", table)
+        # foreachBatch runs on a CLONED micro-batch session; the append
+        # refreshes only the clone's file-listing cache, so the parent
+        # session would keep serving the stale listing without this.
+        catalog.spark.catalog.refreshTable(catalog.qualified("bronze", table))
+        if run_context is not None:
+            log_id = run_context.start_process(
+                f"stream_bronze.{table}.batch_{batch_id}", target_layer="bronze"
+            )
+            run_context.end_process(log_id, "SUCCESS", rows_processed=n)
+
+    writer = stream.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    window_duration: str = "10 minutes",
+    slide_duration: str | None = None,
+    watermark: str = "30 minutes",
+    group_cols: tuple[str, ...] = ("event_type",),
+) -> DataFrame:
+    """Tumbling/sliding event-time window aggregation with a watermark.
+    Works identically on a stream (stateful, late data dropped past the
+    watermark) and on a batch DataFrame (watermark is a no-op)."""
+    win = (
+        F.window(F.col(ts_col), window_duration, slide_duration)
+        if slide_duration
+        else F.window(F.col(ts_col), window_duration)
+    )
+    src = events.withWatermark(ts_col, watermark) if events.isStreaming else events
+    return src.groupBy(win.alias("w"), *[F.col(c) for c in group_cols]).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value").alias("total_value"),
+    ).select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        *group_cols,
+        "n_events",
+        "total_value",
+    )
+
+
+def sessionized_counts(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    gap: str = "5 minutes",
+) -> DataFrame:
+    """Session windows (gap-based) per user — ``session_window`` is the
+    built-in stateful operator; in batch mode it degenerates to
+    gaps-and-islands. Output: user, session start/end, event count."""
+    src = events.withWatermark(ts_col, gap) if events.isStreaming else events
+    return (
+        src.groupBy(F.session_window(F.col(ts_col), gap).alias("s"), F.col(user_col))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col(user_col),
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "n_events",
+        )
+    )
