@@ -68,6 +68,35 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
+def synthesize_fake_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic fake-media table from any id column: dims are pure
+    functions of the id (width = 64 + id%8·32, height = 64 + id%5·48),
+    every 97th row is corrupt bytes. Exists so the multimodal plumbing can
+    be driven — and ORACLE-CHECKED, since the decode output is closed-form
+    in the id — from the driver's plain parquet tables."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def pack(ids: pd.Series) -> pd.Series:
+        return ids.map(
+            lambda i: b"CORRUPT"
+            if i % 97 == 0
+            else pack_fake_image(64 + (i % 8) * 32, 64 + (i % 5) * 48)
+        )
+
+    return df.select(F.col(id_col).alias("media_id")).select(
+        "media_id",
+        F.lit("image").alias("media_type"),
+        pack(F.col("media_id")).alias("content"),
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("duration_ms"),
+            F.lit("fake").alias("format"),
+        ).alias("meta"),
+    )
+
+
 def extract_image_features(df: DataFrame, *, decode: str = "fake") -> DataFrame:
     """Decode + feature-extract over Arrow batches (``mapInPandas``).
 

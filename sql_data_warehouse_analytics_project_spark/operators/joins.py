@@ -56,6 +56,59 @@ def broadcast_small(df: DataFrame) -> DataFrame:
     return F.broadcast(df)
 
 
+def salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    on: Sequence[str],
+    how: str = "inner",
+    *,
+    salt_buckets: int = 16,
+    salt_col: str = "_salt",
+) -> DataFrame:
+    """Skew-mitigated equi join: the skewed (fact) side gets a random salt
+    in [0, salt_buckets); the other side is replicated once per salt value
+    (explode of a literal range — a salt_buckets× blowup of the SMALLER
+    side only). Joining on (keys + salt) splits each hot key into
+    ``salt_buckets`` shuffle partitions instead of one straggler task.
+
+    AQE's skew-join splitting handles moderate skew automatically; manual
+    salting is for the pathological case (one key = 30% of a 100 TB
+    table) where even a split partition exceeds executor memory. Join
+    types: inner/left (the salted side's rows each appear exactly once —
+    salt is dropped before return)."""
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports inner/left (salted side preserved)")
+    keys = list(on)
+    s = skewed.withColumn(salt_col, (F.rand(seed=42) * salt_buckets).cast("int"))
+    o = other.withColumn(
+        salt_col,
+        F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1))),
+    )
+    return s.join(o, keys + [salt_col], how).drop(salt_col)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_columns: Sequence[str],
+    num_buckets: int = 32,
+    *,
+    sort_columns: Sequence[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist a table hash-bucketed on its join key (Spark bucketing ≈
+    the reference's physical-design indexes, ``sql/ddl.py:235-297``, but
+    for co-location instead of point lookup). Two tables bucketed on the
+    same key with the same bucket count join with ZERO shuffle — the
+    scan's output partitioning already satisfies the join's requirement.
+    That turns every repeated big-big join (fact ⋈ fact, bronze ⋈
+    current-state) from an O(data) shuffle into a local zipper."""
+    writer = df.write.mode(mode).bucketBy(num_buckets, *bucket_columns)
+    if sort_columns:
+        writer = writer.sortBy(*sort_columns)
+    writer.saveAsTable(table)
+
+
 def classify_changes(
     source: DataFrame,
     target: DataFrame,

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from sql_data_warehouse_analytics_project_spark.llm import dedup, similarity, text
+from sql_data_warehouse_analytics_project_spark.llm import dedup, multimodal, similarity, text
 from sql_data_warehouse_analytics_project_spark.queries import register
 from sql_data_warehouse_analytics_project_spark.sources.readers import load_table
 
@@ -280,6 +280,40 @@ def qd08_bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("source", text.token_count_bpe("text").alias("bpe_tokens"))
         .groupBy("source")
         .agg(F.sum("bpe_tokens").cast("bigint").alias("total_bpe_tokens"))
+    )
+
+
+@register(
+    "qd12_multimodal_features",
+    """
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 97 = 0 THEN NULL
+                ELSE CAST(64 + (doc_id % 8) * 32 AS INTEGER) END AS width,
+           CASE WHEN doc_id % 97 = 0 THEN NULL
+                ELSE CAST(64 + (doc_id % 5) * 48 AS INTEGER) END AS height,
+           CASE WHEN doc_id % 97 = 0 THEN NULL
+                ELSE round(CAST(64 + (doc_id % 8) * 32 AS DOUBLE)
+                           / (64 + (doc_id % 5) * 48), 6) END AS aspect_ratio,
+           CAST(CASE WHEN doc_id % 97 = 0 THEN 7 ELSE 12 END AS BIGINT) AS n_bytes,
+           doc_id % 97 <> 0 AS decode_ok
+    FROM documents
+    """,
+)
+def qd12_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing end-to-end through the driver contract: binary
+    media column → Arrow-batched decode/feature kernel (``mapInPandas``).
+    The fake decode is closed-form in the id, so the oracle can verify the
+    ENTIRE pipeline (schema, batching, corrupt-row flagging) exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.synthesize_fake_media(docs)
+    feats = multimodal.extract_image_features(media, decode="fake")
+    return feats.select(
+        "media_id",
+        "width",
+        "height",
+        F.round("aspect_ratio", 6).alias("aspect_ratio"),
+        F.col("n_bytes").cast("bigint").alias("n_bytes"),
+        "decode_ok",
     )
 
 

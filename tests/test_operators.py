@@ -183,3 +183,37 @@ def test_yyyymmdd_to_date(spark):
     out = df.select(yyyymmdd_to_date("d").alias("dt")).collect()
     assert out[0].dt.isoformat() == "2024-01-31"
     assert out[1].dt is None and out[2].dt is None and out[3].dt is None
+
+
+def test_salted_join_matches_plain_join(spark):
+    fact = spark.createDataFrame(
+        [Row(k=1, v=i) for i in range(50)] + [Row(k=2, v=i) for i in range(3)]
+    )
+    dim = spark.createDataFrame([Row(k=1, name="hot"), Row(k=2, name="cold")])
+    salted = joins.salted_join(fact, dim, ["k"], salt_buckets=4)
+    plain = fact.join(dim, ["k"])
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+    # left join keeps unmatched salted rows exactly once
+    fact2 = fact.union(spark.createDataFrame([Row(k=9, v=0)]))
+    left = joins.salted_join(fact2, dim, ["k"], how="left", salt_buckets=4)
+    assert left.count() == fact2.count()
+
+
+def test_write_bucketed_join_has_no_shuffle(spark):
+    spark.sql("CREATE DATABASE IF NOT EXISTS buckettest")
+    spark.sql("DROP TABLE IF EXISTS buckettest.a")
+    spark.sql("DROP TABLE IF EXISTS buckettest.b")
+    a = spark.createDataFrame([Row(k=i, va=i * 2) for i in range(100)])
+    b = spark.createDataFrame([Row(k=i, vb=i * 3) for i in range(100)])
+    joins.write_bucketed(a, "buckettest.a", ["k"], num_buckets=8)
+    joins.write_bucketed(b, "buckettest.b", ["k"], num_buckets=8)
+    # force the big-big (sort-merge) path: broadcast would win on toy data
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("buckettest.a").join(spark.table("buckettest.b"), "k")
+        plan = joined._jdf.queryExecution().executedPlan().treeString()
+        assert "Exchange" not in plan, f"bucketed join should not shuffle:\n{plan}"
+        assert joined.count() == 100
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
