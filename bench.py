@@ -32,7 +32,11 @@ def main() -> None:
     spark = get_spark("bench")
     qs = entrymod.queries()
 
-    # warm the JVM + parquet footer caches once with the cheapest query
+    # warm the JVM, codegen, and parquet footer caches once (untimed) so the
+    # first timed query doesn't absorb session startup
+    warm = qs.get("q02_topk_orders") or next(iter(qs.values()))
+    warm(spark, sf_dir).write.format("noop").mode("overwrite").save()
+
     timings: dict[str, float] = {}
     total0 = time.time()
     for name, fn in qs.items():

@@ -1,0 +1,116 @@
+"""Property-based tests (hypothesis): the write-path operators are checked
+against trivially-correct in-memory models on randomized inputs — the
+result-level testing the reference lacks entirely (SURVEY.md §5), applied
+to the operators whose bugs corrupt tables rather than query output.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from sql_data_warehouse_analytics_project_spark import dml
+from sql_data_warehouse_analytics_project_spark.operators import windows
+
+KV = st.dictionaries(st.integers(0, 20), st.integers(-100, 100), max_size=12)
+
+SET = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+
+def _df(spark, d):
+    rows = [Row(k=k, v=v) for k, v in sorted(d.items())] or [Row(k=0, v=0)]
+    df = spark.createDataFrame(rows, "k int, v int")
+    return df.limit(0) if not d else df
+
+
+@SET
+@given(target=KV, source=KV)
+def test_upsert_matches_dict_model(spark, target, source):
+    out, counts = dml.upsert(_df(spark, target), _df(spark, source), ["k"])
+    model = {**target, **source}
+    got = {r["k"]: r["v"] for r in out.select("k", "v").collect()}
+    assert got == model
+    assert counts["inserted"] == len(set(source) - set(target))
+    assert counts["updated"] == len(set(source) & set(target))
+
+
+@SET
+@given(target=KV, source=KV, bar=st.integers(-50, 50))
+def test_merge_delete_matches_model(spark, target, source, bar):
+    out, counts = dml.merge(
+        _df(spark, target),
+        _df(spark, source),
+        ["k"],
+        delete_condition=F.col("v") > bar,
+    )
+    merged = {**target, **source}
+    model = {k: v for k, v in merged.items() if not v > bar}
+    got = {r["k"]: r["v"] for r in out.select("k", "v").collect()}
+    assert got == model
+    assert counts["deleted"] == sum(1 for v in merged.values() if v > bar)
+
+
+@SET
+@given(incoming=KV, existing=KV)
+def test_changed_rows_matches_set_difference(spark, incoming, existing):
+    got = dml.changed_rows(
+        _df(spark, incoming), _df(spark, existing), ["k", "v"]
+    )
+    model = {(k, v) for k, v in incoming.items()} - {
+        (k, v) for k, v in existing.items()
+    }
+    assert {(r["k"], r["v"]) for r in got.select("k", "v").collect()} == model
+
+
+@SET
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 1000)), max_size=20, unique=True
+    )
+)
+def test_recompute_is_current_latest_wins(spark, rows):
+    if not rows:
+        return
+    df = spark.createDataFrame(
+        [Row(k=k, ts=ts) for k, ts in rows], "k int, ts long"
+    )
+    out = dml.recompute_is_current(df, ["k"], ts_column="ts").collect()
+    latest = {}
+    for k, ts in rows:
+        latest[k] = max(latest.get(k, ts), ts)
+    for r in out:
+        assert r["_is_current"] == (r["ts"] == latest[r["k"]])
+
+
+@SET
+@given(
+    vals=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(1, 400), st.integers(-50, 50)),
+        max_size=20,
+        unique_by=lambda t: (t[0], t[1]),
+    )
+)
+def test_running_totals_matches_cumsum(spark, vals):
+    if not vals:
+        return
+    df = spark.createDataFrame(
+        [Row(p=p, d=d, v=v) for p, d, v in vals], "p int, d int, v int"
+    )
+    out = windows.running_totals(df, "v", "d", ["p"]).collect()
+    by_part: dict[int, list[tuple[int, int]]] = {}
+    for p, d, v in vals:
+        by_part.setdefault(p, []).append((d, v))
+    model = {}
+    for p, dv in by_part.items():
+        acc = 0
+        for d, v in sorted(dv):
+            acc += v
+            model[(p, d)] = acc
+    for r in out:
+        assert r["running_total"] == model[(r["p"], r["d"])]
