@@ -110,8 +110,7 @@ def extract_image_features(df: DataFrame, *, decode: str = "fake") -> DataFrame:
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
-            for _, row in pdf.iterrows():
-                content = row["content"]
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
                 if decode == "real":
                     # integration point for PIL.Image.open(io.BytesIO(content))
                     raise NotImplementedError(
@@ -119,10 +118,10 @@ def extract_image_features(df: DataFrame, *, decode: str = "fake") -> DataFrame:
                     )
                 try:
                     w, h = _decode_fake(content)
-                    out.append((row["media_id"], w, h, w / h if h else None,
+                    out.append((media_id, w, h, w / h if h else None,
                                 len(content), True))
                 except Exception:  # noqa: BLE001 — corrupt media → flagged row
-                    out.append((row["media_id"], None, None, None,
+                    out.append((media_id, None, None, None,
                                 len(content) if content is not None else None, False))
             yield pd.DataFrame(
                 out, columns=["media_id", "width", "height", "aspect_ratio",
@@ -149,16 +148,16 @@ def resize_images(df: DataFrame, max_side: int, *, decode: str = "fake") -> Data
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, row in pdf.iterrows():
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
                 if decode == "real":
                     raise NotImplementedError("real resize requires PIL/opencv")
                 try:
-                    w, h = _decode_fake(row["content"])
+                    w, h = _decode_fake(content)
                     scale = min(1.0, max_side / max(w, h)) if max(w, h) else 1.0
                     nw, nh = max(int(w * scale), 1), max(int(h * scale), 1)
-                    rows.append((row["media_id"], pack_fake_image(nw, nh), nw, nh))
+                    rows.append((media_id, pack_fake_image(nw, nh), nw, nh))
                 except Exception:  # noqa: BLE001
-                    rows.append((row["media_id"], None, None, None))
+                    rows.append((media_id, None, None, None))
             yield pd.DataFrame(rows, columns=["media_id", "content", "width", "height"])
 
     return df.select("media_id", "content").mapInPandas(kernel, out_schema)

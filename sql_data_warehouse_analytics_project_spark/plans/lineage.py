@@ -48,6 +48,9 @@ def traverse(
         oriented = edges.select(F.col("dst").alias("node"), F.col("src").alias("next"))
     else:
         oriented = edges.select(F.col("src").alias("node"), F.col("dst").alias("next"))
+    # the bounded fixpoint embeds this subtree once per depth level —
+    # persist so the edge derivation (scan + distinct) computes once
+    oriented = oriented.persist()
 
     spark = lineage.sparkSession
     base = spark.createDataFrame(

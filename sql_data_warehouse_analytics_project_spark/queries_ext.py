@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from sql_data_warehouse_analytics_project_spark.functions.scalars import money
+from sql_data_warehouse_analytics_project_spark.plans import lineage
 from sql_data_warehouse_analytics_project_spark.queries import register
 from sql_data_warehouse_analytics_project_spark.sources.readers import load_table
 
@@ -230,4 +231,67 @@ def q33_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_custkey",
             F.col("o_totalprice").cast("double").alias("o_totalprice"),
         )
+    )
+
+
+@register(
+    "q34_recursive_traversal",
+    """
+    WITH RECURSIVE edges AS (
+      SELECT DISTINCT 'crm.customer_' || (c_custkey % 100) AS src,
+                      'src.nation_' || c_nationkey AS dst
+      FROM customer
+      UNION
+      SELECT DISTINCT 'src.nation_' || n_nationkey,
+                      'silver.region_' || n_regionkey
+      FROM nation
+      UNION
+      SELECT DISTINCT 'silver.region_' || r_regionkey, 'gold.world'
+      FROM region
+    ), walk AS (
+      SELECT 'gold.world' AS node, 0 AS depth, ['gold.world'] AS path
+      UNION ALL
+      SELECT e.src, w.depth + 1, list_append(w.path, e.src)
+      FROM walk w JOIN edges e ON e.dst = w.node
+      WHERE NOT list_contains(w.path, e.src) AND w.depth < 4
+    )
+    SELECT node,
+           CAST(MIN(depth) AS INTEGER) AS depth,
+           CAST(COUNT(DISTINCT array_to_string(path, '/')) AS BIGINT) AS n_paths
+    FROM walk WHERE depth > 0 GROUP BY node
+    """,
+)
+def q34_recursive_traversal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4/U3/L8 — recursive upstream traversal (reference recursive CTE
+    with ARRAY path + cycle guard, ``logs/data_lineage.py:378-435``) as the
+    engine's iterative DataFrame BFS, oracle-checked against DuckDB's real
+    WITH RECURSIVE on the same edge list. The DAG is derived from the
+    TPC-H FK structure (customer-bucket → nation → region → world), so
+    fan-out and multi-path counts are data-dependent, not hand-written."""
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    e1 = customer.select(
+        F.lit("crm").alias("source_schema"),
+        F.concat(F.lit("customer_"), F.col("c_custkey") % 100).alias("source_table"),
+        F.lit("src").alias("target_schema"),
+        F.concat(F.lit("nation_"), F.col("c_nationkey")).alias("target_table"),
+    ).distinct()
+    e2 = nation.select(
+        F.lit("src").alias("source_schema"),
+        F.concat(F.lit("nation_"), F.col("n_nationkey")).alias("source_table"),
+        F.lit("silver").alias("target_schema"),
+        F.concat(F.lit("region_"), F.col("n_regionkey")).alias("target_table"),
+    ).distinct()
+    e3 = region.select(
+        F.lit("silver").alias("source_schema"),
+        F.concat(F.lit("region_"), F.col("r_regionkey")).alias("source_table"),
+        F.lit("gold").alias("target_schema"),
+        F.lit("world").alias("target_table"),
+    ).distinct()
+    edges = e1.unionByName(e2).unionByName(e3)
+    walk = lineage.traverse(edges, "gold.world", "upstream", max_depth=4)
+    return walk.groupBy("node").agg(
+        F.min("depth").cast("int").alias("depth"),
+        F.countDistinct(F.array_join("path", "/")).alias("n_paths"),
     )

@@ -22,6 +22,17 @@ from sql_data_warehouse_analytics_project_spark.llm import dedup, multimodal, si
 from sql_data_warehouse_analytics_project_spark.queries import register
 from sql_data_warehouse_analytics_project_spark.sources.readers import load_table
 
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with the tokenizer hot path spread over all cores: the
+    test corpus arrives as ONE file split, which would run every
+    interpreted string-expression pipeline on a single core; a round-robin
+    repartition of the raw text (~KBs/row) is a trivial shuffle that buys
+    full parallelism. At 100 TB the input already has thousands of splits
+    and this is a no-op cost-wise."""
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    return load_table(spark, sf_dir, "documents").repartition(nparts)
+
+
 # DuckDB-side shared fragments (tokenizer twin of text.tokens)
 _TOKS = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
 _FP = "sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
@@ -46,7 +57,7 @@ _COS = f"{_DOT.format(a='{a}', b='{b}')} / ({_NORM.format(v='{a}')} * {_NORM.for
 )
 def qd01_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: keep lowest doc_id per normalized-content fingerprint."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return dedup.exact_dedup(docs, "doc_id").select("doc_id", "lang", "source")
 
 
@@ -78,7 +89,7 @@ def qd01_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def qd02_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs: 3-gram shingle Jaccard ≥ 0.8 via inverted index."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents")  # repartitioned internally by key
     return dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
 
 
@@ -98,7 +109,7 @@ def qd02_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def qd03_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting rolled up per source."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return (
         docs.select(
             "source",
@@ -154,7 +165,7 @@ def qd04_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring rolled up per source (avg + high-quality count).
     Recomputed from unrounded components so AVG matches the oracle exactly
     (quality_features rounds its per-doc output columns for display)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     q2 = docs.select(
         "source",
         F.length("text").alias("n_chars"),
@@ -212,7 +223,7 @@ def qd04_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def qd05_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram/marker-word language ID: labeled × predicted confusion counts."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return (
         docs.select("lang", text.detect_language("text").alias("predicted_lang"))
         .groupBy("lang", "predicted_lang")
@@ -275,7 +286,7 @@ def qd07_embedding_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def qd08_bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish token estimate (subword proxy) rolled up per source."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return (
         docs.select("source", text.token_count_bpe("text").alias("bpe_tokens"))
         .groupBy("source")
@@ -304,7 +315,7 @@ def qd12_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media column → Arrow-batched decode/feature kernel (``mapInPandas``).
     The fake decode is closed-form in the id, so the oracle can verify the
     ENTIRE pipeline (schema, batching, corrupt-row flagging) exactly."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     media = multimodal.synthesize_fake_media(docs)
     feats = multimodal.extract_image_features(media, decode="fake")
     return feats.select(
@@ -325,14 +336,14 @@ def qd09_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs (the 100 TB dedup path). Correctness is
     gated in tests/test_llm.py: recall vs the exact qd02 pairs must be 100%
     at this data scale."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents")  # repartitioned internally by key
     return dedup.minhash_dedup_pairs(docs, "doc_id", threshold=0.8)
 
 
 @register("qd10_simhash_pairs")
 def qd10_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (Hamming ≤ 3 on 64-bit signatures)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents")  # repartitioned internally by key
     return dedup.simhash_pairs(docs, "doc_id", max_hamming=3)
 
 

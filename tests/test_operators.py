@@ -203,6 +203,13 @@ def test_write_bucketed_join_has_no_shuffle(spark):
     spark.sql("CREATE DATABASE IF NOT EXISTS buckettest")
     spark.sql("DROP TABLE IF EXISTS buckettest.a")
     spark.sql("DROP TABLE IF EXISTS buckettest.b")
+    # the metastore is per-session: files from a previous test run survive
+    # DROP TABLE IF EXISTS, so clear the physical location too
+    import shutil
+    from urllib.parse import urlparse
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    shutil.rmtree(f"{wh}/buckettest.db", ignore_errors=True)
     a = spark.createDataFrame([Row(k=i, va=i * 2) for i in range(100)])
     b = spark.createDataFrame([Row(k=i, vb=i * 3) for i in range(100)])
     joins.write_bucketed(a, "buckettest.a", ["k"], num_buckets=8)
