@@ -224,3 +224,75 @@ def test_write_bucketed_join_has_no_shuffle(spark):
         assert joined.count() == 100
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_analyze_medallion_layer_filters(spark):
+    import datetime as _dt
+
+    df = spark.createDataFrame(
+        [
+            Row(v=1, created_at=_dt.datetime(2024, 1, 1, 10), source_system="crm", batch_id="b1"),
+            Row(v=2, created_at=_dt.datetime(2024, 1, 2, 10), source_system="crm", batch_id="b2"),
+            Row(v=3, created_at=_dt.datetime(2024, 1, 2, 12), source_system="erp", batch_id="b2"),
+        ]
+    )
+    out = relational.analyze_medallion_layer(
+        df, business_date=_dt.date(2024, 1, 2), source_system="crm"
+    ).collect()
+    assert [r.v for r in out] == [2]
+    latest_first = relational.analyze_medallion_layer(df).collect()
+    assert [r.v for r in latest_first] == [3, 2, 1]
+
+
+def test_validate_rules(spark):
+    from sql_data_warehouse_analytics_project_spark.operators import validate as V
+
+    df = spark.createDataFrame(
+        [
+            Row(id=1, email="a@x.com", score=5),
+            Row(id=1, email=None, score=150),
+            Row(id=2, email="bad", score=50),
+        ]
+    )
+    rules = [
+        {"rule": "not_null", "column": "email", "severity": "ERROR"},
+        {"rule": "unique", "columns": ["id"], "severity": "ERROR"},
+        {"rule": "range", "column": "score", "min": 0, "max": 100, "severity": "WARNING"},
+        {"rule": "regex", "column": "email", "pattern": r"^[^@]+@[^@]+\.[^@]+$"},
+        {"rule": "data_type", "column": "id", "expected": "bigint"},
+        {"rule": "data_type", "column": "email", "expected": "int"},
+    ]
+    out = {r.rule_name: r for r in V.validate(df, rules).collect()}
+    assert out["not_null_email"].violation_count == 1
+    assert out["unique_id"].violation_count == 1
+    assert out["range_score"].violation_count == 1
+    assert out["range_score"].severity == "WARNING"
+    assert out["regex_email"].violation_count == 1
+    assert out["data_type_id"].passed
+    assert not out["data_type_email"].passed
+
+    bad = {r.id: set(r.failed_rules) for r in V.violating_rows(df, rules).collect()}
+    assert bad[1] == {"not_null_email", "range_score"}
+    assert bad[2] == {"regex_email"}
+
+
+def test_validate_and_log_records_errors(spark, tmp_path):
+    from sql_data_warehouse_analytics_project_spark.catalog import Catalog
+    from sql_data_warehouse_analytics_project_spark.operators import validate as V
+    from sql_data_warehouse_analytics_project_spark.ops.context import RunContext
+
+    cat = Catalog(spark, prefix="valtest_")
+    cat.drop_layers()
+    cat.create_layers()
+    ctx = RunContext(cat)
+    df = spark.createDataFrame([Row(id=1), Row(id=None)])
+    summary = V.validate_and_log(
+        df,
+        [{"rule": "not_null", "column": "id", "severity": "ERROR"}],
+        ctx,
+        table_name="bronze.t",
+    )
+    assert summary.filter("NOT passed").count() == 1
+    errs = ctx.get_unresolved_errors().collect()
+    assert len(errs) == 1 and "not_null_id" in errs[0].error_message
+    cat.drop_layers()
