@@ -117,3 +117,40 @@ def test_gold_star_schema(cat, loaded):
         F.col("product_key").isNotNull() & F.col("customer_key").isNotNull()
     ).count()
     assert resolved > facts.count() * 0.99
+
+
+def test_warehouse_orchestrator_end_to_end(spark):
+    """Full --setup → --bronze → --silver → --gold run with the audit/
+    lineage/metric side effects the reference verifies in its workflow
+    tests (``test_bronze.py:506-554``): every stage leaves a SUCCESS
+    process_log row, lineage edges exist for each materialization, and
+    the headline rows/sec metric is recorded."""
+    from sql_data_warehouse_analytics_project_spark.pipeline import Warehouse
+
+    wh = Warehouse(spark, prefix="e2e_")
+    try:
+        results = wh.run_all(CRM_DIR, ERP_DIR)
+        assert len(results["bronze"]) == 6
+        assert results["gold"]["fact_sales"] == 60398
+
+        ctx = wh.ctx
+        hist = {r.process_name: r for r in ctx.process_history().collect()}
+        for stage in ("bronze_ingestion", "silver_transform", "gold_build"):
+            assert hist[stage].status == "SUCCESS", stage
+            assert hist[stage].end_time is not None
+
+        edges = ctx.table("data_lineage")
+        # source→bronze (6 files), bronze→silver, silver→gold edges
+        assert edges.filter(F.col("target_schema").contains("bronze")).count() >= 6
+        assert edges.filter(F.col("target_schema").contains("silver")).count() >= 6
+        assert edges.filter(F.col("target_schema").contains("gold")).count() >= 3
+
+        metrics = ctx.table("performance_metrics")
+        assert (
+            metrics.filter(
+                F.col("metric_name") == "bronze_ingestion.rows_per_second"
+            ).count()
+            == 1
+        )
+    finally:
+        wh.catalog.drop_layers()
