@@ -1,0 +1,77 @@
+"""Physical-plan assertions for the headline queries: the scale
+properties the engine is designed around (filter pushdown, column
+pruning, broadcast dims, no stray shuffles) are checked in the plan
+text so a regression in plan shape fails CI, not just a benchmark.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entry
+
+
+@pytest.fixture(scope="module")
+def plans(spark, sf_dir):
+    qs = entry.queries()
+
+    def plan_of(name: str) -> str:
+        df = qs[name](spark, sf_dir)
+        return df._jdf.queryExecution().executedPlan().treeString()
+
+    return plan_of
+
+
+def test_filter_pushdown_and_column_pruning(plans):
+    p = plans("q01_filter_project")
+    # predicate reaches the parquet scan…
+    assert "PushedFilters: [" in p and "c_mktsegment" in p.split("PushedFilters")[1]
+    # …and only the referenced columns are read
+    read_schema = p.split("ReadSchema:")[1].splitlines()[0]
+    assert "c_comment" not in read_schema and "c_address" not in read_schema
+
+
+def test_star_join_broadcasts_dimensions(plans):
+    p = plans("q09_star_join")
+    assert "BroadcastHashJoin" in p
+    # the fact table (lineitem) must NOT be on a broadcast side
+    for chunk in p.split("BroadcastExchange")[1:]:
+        head = chunk[:2000]
+        assert "lineitem" not in head, "fact side was broadcast"
+
+
+def test_agg_uses_partial_aggregation(plans):
+    p = plans("q03_agg_having")
+    assert "partial_" in p, "map-side combine missing"
+
+
+def test_topk_plans_take_ordered(plans):
+    p = plans("q02_topk_orders")
+    assert "TakeOrderedAndProject" in p
+
+
+def test_theta_join_is_broadcast_nested_loop(plans):
+    p = plans("q30_theta_band_join")
+    assert "BroadcastNestedLoopJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_semi_anti_join_types(plans):
+    assert "LeftAnti" in plans("q10_anti_join")
+    assert "LeftSemi" in plans("q19_in_subquery")
+
+
+def test_whole_stage_codegen_active(spark, sf_dir):
+    df = entry.queries()["q07_monthly_revenue"](spark, sf_dir)
+    df.collect()  # AQE: codegen stages exist only in the FINAL plan
+    p = df._jdf.queryExecution().executedPlan().treeString()
+    assert "== Final Plan ==" in p
+    # '*(N)' prefixes mark WholeStageCodegen spans; both agg stages must be in one
+    final = p.split("== Initial Plan ==")[0]
+    assert "*(1)" in final and "*(2)" in final
+
+
+def test_entry_flagship_broadcasts_dims(spark):
+    df = entry.entry(spark)
+    p = df._jdf.queryExecution().executedPlan().treeString()
+    assert "BroadcastHashJoin" in p
