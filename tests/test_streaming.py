@@ -143,3 +143,57 @@ def test_windowed_counts_stream_batch_parity(spark, dropzone):
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_stateful_user_counters_across_batches(spark, dropzone):
+    """applyInPandasWithState: state must persist across micro-batches —
+    a user appearing in two files ends with the SUM of both, and the
+    stream's final totals equal the batch twin's aggregation."""
+    import tempfile
+
+    from sql_data_warehouse_analytics_project_spark.streaming.stateful import (
+        batch_user_counters,
+        stateful_user_counters,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    with open(os.path.join(dropzone, "e1.csv"), "w") as f:
+        f.write("user_id,value\n1,10.0\n1,5.0\n2,7.0\n")
+    with open(os.path.join(dropzone, "e2.csv"), "w") as f:
+        f.write("user_id,value\n1,2.5\n3,1.0\n")
+
+    ckpt = tempfile.mkdtemp(prefix="ckpt_state_")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("header", True)
+        .option("maxFilesPerTrigger", 1)  # force ≥2 micro-batches
+        .csv(dropzone)
+    )
+    out = stateful_user_counters(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("state_counters")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    rows = spark.sql(
+        "SELECT user_id, max(n_events) n, max(total_value) t"
+        " FROM state_counters GROUP BY user_id"
+    ).collect()
+    got = {r.user_id: (r.n, r.t) for r in rows}
+    batch = {
+        r.user_id: (r.n_events, r.total_value)
+        for r in batch_user_counters(
+            spark.read.schema(schema).option("header", True).csv(dropzone)
+        ).collect()
+    }
+    assert got == batch == {1: (3, 17.5), 2: (1, 7.0), 3: (1, 1.0)}
