@@ -1,0 +1,61 @@
+"""CLI entry point (maps reference ``main.py``: --setup / --bronze /
+--silver / --gold / --all, ``main.py:787-813``). The heavy lifting lives
+in ``pipeline.Warehouse``; this is argument parsing plus exit codes.
+
+    python -m sql_data_warehouse_analytics_project_spark --setup
+    python -m sql_data_warehouse_analytics_project_spark --all \
+        --crm-dir datasets/source_crm --erp-dir datasets/source_erp
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="sql_data_warehouse_analytics_project_spark")
+    ap.add_argument("--setup", action="store_true", help="create layer databases + logs tables")
+    ap.add_argument("--bronze", action="store_true", help="ingest source CSVs to bronze")
+    ap.add_argument("--silver", action="store_true", help="cleanse bronze → silver")
+    ap.add_argument("--gold", action="store_true", help="build the gold star schema")
+    ap.add_argument("--all", action="store_true", help="setup + bronze + silver + gold")
+    ap.add_argument("--crm-dir", default=None)
+    ap.add_argument("--erp-dir", default=None)
+    ap.add_argument("--prefix", default="", help="layer database prefix (isolation)")
+    args = ap.parse_args(argv)
+
+    if not any((args.setup, args.bronze, args.silver, args.gold, args.all)):
+        ap.print_help()
+        return 2
+
+    from sql_data_warehouse_analytics_project_spark.pipeline import Warehouse
+    from sql_data_warehouse_analytics_project_spark.session import get_spark
+
+    wh = Warehouse(get_spark("warehouse-cli"), prefix=args.prefix)
+    results: dict = {}
+    try:
+        if args.all:
+            if not (args.crm_dir and args.erp_dir):
+                ap.error("--all requires --crm-dir and --erp-dir")
+            results = wh.run_all(args.crm_dir, args.erp_dir)
+        else:
+            wh.setup()
+            if args.bronze:
+                if not (args.crm_dir and args.erp_dir):
+                    ap.error("--bronze requires --crm-dir and --erp-dir")
+                results["bronze"] = wh.run_bronze(args.crm_dir, args.erp_dir)
+            if args.silver:
+                results["silver"] = wh.run_silver()
+            if args.gold:
+                results["gold"] = wh.run_gold()
+    except Exception as e:  # noqa: BLE001 — CLI boundary: report + exit code
+        print(json.dumps({"status": "FAILED", "error": str(e)}), file=sys.stderr)
+        return 1
+    print(json.dumps({"status": "SUCCESS", "results": results}, default=str))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -154,3 +154,14 @@ def test_warehouse_orchestrator_end_to_end(spark):
         )
     finally:
         wh.catalog.drop_layers()
+
+
+def test_cli_setup(spark):
+    from sql_data_warehouse_analytics_project_spark.__main__ import main
+
+    assert main(["--setup", "--prefix", "cli_"]) == 0
+    assert spark.catalog.databaseExists("cli_bronze")
+    assert spark.catalog.databaseExists("cli_logs")
+    from sql_data_warehouse_analytics_project_spark.catalog import Catalog
+
+    Catalog(spark, prefix="cli_").drop_layers()

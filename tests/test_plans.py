@@ -75,3 +75,27 @@ def test_entry_flagship_broadcasts_dims(spark):
     df = entry.entry(spark)
     p = df._jdf.queryExecution().executedPlan().treeString()
     assert "BroadcastHashJoin" in p
+
+
+def test_partitioned_table_prunes_partitions(spark):
+    """P4's pruning claim: a table partitioned on the derived business
+    date must show PartitionFilters (not a full scan + post-filter) when
+    queried by that date."""
+    import shutil
+    from urllib.parse import urlparse
+
+    from pyspark.sql import Row
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS prunetest")
+    spark.sql("DROP TABLE IF EXISTS prunetest.t")
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    shutil.rmtree(f"{wh}/prunetest.db", ignore_errors=True)
+    df = spark.createDataFrame(
+        [Row(v=i, business_date=f"2024-01-{(i % 3) + 1:02d}") for i in range(30)]
+    )
+    df.write.partitionBy("business_date").saveAsTable("prunetest.t")
+    q = spark.table("prunetest.t").filter("business_date = '2024-01-02'")
+    p = q._jdf.queryExecution().executedPlan().treeString()
+    assert "PartitionFilters: [" in p
+    assert "business_date" in p.split("PartitionFilters")[1].split("]")[0]
+    assert q.count() == 10
