@@ -21,6 +21,7 @@ Implementation notes:
 from __future__ import annotations
 
 import itertools
+import threading
 import time
 import traceback
 from contextlib import contextmanager
@@ -45,6 +46,10 @@ class RunContext:
         self.catalog = catalog
         self.spark = catalog.spark
         self.created_by = created_by
+        # parallel loaders (bronze.load_source_system) log from worker
+        # threads; appends to one parquet table share a commit-protocol
+        # staging dir, so same-table writes must not interleave
+        self._write_lock = threading.Lock()
         self._ensure_tables()
 
     def _ensure_tables(self) -> None:
@@ -54,7 +59,8 @@ class RunContext:
     def _append(self, table: str, row: dict) -> None:
         schema = schemas.LOGS_TABLES[table]
         df = self.spark.createDataFrame([row], schema)
-        self.catalog.append(df, "logs", table)
+        with self._write_lock:
+            self.catalog.append(df, "logs", table)
 
     def table(self, name: str) -> DataFrame:
         return self.spark.table(self.catalog.qualified("logs", name))
