@@ -295,3 +295,129 @@ def q34_recursive_traversal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("depth").cast("int").alias("depth"),
         F.countDistinct(F.array_join("path", "/")).alias("n_paths"),
     )
+
+
+@register(
+    "q35_grouping_sets",
+    """
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+           o_orderstatus,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           CAST(GROUPING(order_year) * 2 + GROUPING(o_orderstatus) AS INTEGER)
+             AS grouping_level
+    FROM orders
+    GROUP BY GROUPING SETS ((order_year, o_orderstatus), (o_orderstatus), ())
+    """,
+)
+def q35_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (arbitrary combos, unlike rollup/cube's
+    fixed lattice) + grouping_id disambiguation of the NULL rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    orders.select(
+        F.year("o_orderdate").alias("order_year"),
+        "o_orderstatus",
+        money("o_totalprice").alias("v"),
+    ).createOrReplaceTempView("_q35")
+    return spark.sql(
+        """
+        SELECT order_year, o_orderstatus,
+               CAST(SUM(v) AS DOUBLE) AS revenue,
+               CAST(GROUPING(order_year) * 2 + GROUPING(o_orderstatus) AS INT)
+                 AS grouping_level
+        FROM _q35
+        GROUP BY GROUPING SETS ((order_year, o_orderstatus), (o_orderstatus), ())
+        """
+    )
+
+
+@register(
+    "q36_window_navigation",
+    """
+    SELECT o_orderkey,
+           CAST(ntile(4) OVER w AS INTEGER) AS price_quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume,
+           CAST(first_value(o_orderkey) OVER w AS BIGINT) AS cheapest_key,
+           CAST(last_value(o_orderkey) OVER
+                (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS BIGINT) AS priciest_key
+    FROM orders
+    WHERE o_orderkey % 50 = 0
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def q36_window_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 breadth — ntile/percent_rank/cume_dist/first_value/last_value
+    (last_value needs the full-partition frame; the default frame stops at
+    CURRENT ROW — a classic window gotcha, asserted here on both engines).
+    Total order via the (price, key) tie-break keeps ntile deterministic."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return orders.filter(F.col("o_orderkey") % 50 == 0).select(
+        "o_orderkey",
+        F.ntile(4).over(w).alias("price_quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.first("o_orderkey").over(w).alias("cheapest_key"),
+        F.last("o_orderkey").over(wfull).alias("priciest_key"),
+    )
+
+
+@register(
+    "q37_unpivot",
+    """
+    WITH wide AS (
+      SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+             CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS fulfilled,
+             CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS open_,
+             CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS partial
+      FROM orders GROUP BY order_year
+    )
+    SELECT order_year, status, n_orders
+    FROM wide
+    UNPIVOT (n_orders FOR status IN (fulfilled, open_, partial))
+    """,
+)
+def q37_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8's melt direction — wide→tall unpivot (Spark ``stack``), the
+    inverse of q05's pivot."""
+    orders = load_table(spark, sf_dir, "orders")
+    wide = orders.groupBy(F.year("o_orderdate").alias("order_year")).agg(
+        F.sum((F.col("o_orderstatus") == "F").cast("long")).alias("fulfilled"),
+        F.sum((F.col("o_orderstatus") == "O").cast("long")).alias("open_"),
+        F.sum((F.col("o_orderstatus") == "P").cast("long")).alias("partial"),
+    )
+    return wide.select(
+        "order_year",
+        F.expr(
+            "stack(3, 'fulfilled', fulfilled, 'open_', open_, 'partial', partial)"
+            " as (status, n_orders)"
+        ),
+    )
+
+
+@register(
+    "q38_lateral_explode",
+    """
+    SELECT p_partkey, part_word,
+           CAST(length(part_word) AS INTEGER) AS word_len
+    FROM (SELECT p_partkey, unnest(string_split(p_name, ' ')) AS part_word
+          FROM part WHERE p_partkey % 200 = 0)
+    WHERE part_word <> ''
+    """,
+)
+def q38_lateral_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL VIEW / explode — one row per array element (the §2.8 array
+    surface in generator position; DuckDB twin is unnest)."""
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.filter(F.col("p_partkey") % 200 == 0)
+        .select(
+            "p_partkey",
+            F.explode(F.split("p_name", " ")).alias("part_word"),
+        )
+        .filter(F.col("part_word") != "")
+        .withColumn("word_len", F.length("part_word").cast("int"))
+    )
