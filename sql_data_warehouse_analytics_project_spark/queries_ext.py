@@ -421,3 +421,35 @@ def q38_lateral_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("part_word") != "")
         .withColumn("word_len", F.length("part_word").cast("int"))
     )
+
+
+@register(
+    "q39_incremental_batch",
+    """
+    SELECT o_orderkey, o_orderdate,
+           CAST(o_totalprice AS DOUBLE) AS o_totalprice
+    FROM orders
+    WHERE o_orderdate > DATE '1997-06-30'
+    ORDER BY o_orderdate, o_orderkey
+    LIMIT 1000
+    """,
+)
+def q39_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M5/O5 — incremental high-watermark load slice: watermark filter
+    (pushes to the scan; partition pruning when the table is partitioned
+    on the watermark date) + deterministic ORDER BY with a key tie-break
+    + LIMIT batch. The tie-break matters: LIMIT under a non-total order
+    is nondeterministic distributed (SURVEY.md §7.2 risk 4)."""
+    from sql_data_warehouse_analytics_project_spark import dml
+
+    orders = load_table(spark, sf_dir, "orders")
+    batch = dml.incremental_batch(orders, "o_orderdate", "1997-06-30")
+    return (
+        batch.orderBy("o_orderdate", "o_orderkey")
+        .limit(1000)
+        .select(
+            "o_orderkey",
+            "o_orderdate",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        )
+    )
