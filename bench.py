@@ -38,8 +38,11 @@ def main() -> None:
     # spin-up, JIT warmup — which at real scale amortize to nothing, so the
     # steady-state number is the one that extrapolates. The cold first-pass
     # total is reported alongside for transparency.
+    n_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
+    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "420"))
+    start = time.time()
     passes: list[dict[str, float]] = []
-    for _ in range(2):
+    for _ in range(max(n_passes, 1)):
         timings: dict[str, float] = {}
         for name, fn in qs.items():
             t0 = time.time()
@@ -47,6 +50,9 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
             timings[name] = round(time.time() - t0, 3)
         passes.append(timings)
+        # never let a repeat pass push us past the harness's patience
+        if time.time() - start > budget_s / 2:
+            break
 
     best = {name: min(p[name] for p in passes) for name in qs}
     total = round(sum(best.values()), 3)
@@ -57,7 +63,7 @@ def main() -> None:
     ingest_rows_per_sec = None
     crm = "/root/reference/datasets/source_crm"
     erp = "/root/reference/datasets/source_erp"
-    if os.path.isdir(crm) and os.path.isdir(erp):
+    if os.path.isdir(crm) and os.path.isdir(erp) and time.time() - start < budget_s:
         try:
             from sql_data_warehouse_analytics_project_spark.catalog import Catalog
             from sql_data_warehouse_analytics_project_spark.medallion import bronze
