@@ -64,12 +64,27 @@ def _member_of(words: tuple[str, ...]):
 
 
 def lang_scores(text: str | Column) -> dict[str, Column]:
-    """Occurrence count of each language's marker words (duplicates count)."""
-    toks = tokens(text)
-    return {
-        lang: F.size(F.filter(toks, _member_of(words)))
-        for lang, words in LANG_MARKERS.items()
-    }
+    """Occurrence count of each language's marker words (duplicates count).
+
+    Latin-script languages score on tokens; zh scores by counting marker
+    CHARACTERS in the raw text — the ASCII tokenizer treats CJK codepoints
+    as separators, so token-based zh markers could never match (a defect
+    surfaced by the unicode edge-case tests)."""
+    c = F.col(text) if isinstance(text, str) else text
+    toks = tokens(c)
+    scores: dict[str, Column] = {}
+    for lang, words in LANG_MARKERS.items():
+        if lang == "zh":
+            scores[lang] = sum(
+                [
+                    F.length(c) - F.length(F.regexp_replace(c, w, ""))
+                    for w in words
+                ],
+                F.lit(0),
+            )
+        else:
+            scores[lang] = F.size(F.filter(toks, _member_of(words)))
+    return scores
 
 
 def detect_language(text: str | Column) -> Column:

@@ -205,7 +205,8 @@ def qd04_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
              len(list_filter({_TOKS}, t -> list_contains(['el','la','de','que','y','en','un','es','se','no'], t))) AS s_es,
              len(list_filter({_TOKS}, t -> list_contains(['der','die','und','das','ist','ein','nicht','mit','sich','auf'], t))) AS s_de,
              len(list_filter({_TOKS}, t -> list_contains(['le','la','les','de','et','un','est','pour','que','dans'], t))) AS s_fr,
-             len(list_filter({_TOKS}, t -> list_contains(['的','是','了','在','我','有','和','不','人','这'], t))) AS s_zh
+             list_sum(list_transform(['的','是','了','在','我','有','和','不','人','这'],
+                  m -> length(text) - length(replace(text, m, '')))) AS s_zh
       FROM documents
     ), pred AS (
       SELECT lang,
