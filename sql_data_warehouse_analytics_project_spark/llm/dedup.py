@@ -167,6 +167,39 @@ def minhash_signatures(
     )
 
 
+def minhash_signatures_portable(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    num_hashes: int = 8,
+    n: int = 3,
+) -> DataFrame:
+    """MinHash signatures from md5-derived 60-bit ints — slower than the
+    xxhash64 production path (``minhash_signatures``) but computable
+    bit-identically in any engine with md5, so the DuckDB oracle can check
+    the MinHash math end-to-end (the xxhash64 path has no SQL twin and is
+    only recall-gated). Seed i = suffix ``#i`` on the shingle."""
+    sh = df.select(
+        F.col(id_col).alias("doc"), F.explode(shingles(text_col, n)).alias("s")
+    )
+    mins = sh.groupBy("doc").agg(
+        *[
+            F.min(
+                F.conv(
+                    F.substring(F.md5(F.concat(F.col("s"), F.lit(f"#{i}"))), 1, 15),
+                    16,
+                    10,
+                ).cast("long")
+            ).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    return mins.select(
+        F.col("doc").alias(id_col),
+        F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("minhash_sig"),
+    )
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     id_col: str,

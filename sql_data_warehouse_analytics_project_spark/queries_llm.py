@@ -8,9 +8,11 @@ Shared determinism contracts with the DuckDB oracles:
 - fingerprint: sha256 of whitespace-collapsed lowercase text
 - cosine: element-wise double math; verified BIT-EXACT between Spark
   ``aggregate``/``zip_with`` and DuckDB ``list_sum``/``list_transform``
-- MinHash/SimHash/LSH use Spark's xxhash64 (no DuckDB twin) → registered
-  WITHOUT oracles; their correctness gates are recall tests vs the exact
-  operators in tests/test_llm.py.
+- MinHash/SimHash/LSH production paths use Spark's xxhash64 (no DuckDB
+  twin) → registered WITHOUT oracles; their correctness gates are recall
+  tests vs the exact operators in tests/test_llm.py. The MinHash *math*
+  (shingling, seeding, per-seed min) IS oracle-checked through the
+  md5-based portable variant (qd13).
 """
 
 from __future__ import annotations
@@ -327,6 +329,35 @@ def qd12_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_bytes").cast("bigint").alias("n_bytes"),
         "decode_ok",
     )
+
+
+@register(
+    "qd13_minhash_portable",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS t FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t)-1)]) AS shingles
+      FROM toks WHERE len(t) >= 3
+    ), ex AS (
+      SELECT doc_id, unnest(shingles) AS s FROM sh
+    )
+    SELECT doc_id,
+           [{", ".join(
+               f"CAST(MIN(CAST(concat('0x', substr(md5(s || '#{i}'), 1, 15)) AS UBIGINT)) AS BIGINT)"
+               for i in range(8)
+           )}] AS minhash_sig
+    FROM ex GROUP BY doc_id
+    """,
+)
+def qd13_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures via md5-derived ints — the portable twin of the
+    xxhash64 production path, letting the oracle verify the MinHash math
+    (shingling, seeding, per-seed min) bit-exactly. Docs with fewer than
+    3 tokens have no shingles and are absent on both sides."""
+    docs = _docs(spark, sf_dir)
+    return dedup.minhash_signatures_portable(docs, "doc_id", num_hashes=8)
 
 
 # -- xxhash64-based operators: no SQL twin → rows-only driver check ---------
