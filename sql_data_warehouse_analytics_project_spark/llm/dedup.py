@@ -200,6 +200,45 @@ def minhash_signatures_portable(
     )
 
 
+def simhash_portable(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    num_bits: int = 16,
+) -> DataFrame:
+    """SimHash from md5-derived token hashes (portable twin of ``simhash``,
+    same rationale as ``minhash_signatures_portable``): per token,
+    h = first 60 bits of md5; bit j of the signature is the sign of
+    Σ±1 over tokens for h's bit j. Bounded to ``num_bits`` so the oracle
+    SQL stays readable."""
+    tok = df.select(
+        F.col(id_col).alias("doc"), F.explode(tokens(text_col)).alias("t")
+    ).select(
+        "doc",
+        F.conv(F.substring(F.md5("t"), 1, 15), 16, 10).cast("long").alias("h"),
+    )
+    h = F.col("h")
+    sums = tok.groupBy("doc").agg(
+        F.count(F.lit(1)).alias("n_"),
+        *[
+            F.sum(F.shiftright(h, j).bitwiseAND(F.lit(1))).alias(f"b{j}")
+            for j in range(num_bits)
+        ],
+    )
+    return sums.select(
+        F.col("doc").alias(id_col),
+        sum(
+            [
+                F.when(F.col(f"b{j}") * 2 > F.col("n_"), F.lit(1 << j)).otherwise(0)
+                for j in range(num_bits)
+            ],
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("simhash"),
+    )
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     id_col: str,

@@ -10,9 +10,9 @@ Shared determinism contracts with the DuckDB oracles:
   ``aggregate``/``zip_with`` and DuckDB ``list_sum``/``list_transform``
 - MinHash/SimHash/LSH production paths use Spark's xxhash64 (no DuckDB
   twin) → registered WITHOUT oracles; their correctness gates are recall
-  tests vs the exact operators in tests/test_llm.py. The MinHash *math*
-  (shingling, seeding, per-seed min) IS oracle-checked through the
-  md5-based portable variant (qd13).
+  tests vs the exact operators in tests/test_llm.py. The MinHash and SimHash
+  *math* IS oracle-checked through md5-based portable variants
+  (qd13/qd14).
 """
 
 from __future__ import annotations
@@ -358,6 +358,28 @@ def qd13_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     3 tokens have no shingles and are absent on both sides."""
     docs = _docs(spark, sf_dir)
     return dedup.minhash_signatures_portable(docs, "doc_id", num_hashes=8)
+
+
+@register(
+    "qd14_simhash_portable",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKS}) AS t FROM documents
+    ), h AS (
+      SELECT doc_id,
+             CAST(CAST(concat('0x', substr(md5(t), 1, 15)) AS UBIGINT) AS BIGINT) AS h
+      FROM tok
+    )
+    SELECT doc_id,
+           CAST((CASE WHEN 2 * SUM((h >> 0) & 1) > COUNT(*) THEN 1 ELSE 0 END) + (CASE WHEN 2 * SUM((h >> 1) & 1) > COUNT(*) THEN 2 ELSE 0 END) + (CASE WHEN 2 * SUM((h >> 2) & 1) > COUNT(*) THEN 4 ELSE 0 END) + (CASE WHEN 2 * SUM((h >> 3) & 1) > COUNT(*) THEN 8 ELSE 0 END) + (CASE WHEN 2 * SUM((h >> 4) & 1) > COUNT(*) THEN 16 ELSE 0 END) + (CASE WHEN 2 * SUM((h >> 5) & 1) > COUNT(*) THEN 32 ELSE 0 END) + (CASE WHEN 2 * SUM((h >> 6) & 1) > COUNT(*) THEN 64 ELSE 0 END) + (CASE WHEN 2 * SUM((h >> 7) & 1) > COUNT(*) THEN 128 ELSE 0 END) + (CASE WHEN 2 * SUM((h >> 8) & 1) > COUNT(*) THEN 256 ELSE 0 END) + (CASE WHEN 2 * SUM((h >> 9) & 1) > COUNT(*) THEN 512 ELSE 0 END) + (CASE WHEN 2 * SUM((h >> 10) & 1) > COUNT(*) THEN 1024 ELSE 0 END) + (CASE WHEN 2 * SUM((h >> 11) & 1) > COUNT(*) THEN 2048 ELSE 0 END) + (CASE WHEN 2 * SUM((h >> 12) & 1) > COUNT(*) THEN 4096 ELSE 0 END) + (CASE WHEN 2 * SUM((h >> 13) & 1) > COUNT(*) THEN 8192 ELSE 0 END) + (CASE WHEN 2 * SUM((h >> 14) & 1) > COUNT(*) THEN 16384 ELSE 0 END) + (CASE WHEN 2 * SUM((h >> 15) & 1) > COUNT(*) THEN 32768 ELSE 0 END) AS BIGINT) AS simhash
+    FROM h GROUP BY doc_id
+    """,
+)
+def qd14_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash math oracle-checked via md5-derived token hashes (16-bit
+    signature; the xxhash64 64-bit production path is qd10)."""
+    docs = _docs(spark, sf_dir)
+    return dedup.simhash_portable(docs, "doc_id", num_bits=16)
 
 
 # -- xxhash64-based operators: no SQL twin → rows-only driver check ---------
