@@ -98,7 +98,6 @@ def validate(df: DataFrame, rules: Sequence[Mapping[str, Any]]) -> DataFrame:
             ).withColumn("passed", F.col("violation_count") == 0)
         )
     if schema_rows:
-        total = parts[0].select("total_rows").limit(1) if parts else None
         sdf = spark.createDataFrame(
             schema_rows,
             "rule_name string, rule_type string, severity string,"
