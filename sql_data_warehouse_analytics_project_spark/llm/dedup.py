@@ -100,11 +100,15 @@ def ngram_jaccard_pairs(
     would otherwise create quadratic candidate blowup (standard trick; at
     scale prefer MinHash banding below).
 
-    The index is persisted: four downstream consumers (sizes, hot-shingle
-    stats, both join sides) would otherwise re-run the interpreted
-    tokenize/shingle expression pipeline four times — the dominant cost.
+    The index is materialized once (localCheckpoint): four downstream
+    consumers (sizes, hot-shingle stats, both join sides) would otherwise
+    re-run the interpreted tokenize/shingle expression pipeline four times
+    — the dominant cost. localCheckpoint rather than persist: persist
+    registers the (large) plan with the CacheManager, and EVERY later
+    query in the session then pays plan-canonicalization matching against
+    it; a checkpoint gives the same reuse with no session-wide residue.
     """
-    sh = shingle_index(df, id_col, text_col, n).persist()
+    sh = shingle_index(df, id_col, text_col, n).localCheckpoint(eager=True)
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
     hot = (
         sh.groupBy("shingle")
@@ -293,9 +297,9 @@ def minhash_dedup_pairs(
 ) -> DataFrame:
     """Full MinHash+LSH pipeline: signatures → banding candidates → exact
     Jaccard verification of candidates only. Returns (id_a, id_b, jaccard).
-    One persisted shingle index feeds sizes, signatures, and the verify
-    join (single tokenize pass, int64 join keys throughout)."""
-    sh = shingle_index(df, id_col, text_col, n).persist()
+    One materialized shingle index feeds sizes, signatures, and the
+    verify join (single tokenize pass, int64 join keys throughout)."""
+    sh = shingle_index(df, id_col, text_col, n).localCheckpoint(eager=True)
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, n, index=sh)
     cands = lsh_candidate_pairs(sigs, id_col, num_bands)
@@ -370,9 +374,9 @@ def simhash_pairs(
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ k. Candidates via
     4-block banding (docs sharing any 16-bit block), exact popcount verify.
-    Signatures are persisted: the banding self-join would otherwise execute
-    the signature aggregation twice (once per side)."""
-    sigs = simhash(df, id_col, text_col).persist()
+    Signatures are materialized: the banding self-join would otherwise
+    execute the signature aggregation twice (once per side)."""
+    sigs = simhash(df, id_col, text_col).localCheckpoint(eager=True)
     blocks = sigs.select(
         F.col(id_col).alias("doc"),
         "simhash",

@@ -49,8 +49,9 @@ def traverse(
     else:
         oriented = edges.select(F.col("src").alias("node"), F.col("dst").alias("next"))
     # the bounded fixpoint embeds this subtree once per depth level —
-    # persist so the edge derivation (scan + distinct) computes once
-    oriented = oriented.persist()
+    # materialize so the edge derivation (scan + distinct) computes once
+    # (localCheckpoint, not persist: no CacheManager residue — see dedup)
+    oriented = oriented.localCheckpoint(eager=True)
 
     spark = lineage.sparkSession
     base = spark.createDataFrame(
