@@ -154,7 +154,7 @@ def minhash_signatures(
     """k min-hashes per doc in ONE aggregation pass: explode shingles, each
     hash_i = min(xxhash64(shingle, seed_i)). Output: (id, sig:array<long>).
 
-    ``index`` accepts a pre-built (ideally persisted) ``shingle_index`` so
+    ``index`` accepts a pre-built (ideally checkpointed) ``shingle_index`` so
     pipelines sharing the index don't re-tokenize; the shingle is already
     an int64 there, so the 64 seeded re-hashes run over 8-byte ints, not
     strings."""
