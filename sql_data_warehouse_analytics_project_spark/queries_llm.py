@@ -382,6 +382,38 @@ def qd14_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_portable(docs, "doc_id", num_bits=16)
 
 
+def _lsh_plane_sql() -> str:
+    """DuckDB twin of the hyperplane signature: the deterministic plane
+    weights are inlined as string-cast DOUBLE literals (string→double is
+    exact strtod; bare numeric literals parse as DECIMAL and lose a ulp)."""
+    from sql_data_warehouse_analytics_project_spark.llm.similarity import _hyperplanes
+
+    planes = _hyperplanes(16, 64)
+    terms = []
+    for pidx, row in enumerate(planes):
+        lit = "[" + ", ".join(f"CAST('{w!r}' AS DOUBLE)" for w in row) + "]"
+        dot = (
+            f"list_sum(list_transform(list_zip(embedding, {lit}),"
+            " x -> CAST(x[1] AS DOUBLE) * x[2]))"
+        )
+        terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << pidx} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+@register(
+    "qd15_lsh_signatures_portable",
+    f"SELECT vec_id, CAST({_lsh_plane_sql()} AS BIGINT) AS lsh_sig FROM embeddings",
+)
+def qd15_lsh_signatures_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH signatures oracle-checked end to end: the
+    plane constants are deterministic (sha256-seeded), so the oracle
+    recomputes every dot-product sign bit with the SAME weights inlined
+    as exact double literals — verifying the ANN bucketing math that
+    qd11's production path builds on."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.lsh_signatures(emb, num_planes=16).select("vec_id", "lsh_sig")
+
+
 # -- xxhash64-based operators: no SQL twin → rows-only driver check ---------
 
 
