@@ -433,6 +433,14 @@ def qd10_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_pairs(docs, "doc_id", max_hamming=3)
 
 
+@register("qd16_ivf_ann_topk")
+def qd16_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed approximate nearest neighbors (recall-gated in tests;
+    the second scale path the north-star brief asks for, next to LSH)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ivf_ann_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
+
+
 @register("qd11_lsh_ann_topk")
 def qd11_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate nearest neighbors (recall-gated in tests)."""

@@ -170,3 +170,25 @@ def test_video_frame_sampling(media):
     by_vid = [r for r in frames if r.media_id == 4]
     assert len(by_vid) == 3  # 3500ms / 1000ms
     assert [r.timestamp_ms for r in by_vid] == [0, 1000, 2000]
+
+
+def test_ivf_ann_recall_vs_exact(spark, sf_dir):
+    """IVF ANN must recover most of the exact top-k at test scale (same
+    gate style as the LSH ANN test)."""
+    from sql_data_warehouse_analytics_project_spark.llm import similarity
+    from sql_data_warehouse_analytics_project_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.cosine_topk(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.ivf_ann_topk(
+            emb, queries, k=5, n_centroids=16, n_probe=8
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"IVF recall too low: {recall}"
