@@ -448,7 +448,15 @@ def embedding_dup_pairs(
     broadcast-size ceiling on either side) — the fallback when the corpus
     out-sizes a broadcast; at that scale prefer similarity.lsh_ann to cut
     candidates first."""
-    if method == "expr":
+    from pyspark.sql import types as T
+
+    id_type = embeddings.schema[id_col].dataType
+    integral = isinstance(
+        id_type, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    )
+    if method == "expr" or not integral:
+        # non-integral ids can't ride the int64 numpy kernel — the expr
+        # path compares ids with Spark's own ordering and supports any type
         a = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
         b = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
         return (
@@ -462,7 +470,10 @@ def embedding_dup_pairs(
     import numpy as np
     import pandas as pd
 
-    base = embeddings.select(
+    # NULL embeddings produce NULL cosine in the expr path and can never
+    # pass the threshold — dropping them up front preserves semantics and
+    # keeps np.vstack well-defined
+    base = embeddings.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
     )
     corpus = base.collect()

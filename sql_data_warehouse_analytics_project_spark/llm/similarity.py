@@ -97,9 +97,15 @@ def lsh_signatures(
     def sig_udf(vecs: pd.Series) -> pd.Series:
         if vecs.empty:
             return pd.Series([], dtype=np.int64)
-        mat = np.vstack(vecs.to_numpy()).astype(np.float64)  # (n, d)
-        bits = (mat @ plane_mat.T) > 0  # (n, p)
-        return pd.Series((bits * weights).sum(axis=1).astype(np.int64))
+        # NULL embeddings → signature 0, matching the expr formulation
+        # (null dot → no bit set) instead of crashing np.vstack
+        valid = vecs.notna().to_numpy()
+        out = np.zeros(len(vecs), dtype=np.int64)
+        if valid.any():
+            mat = np.vstack(vecs[valid].to_numpy()).astype(np.float64)  # (n, d)
+            bits = (mat @ plane_mat.T) > 0  # (n, p)
+            out[valid] = (bits * weights).sum(axis=1).astype(np.int64)
+        return pd.Series(out)
 
     return embeddings.select(
         F.col(id_col), F.col(vec_col), sig_udf(F.col(vec_col)).alias("lsh_sig")
@@ -190,8 +196,9 @@ def ivf_ann_topk(
     import numpy as np
     import pandas as pd
 
+    nonnull = embeddings.filter(F.col(vec_col).isNotNull())
     cent_rows = (
-        embeddings.orderBy(F.col(id_col))
+        nonnull.orderBy(F.col(id_col))
         .limit(n_centroids)
         .select(F.col(id_col), F.col(vec_col).cast("array<double>"))
         .collect()
@@ -199,6 +206,9 @@ def ivf_ann_topk(
     cmat = np.array([r[1] for r in cent_rows], dtype=np.float64)
     cnorm = np.linalg.norm(cmat, axis=1)
     bc = embeddings.sparkSession.sparkContext.broadcast((cmat, cnorm))
+    # the kernel only repeats ids — no arithmetic on them — so any id type
+    # works; the output schema mirrors the input's
+    id_sql = embeddings.schema[id_col].dataType.simpleString()
 
     def assign(n_nearest: int):
         def kernel(batches):
@@ -213,28 +223,31 @@ def ivf_ann_topk(
                 sims = np.nan_to_num(sims, nan=-2.0)
                 # deterministic: ties break toward the lower centroid index
                 order = np.argsort(-sims, axis=1, kind="stable")[:, :n_nearest]
-                ids = pdf["id"].to_numpy(dtype=np.int64)
-                out_ids = np.repeat(ids, n_nearest)
+                out_ids = np.repeat(pdf["id"].to_numpy(), n_nearest)
                 yield pd.DataFrame(
                     {"id": out_ids, "centroid_id": order.reshape(-1)}
                 )
 
         return kernel
 
-    base = embeddings.select(
+    base = nonnull.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
     )
-    corpus_assign = base.mapInPandas(assign(1), schema="id long, centroid_id int")
+    corpus_assign = base.mapInPandas(
+        assign(1), schema=f"id {id_sql}, centroid_id int"
+    )
     corpus = embeddings.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv")
     ).join(
         corpus_assign.withColumnsRenamed({"id": "neighbor_id"}), "neighbor_id"
     )
 
-    qbase = queries.select(
+    qbase = queries.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
     )
-    qprobe = qbase.mapInPandas(assign(n_probe), schema="id long, centroid_id int")
+    qprobe = qbase.mapInPandas(
+        assign(n_probe), schema=f"id {id_sql}, centroid_id int"
+    )
     qside = F.broadcast(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
         .join(qprobe.withColumnsRenamed({"id": "query_id"}), "query_id")

@@ -56,6 +56,12 @@ def validate(df: DataFrame, rules: Sequence[Mapping[str, Any]]) -> DataFrame:
     total_rows, passed). Row rules + unique rules fold into ONE ``.agg``
     pass; data_type rules are answered from ``df.schema`` without a scan."""
     spark = df.sparkSession
+    if not rules:
+        return spark.createDataFrame(
+            [],
+            "rule_name string, rule_type string, severity string,"
+            " violation_count long, total_rows long, passed boolean",
+        )
     aggs: list[Column] = [F.count(F.lit(1)).alias("_total")]
     agg_rules: list[Mapping[str, Any]] = []
     schema_rows: list[tuple] = []

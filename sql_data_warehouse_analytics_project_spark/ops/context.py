@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import itertools
 import threading
+from collections import defaultdict
 import time
 import traceback
 from contextlib import contextmanager
@@ -47,9 +48,10 @@ class RunContext:
         self.spark = catalog.spark
         self.created_by = created_by
         # parallel loaders (bronze.load_source_system) log from worker
-        # threads; appends to one parquet table share a commit-protocol
-        # staging dir, so same-table writes must not interleave
-        self._write_lock = threading.Lock()
+        # threads; appends to ONE parquet table share a commit-protocol
+        # staging dir, so same-table writes must not interleave — but
+        # different log tables are independent, so the lock is per table
+        self._write_locks: dict[str, threading.Lock] = defaultdict(threading.Lock)
         self._ensure_tables()
 
     def _ensure_tables(self) -> None:
@@ -59,7 +61,7 @@ class RunContext:
     def _append(self, table: str, row: dict) -> None:
         schema = schemas.LOGS_TABLES[table]
         df = self.spark.createDataFrame([row], schema)
-        with self._write_lock:
+        with self._write_locks[table]:
             self.catalog.append(df, "logs", table)
 
     def table(self, name: str) -> DataFrame:

@@ -6,8 +6,11 @@ relational catalog (queries.py).
 Shared determinism contracts with the DuckDB oracles:
 - tokenizer: lower → split on ``[^a-z0-9]+`` → drop empties (both engines)
 - fingerprint: sha256 of whitespace-collapsed lowercase text
-- cosine: element-wise double math; verified BIT-EXACT between Spark
-  ``aggregate``/``zip_with`` and DuckDB ``list_sum``/``list_transform``
+- cosine: element-wise double math. qd06's per-pair expression path is
+  bit-exact vs DuckDB's sequential list fold by construction; qd07's GEMM
+  path reduces in a different order, with ~1e-15 absolute differences
+  absorbed by round(6) — a mismatch needs a true cosine within 1e-15 of
+  the 0.4 threshold or a rounding half-point (~1e-9 odds per dataset)
 - MinHash/SimHash/LSH production paths use Spark's xxhash64 (no DuckDB
   twin) → registered WITHOUT oracles; their correctness gates are recall
   tests vs the exact operators in tests/test_llm.py. The MinHash and SimHash

@@ -60,17 +60,33 @@ def stream_bronze_ingest(
 ) -> StreamingQuery:
     """foreachBatch bronze sink: per micro-batch — enrich (same columnar
     path as batch ingestion) → append → audit row. Exactly-once at the
-    batch level via the checkpoint + idempotent batch_id."""
+    batch level: foreachBatch alone is only at-least-once (a crash between
+    the append and the checkpoint commit replays the batch), so the sink
+    probes for its own ``_ingestion_batch_id`` and skips a batch it
+    already wrote."""
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        enriched = enrich_bronze(batch_df, batch_id=f"stream-{batch_id}")
-        catalog.create_table("bronze", table, enriched.schema, medallion_metadata=False)
+        bid = f"stream-{batch_id}"
+        spark = batch_df.sparkSession
+        qname = catalog.qualified("bronze", table)
+        if spark.catalog.tableExists(qname):
+            already = (
+                spark.table(qname)
+                .filter(F.col("_ingestion_batch_id") == bid)
+                .limit(1)
+                .count()
+            )
+            if already:
+                return  # replay of a committed batch — idempotent skip
+        # materialize once: the audit count and the append would otherwise
+        # each execute the full enrichment plan
+        enriched = enrich_bronze(batch_df, batch_id=bid).localCheckpoint(eager=True)
         n = enriched.count()
-        catalog.append(enriched, "bronze", table)
+        catalog.append(enriched, "bronze", table)  # creates the table on batch 0
         # foreachBatch runs on a CLONED micro-batch session; the append
         # refreshes only the clone's file-listing cache, so the parent
         # session would keep serving the stale listing without this.
-        catalog.spark.catalog.refreshTable(catalog.qualified("bronze", table))
+        catalog.spark.catalog.refreshTable(qname)
         if run_context is not None:
             log_id = run_context.start_process(
                 f"stream_bronze.{table}.batch_{batch_id}", target_layer="bronze"
