@@ -64,6 +64,18 @@ def stream_bronze_ingest(
     the append and the checkpoint commit replays the batch), so the sink
     probes for its own ``_ingestion_batch_id`` and skips a batch it
     already wrote."""
+    sink = bronze_batch_sink(catalog, table, run_context)
+    writer = stream.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def bronze_batch_sink(catalog: Catalog, table: str, run_context=None):
+    """The foreachBatch callable itself, exposed so tests can drive replay
+    scenarios directly (same (batch_df, batch_id) signature Spark uses)."""
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         bid = f"stream-{batch_id}"
@@ -93,12 +105,7 @@ def stream_bronze_ingest(
             )
             run_context.end_process(log_id, "SUCCESS", rows_processed=n)
 
-    writer = stream.writeStream.foreachBatch(sink).option(
-        "checkpointLocation", checkpoint_dir
-    )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+    return sink
 
 
 def windowed_event_counts(

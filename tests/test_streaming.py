@@ -197,3 +197,29 @@ def test_stateful_user_counters_across_batches(spark, dropzone):
         ).collect()
     }
     assert got == batch == {1: (3, 17.5), 2: (1, 7.0), 3: (1, 1.0)}
+
+
+def test_bronze_sink_replay_is_idempotent(spark):
+    """A replayed micro-batch (same batch_id — what Spark does after a
+    crash between append and checkpoint commit) must not duplicate rows."""
+    from sql_data_warehouse_analytics_project_spark.streaming.ingest import (
+        bronze_batch_sink,
+    )
+
+    cat = Catalog(spark, prefix="replay_")
+    cat.create_layers()
+    try:
+        sink = bronze_batch_sink(cat, "replay_raw")
+        df = spark.createDataFrame([(1, "a"), (2, "b")], "id int, name string")
+        sink(df, 0)
+        sink(df, 0)  # replay of the SAME batch
+        sink(df, 1)  # a genuinely new batch
+        table = spark.table(cat.qualified("bronze", "replay_raw"))
+        assert table.count() == 4  # 2 rows per distinct batch, not 6
+        per_batch = {
+            r._ingestion_batch_id: r["count"]
+            for r in table.groupBy("_ingestion_batch_id").count().collect()
+        }
+        assert per_batch == {"stream-0": 2, "stream-1": 2}
+    finally:
+        cat.drop_layers()
