@@ -134,7 +134,7 @@ def q30_theta_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q31_array_functions",
     """
     SELECT l_orderkey,
-           list_sort(list(l_linenumber)) AS line_numbers,
+           array_to_string(list_sort(list(l_linenumber)), ',') AS line_numbers,
            CAST(len(list(l_linenumber)) AS INTEGER) AS n_lines,
            list_contains(list(l_linenumber), 7) AS has_line_7
     FROM lineitem
@@ -146,20 +146,26 @@ def q31_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.8 array scalars — collect_list/sort_array/size/array_contains
     (reference ARRAY path accumulator, ``data_lineage.py:393,413,420``).
     collect_list is order-nondeterministic distributed, so the array is
-    sorted before compare — the same discipline the lineage BFS uses."""
+    sorted before compare.  The array itself drives size/contains, then is
+    serialized with array_join in the final projection — the driver's
+    canonicalizer hashes result cells with pandas and cannot sort list
+    cells, so array-typed OUTPUT columns must leave as strings (the array
+    semantics are still fully exercised upstream)."""
     lineitem = load_table(spark, sf_dir, "lineitem")
     return (
         lineitem.filter(F.col("l_orderkey") % 100 == 0)
         .groupBy("l_orderkey")
         .agg(
-            F.sort_array(F.collect_list("l_linenumber")).alias("line_numbers"),
+            F.sort_array(F.collect_list("l_linenumber")).alias("arr"),
             F.count(F.lit(1)).cast("int").alias("n_lines"),
         )
         .select(
             "l_orderkey",
-            "line_numbers",
+            F.array_join(F.col("arr").cast("array<string>"), ",").alias(
+                "line_numbers"
+            ),
             "n_lines",
-            F.array_contains("line_numbers", 7).alias("has_line_7"),
+            F.array_contains("arr", 7).alias("has_line_7"),
         )
     )
 

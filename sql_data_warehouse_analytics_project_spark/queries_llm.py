@@ -347,10 +347,10 @@ def qd12_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, unnest(shingles) AS s FROM sh
     )
     SELECT doc_id,
-           [{", ".join(
+           array_to_string([{", ".join(
                f"CAST(MIN(CAST(concat('0x', substr(md5(s || '#{i}'), 1, 15)) AS UBIGINT)) AS BIGINT)"
                for i in range(8)
-           )}] AS minhash_sig
+           )}], ',') AS minhash_sig
     FROM ex GROUP BY doc_id
     """,
 )
@@ -358,9 +358,18 @@ def qd13_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures via md5-derived ints — the portable twin of the
     xxhash64 production path, letting the oracle verify the MinHash math
     (shingling, seeding, per-seed min) bit-exactly. Docs with fewer than
-    3 tokens have no shingles and are absent on both sides."""
+    3 tokens have no shingles and are absent on both sides.  The signature
+    leaves as a comma-joined string: the driver's canonicalizer cannot hash
+    array cells, so array-typed OUTPUT columns are serialized in the final
+    projection (the MinHash math is unchanged — every element is compared)."""
     docs = _docs(spark, sf_dir)
-    return dedup.minhash_signatures_portable(docs, "doc_id", num_hashes=8)
+    sigs = dedup.minhash_signatures_portable(docs, "doc_id", num_hashes=8)
+    return sigs.select(
+        "doc_id",
+        F.array_join(F.col("minhash_sig").cast("array<string>"), ",").alias(
+            "minhash_sig"
+        ),
+    )
 
 
 @register(
