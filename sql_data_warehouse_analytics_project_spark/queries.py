@@ -326,8 +326,11 @@ def q08_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q09_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J1 — 5-table star join; nation/region are broadcast (dims), so the
-    fact table shuffles only for the final small groupBy."""
+    """J1 — 5-table star join. Only the genuinely tiny dims (nation 25
+    rows, region 5 rows) are broadcast; customer scales with the fact
+    side (millions of rows at 100×), so customer⋈facts stays a shuffle
+    hash join — AQE still auto-broadcasts it when it truly fits, without
+    hard-wiring an OOM at scale."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
@@ -347,12 +350,12 @@ def q09_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("c_custkey", "n_name")
     facts = joins.join(
         li.select("l_orderkey", "l_extendedprice", "l_discount"),
-        load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey"),
+        orders.select("o_orderkey", "o_custkey"),
         F.col("l_orderkey") == F.col("o_orderkey"),
     )
     rev = money("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - money("l_discount"))
     return (
-        joins.join(facts, dims, F.col("o_custkey") == F.col("c_custkey"), broadcast_right=True)
+        joins.join(facts, dims, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("n_name")
         .agg(
             F.sum(rev).cast("double").alias("revenue"),
@@ -635,8 +638,11 @@ def q18_case_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-nation monthly revenue with running total:
-    orders ⋈ customer ⋈ nation (broadcast dims) → monthly agg → window.
-    Exercises P1/J1/A1/W2 end-to-end (SURVEY.md §7.1 step 3)."""
+    orders ⋈ customer ⋈ nation → monthly agg → window.
+    Exercises P1/J1/A1/W2 end-to-end (SURVEY.md §7.1 step 3).
+    Only nation (25 rows) is broadcast; customer grows with the fact
+    side at scale, so orders⋈customer is a shuffle join (AQE promotes
+    it to broadcast at small SF automatically)."""
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
@@ -645,7 +651,6 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
             orders.select("o_custkey", "o_orderdate", "o_totalprice"),
             customer.select("c_custkey", "c_nationkey"),
             F.col("o_custkey") == F.col("c_custkey"),
-            broadcast_right=True,
         ),
         nation.select("n_nationkey", "n_name"),
         F.col("c_nationkey") == F.col("n_nationkey"),

@@ -40,6 +40,55 @@ def test_star_join_broadcasts_dimensions(plans):
         assert "lineitem" not in head, "fact side was broadcast"
 
 
+def _broadcast_subtrees(plan: str):
+    """Yield the treeString subtree under each BroadcastExchange node,
+    using marker-column depth (children print at a deeper +-/:- column)."""
+    lines = plan.splitlines()
+
+    def marker(line: str) -> int:
+        pos = [line.find(m) for m in ("+-", ":-") if line.find(m) >= 0]
+        return min(pos) if pos else 0
+
+    for i, line in enumerate(lines):
+        if "BroadcastExchange" not in line:
+            continue
+        depth = marker(line)
+        sub = []
+        for nxt in lines[i + 1 :]:
+            if nxt.strip() and marker(nxt) <= depth and ("+-" in nxt or ":-" in nxt):
+                break
+            sub.append(nxt)
+        yield "\n".join(sub)
+
+
+@pytest.mark.parametrize("big", ["customer", "orders", "lineitem"])
+def test_no_fact_scaling_table_is_hint_broadcast(spark, sf_dir, big):
+    """Scale regression (round-1 verdict #3): customer grows with the
+    fact side at 100×, so neither q09 nor the flagship may hard-wire a
+    broadcast of it. AQE and auto-broadcast are disabled so the only
+    BroadcastExchanges left are explicit hints — tiny dims must still be
+    hinted, big tables must not."""
+    confs = {
+        "spark.sql.adaptive.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        qs = entry.queries()
+        for df in (qs["q09_star_join"](spark, sf_dir), entry.entry(spark)):
+            p = df._jdf.queryExecution().executedPlan().treeString()
+            assert "BroadcastHashJoin" in p  # tiny dims still hinted
+            for sub in _broadcast_subtrees(p):
+                for line in sub.splitlines():
+                    if "FileScan" in line or "Scan parquet" in line:
+                        assert big not in line, f"{big} on a broadcast side"
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+
 def test_agg_uses_partial_aggregation(plans):
     p = plans("q03_agg_having")
     assert "partial_" in p, "map-side combine missing"
