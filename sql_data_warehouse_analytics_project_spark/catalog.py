@@ -121,8 +121,11 @@ class Catalog:
             writer = writer.partitionBy(*partition_by)
         writer.saveAsTable(self.qualified(layer, table))
         if comment:
+            # escape quotes — an apostrophe in a comment must not break
+            # (or inject into) the generated DDL
+            escaped = comment.replace("\\", "\\\\").replace("'", "\\'")
             self.spark.sql(
-                f"COMMENT ON TABLE {self.qualified(layer, table)} IS '{comment}'"
+                f"COMMENT ON TABLE {self.qualified(layer, table)} IS '{escaped}'"
             )
 
     def table_exists(self, layer: str, table: str) -> bool:
@@ -153,15 +156,41 @@ class Catalog:
         )
 
     def overwrite(self, df: DataFrame, layer: str, table: str) -> None:
-        """Full-table replace. The input plan often READS the target table
-        (upsert/soft-delete reconcile), so the result is materialized first
-        (localCheckpoint breaks the lineage) — Spark cannot overwrite files
-        it is still scanning. On a Delta deployment this whole method is a
-        transactional MERGE/UPDATE instead (SURVEY.md §7.2 risk 2)."""
-        materialized = df.localCheckpoint(eager=True)
-        materialized.write.mode("overwrite").format("parquet").saveAsTable(
-            self.qualified(layer, table)
-        )
+        """Full-table replace via staged write + metastore swap.
+
+        The new state is written completely to ``<table>__staging`` first,
+        then swapped in (DROP target + RENAME staging). A crash while
+        writing leaves the target untouched; a crash inside the swap
+        leaves the new state durable in the staging table (recovered by
+        :meth:`recover_staging` or the next overwrite) — at no point is
+        the only copy of the data a half-written directory, unlike a
+        direct ``mode("overwrite")`` (the reference gets this atomicity
+        from PostgreSQL transactions, ``sql/dml.py:96-167,248-337``; a
+        Delta deployment would make the swap a single-commit MERGE).
+
+        Writing to staging also materializes the plan, which typically
+        READS the target table (upsert/soft-delete reconcile) — Spark
+        cannot overwrite files it is still scanning, and here it never
+        has to."""
+        target = self.qualified(layer, table)
+        staging = f"{target}__staging"
+        self.spark.sql(f"DROP TABLE IF EXISTS {staging}")
+        df.write.mode("overwrite").format("parquet").saveAsTable(staging)
+        self.spark.sql(f"DROP TABLE IF EXISTS {target}")
+        self.spark.sql(f"ALTER TABLE {staging} RENAME TO {target}")
+
+    def recover_staging(self, layer: str, table: str) -> bool:
+        """Finish an overwrite interrupted between its two swap steps:
+        if the target is gone but its fully-written staging table exists,
+        promote the staging table. Returns True if a recovery happened."""
+        target = self.qualified(layer, table)
+        staging = f"{target}__staging"
+        if self.spark.catalog.tableExists(target) or not self.spark.catalog.tableExists(
+            staging
+        ):
+            return False
+        self.spark.sql(f"ALTER TABLE {staging} RENAME TO {target}")
+        return True
 
     # -- catalog introspection (maps S8, sql/query_builder.py:390-567) ------
 

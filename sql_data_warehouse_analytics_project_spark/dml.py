@@ -203,14 +203,35 @@ def incremental_batch(
     last_processed_value,
     batch_size: int | None = None,
 ) -> DataFrame:
-    """``WHERE inc_col > watermark ORDER BY inc_col [LIMIT batch]``.
+    """``WHERE inc_col > watermark`` [+ value-boundary batch cap].
     The watermark filter pushes down to the scan (partition pruning when the
-    table is partitioned on a derived date of the watermark column)."""
+    table is partitioned on a derived date of the watermark column).
+
+    ``batch_size`` cuts on VALUE boundaries, not row counts: the cutoff is
+    the max inc-col value among the first ``batch_size`` rows, and every
+    row with ``inc_col <= cutoff`` is included. A plain ORDER BY/LIMIT
+    (the reference's ``sql/dml.py:378-384``) can split rows sharing the
+    boundary value; advancing the watermark past it then permanently skips
+    the remainder — silent data loss for non-unique watermark columns.
+    The batch may slightly exceed ``batch_size`` when the boundary value
+    has ties; ``next_watermark`` on the result is always loss-free.
+    The cutoff is a broadcast one-row aggregate over a top-k of just the
+    inc column — no extra full-table pass, still fully lazy."""
     out = source
     if last_processed_value is not None:
         out = out.filter(F.col(incremental_column) > F.lit(last_processed_value))
     if batch_size is not None:
-        out = out.orderBy(F.col(incremental_column)).limit(batch_size)
+        cutoff = (
+            out.select(incremental_column)
+            .orderBy(F.col(incremental_column))
+            .limit(batch_size)
+            .agg(F.max(incremental_column).alias("_cutoff"))
+        )
+        out = (
+            out.crossJoin(F.broadcast(cutoff))
+            .filter(F.col(incremental_column) <= F.col("_cutoff"))
+            .drop("_cutoff")
+        )
     return out
 
 

@@ -109,14 +109,18 @@ def ngram_jaccard_pairs(
     it; a checkpoint gives the same reuse with no session-wide residue.
     """
     sh = shingle_index(df, id_col, text_col, n).localCheckpoint(eager=True)
-    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
     hot = (
         sh.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df_"))
         .filter(F.col("df_") > max_docs_per_shingle)
         .select("shingle")
     )
+    # Filter hot shingles BEFORE computing per-doc sizes: numerator
+    # (n_common) and denominator (n_a + n_b - n_common) must count over
+    # the same shingle universe, or Jaccard is systematically
+    # underestimated for docs sharing a hot shingle once the cap fires.
     sh = sh.join(hot, "shingle", "left_anti")
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = sh.select(F.col("doc").alias("id_a"), "shingle")
     b = sh.select(F.col("doc").alias("id_b"), "shingle")
     common = (

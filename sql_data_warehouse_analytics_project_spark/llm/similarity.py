@@ -203,6 +203,13 @@ def ivf_ann_topk(
         .select(F.col(id_col), F.col(vec_col).cast("array<double>"))
         .collect()
     )
+    id_sql_early = embeddings.schema[id_col].dataType.simpleString()
+    if not cent_rows:  # empty/all-null corpus: no neighbors, not a crash
+        return embeddings.sparkSession.createDataFrame(
+            [],
+            f"query_id {id_sql_early}, neighbor_id {id_sql_early},"
+            " cosine double, rank int",
+        )
     cmat = np.array([r[1] for r in cent_rows], dtype=np.float64)
     cnorm = np.linalg.norm(cmat, axis=1)
     bc = embeddings.sparkSession.sparkContext.broadcast((cmat, cnorm))
@@ -213,8 +220,11 @@ def ivf_ann_topk(
     def assign(n_nearest: int):
         def kernel(batches):
             cm, cn = bc.value
+            # fewer centroids than n_probe (tiny/empty corpus): clamp, or
+            # np.repeat(ids, n_nearest) mismatches order's row width
+            k_near = min(n_nearest, cm.shape[0])
             for pdf in batches:
-                if pdf.empty:
+                if pdf.empty or k_near == 0:
                     continue
                 mat = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
                 norms = np.linalg.norm(mat, axis=1)
@@ -222,8 +232,8 @@ def ivf_ann_topk(
                     sims = (mat @ cm.T) / (norms[:, None] * cn[None, :])
                 sims = np.nan_to_num(sims, nan=-2.0)
                 # deterministic: ties break toward the lower centroid index
-                order = np.argsort(-sims, axis=1, kind="stable")[:, :n_nearest]
-                out_ids = np.repeat(pdf["id"].to_numpy(), n_nearest)
+                order = np.argsort(-sims, axis=1, kind="stable")[:, :k_near]
+                out_ids = np.repeat(pdf["id"].to_numpy(), k_near)
                 yield pd.DataFrame(
                     {"id": out_ids, "centroid_id": order.reshape(-1)}
                 )

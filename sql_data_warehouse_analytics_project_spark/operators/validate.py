@@ -20,6 +20,8 @@ Two evaluation shapes, both single-scan:
 from __future__ import annotations
 
 from collections.abc import Mapping, Sequence
+from functools import reduce
+from operator import and_
 from typing import Any
 
 from pyspark.sql import Column, DataFrame
@@ -79,9 +81,13 @@ def validate(df: DataFrame, rules: Sequence[Mapping[str, Any]]) -> DataFrame:
             )
             continue
         if spec["rule"] == "unique":
-            expr = F.count(F.lit(1)) - F.count_distinct(
-                *[F.col(c) for c in spec["columns"]]
-            )
+            # UNIQUE semantics: rows with a NULL key don't violate (they
+            # fail a not_null rule instead). count_distinct already skips
+            # NULL-keyed rows, so the minuend must too, or every NULL row
+            # would be reported as a duplicate.
+            cols = [F.col(c) for c in spec["columns"]]
+            all_not_null = reduce(and_, [c.isNotNull() for c in cols])
+            expr = F.count(F.when(all_not_null, F.lit(1))) - F.count_distinct(*cols)
         else:
             expr = F.sum(_row_predicate(spec).cast("long"))
         aggs.append(F.coalesce(expr, F.lit(0)).alias(f"_r{len(agg_rules)}"))

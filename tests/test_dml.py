@@ -127,3 +127,66 @@ def test_catalog_roundtrip_upsert_table(spark):
         assert cat.read("silver", "kv", include_deleted=True).count() == 3
     finally:
         cat.drop_layers()
+
+
+def test_incremental_batch_cuts_on_value_boundary(spark):
+    """batch_size must never split rows sharing the boundary value of the
+    incremental column — advancing the watermark past a split value
+    permanently loses the remainder."""
+    src = spark.createDataFrame(
+        [(i, t) for i, t in enumerate([10, 20, 20, 20, 30])], "id int, ts int"
+    )
+    b = dml.incremental_batch(src, "ts", last_processed_value=None, batch_size=2)
+    # cutoff = 2nd-smallest value (20) → ALL ts=20 rows come along
+    assert sorted(r.ts for r in b.collect()) == [10, 20, 20, 20]
+    wm = dml.next_watermark(b, "ts")
+    rest = dml.incremental_batch(src, "ts", wm)
+    assert [r.ts for r in rest.collect()] == [30]  # nothing lost
+
+
+def test_overwrite_is_staged_crash_safe(spark, monkeypatch):
+    """Kill the overwrite between the staged write and the swap: the old
+    target state must survive intact, and the fully-written staging table
+    must be promotable by recover_staging."""
+    from sql_data_warehouse_analytics_project_spark.catalog import Catalog
+
+    cat = Catalog(spark, prefix="atomic_")
+    cat.drop_layers()
+    cat.create_layers()
+    try:
+        old = spark.createDataFrame([(1,), (2,)], "k int")
+        old.write.saveAsTable(cat.qualified("silver", "t"))
+        target = cat.qualified("silver", "t")
+
+        real_sql = spark.sql
+        def crash_on_target_drop(q, **kw):
+            if q == f"DROP TABLE IF EXISTS {target}":
+                raise RuntimeError("simulated crash before swap")
+            return real_sql(q, **kw)
+        monkeypatch.setattr(spark, "sql", crash_on_target_drop)
+
+        new = spark.createDataFrame([(3,)], "k int")
+        import pytest as _pytest
+        with _pytest.raises(RuntimeError, match="simulated crash"):
+            cat.overwrite(new, "silver", "t")
+        monkeypatch.undo()
+
+        # old state intact after the crash
+        assert sorted(r.k for r in spark.table(target).collect()) == [1, 2]
+        # new state durable in staging; no half-written target
+        assert sorted(
+            r.k for r in spark.table(f"{target}__staging").collect()
+        ) == [3]
+
+        # crash AFTER the target drop: staging still holds the new state
+        real_sql(f"DROP TABLE IF EXISTS {target}")
+        assert cat.recover_staging("silver", "t") is True
+        assert sorted(r.k for r in spark.table(target).collect()) == [3]
+        assert cat.recover_staging("silver", "t") is False  # idempotent
+
+        # and a clean, uninterrupted overwrite still round-trips
+        cat.overwrite(spark.createDataFrame([(9,)], "k int"), "silver", "t")
+        assert [r.k for r in spark.table(target).collect()] == [9]
+    finally:
+        monkeypatch.undo()
+        cat.drop_layers()

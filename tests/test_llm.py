@@ -192,3 +192,45 @@ def test_ivf_ann_recall_vs_exact(spark, sf_dir):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.6, f"IVF recall too low: {recall}"
+
+
+def test_ngram_jaccard_hot_shingle_consistent_universe(spark):
+    """When the hot-shingle cap fires, numerator and denominator must
+    count over the same (filtered) shingle universe: two identical docs
+    sharing a hot phrase with two other docs must still score 1.0."""
+    from sql_data_warehouse_analytics_project_spark.llm import dedup
+
+    common = "the quick brown fox jumps over the lazy dog today"
+    docs = spark.createDataFrame(
+        [
+            (1, common + " alpha beta gamma delta epsilon"),
+            (2, common + " alpha beta gamma delta epsilon"),
+            (3, common + " one two three four five"),
+            (4, common + " six seven eight nine ten"),
+        ],
+        "doc_id int, text string",
+    )
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(
+            docs, "doc_id", threshold=0.99, max_docs_per_shingle=2
+        ).collect()
+    }
+    assert pairs == {(1, 2): 1.0}
+
+
+def test_ivf_ann_degrades_with_fewer_centroids_than_probe(spark):
+    """Corpus smaller than n_probe/n_centroids: the assign kernel clamps
+    instead of raising, and probing every bucket equals brute force."""
+    from sql_data_warehouse_analytics_project_spark.llm import similarity
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0])],
+        "vec_id int, embedding array<double>",
+    )
+    out = similarity.ivf_ann_topk(emb, emb, k=2, n_centroids=16, n_probe=4)
+    got = {(r.query_id, r.rank): r.neighbor_id for r in out.collect()}
+    assert got[(1, 1)] == 2 and got[(2, 1)] == 1 and got[(3, 1)] == 2
+
+    empty = emb.filter("vec_id < 0")
+    assert similarity.ivf_ann_topk(empty, emb, k=2).count() == 0

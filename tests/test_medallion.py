@@ -165,3 +165,16 @@ def test_cli_setup(spark):
     from sql_data_warehouse_analytics_project_spark.catalog import Catalog
 
     Catalog(spark, prefix="cli_").drop_layers()
+
+
+def test_create_table_comment_with_quotes(cat):
+    from pyspark.sql import types as T
+
+    cat.create_table(
+        "bronze",
+        "quoted_comment_t",
+        T.StructType([T.StructField("v", T.LongType())]),
+        comment="customer's 'quoted' table",
+    )
+    assert cat.table_exists("bronze", "quoted_comment_t")
+    cat.drop_table("bronze", "quoted_comment_t")

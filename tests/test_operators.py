@@ -296,3 +296,21 @@ def test_validate_and_log_records_errors(spark, tmp_path):
     errs = ctx.get_unresolved_errors().collect()
     assert len(errs) == 1 and "not_null_id" in errs[0].error_message
     cat.drop_layers()
+
+
+def test_validate_unique_rule_is_null_safe(spark):
+    """UNIQUE semantics: NULL-keyed rows are not uniqueness violations
+    (they fail not_null instead). Regression for the count(1) -
+    count_distinct formulation, which charged every NULL row."""
+    from sql_data_warehouse_analytics_project_spark.operators import validate as V
+
+    df = spark.createDataFrame([(None,), (None,), (1,), (1,), (2,)], "k int")
+    out = {r.rule_name: r for r in V.validate(
+        df,
+        [
+            {"rule": "unique", "columns": ["k"]},
+            {"rule": "not_null", "column": "k"},
+        ],
+    ).collect()}
+    assert out["unique_k"].violation_count == 1  # only the duplicated k=1
+    assert out["not_null_k"].violation_count == 2
