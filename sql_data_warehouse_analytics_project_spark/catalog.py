@@ -192,6 +192,102 @@ class Catalog:
         self.spark.sql(f"ALTER TABLE {staging} RENAME TO {target}")
         return True
 
+    # -- declared constraints (S7, maps sql/ddl.py:300-344) -----------------
+
+    def declare_constraints(
+        self,
+        layer: str,
+        table: str,
+        specs: Sequence[dict],
+        *,
+        declared_by: str = "engine",
+    ) -> None:
+        """Persist a table's constraint declaration (PK/FK/UNIQUE/CHECK
+        specs — see :mod:`constraints`) to ``logs.table_constraints``.
+        Latest declaration wins; an empty list clears enforcement.
+        Enforcement happens on :meth:`checked_append`."""
+        import datetime
+        import json
+
+        from sql_data_warehouse_analytics_project_spark import constraints as C
+
+        C.compile_constraints(specs)  # validate the spec shape up front
+        self.create_table(
+            "logs", C.CONSTRAINTS_TABLE, C.CONSTRAINTS_SCHEMA, medallion_metadata=False
+        )
+        row = {
+            "layer": layer,
+            "table_name": table,
+            "constraints_json": json.dumps(list(specs)),
+            "declared_at": datetime.datetime.now(datetime.timezone.utc).replace(
+                tzinfo=None
+            ),
+            "declared_by": declared_by,
+        }
+        self.append(
+            self.spark.createDataFrame([row], C.CONSTRAINTS_SCHEMA),
+            "logs",
+            C.CONSTRAINTS_TABLE,
+        )
+
+    def get_constraints(self, layer: str, table: str) -> list[dict]:
+        """Latest declared constraint specs for a table ([] if none)."""
+        import json
+
+        from sql_data_warehouse_analytics_project_spark import constraints as C
+
+        if not self.table_exists("logs", C.CONSTRAINTS_TABLE):
+            return []
+        rows = (
+            self.spark.table(self.qualified("logs", C.CONSTRAINTS_TABLE))
+            .filter((F.col("layer") == layer) & (F.col("table_name") == table))
+            .orderBy(F.col("declared_at").desc())
+            .limit(1)
+            .collect()
+        )
+        return json.loads(rows[0]["constraints_json"]) if rows else []
+
+    def checked_append(
+        self,
+        df: DataFrame,
+        layer: str,
+        table: str,
+        *,
+        run_context=None,
+        process_log_id: int | None = None,
+    ) -> DataFrame | None:
+        """Append with declared-constraint enforcement: evaluate the
+        table's constraints against the batch, record every failed rule to
+        ``logs.error_log`` (when ``run_context`` is given), REFUSE the
+        write on any ERROR-severity violation (raises
+        :class:`constraints.ConstraintViolationError` — the target is
+        untouched, matching the all-or-nothing write the reference gets
+        from PostgreSQL constraints), and append otherwise. Returns the
+        per-rule summary, or None when no constraints are declared."""
+        from sql_data_warehouse_analytics_project_spark import constraints as C
+
+        specs = self.get_constraints(layer, table)
+        if not specs:
+            self.append(df, layer, table)
+            return None
+        summary = C.check(self, df, specs)
+        failed = summary.filter(~F.col("passed")).collect()
+        if run_context is not None:
+            for r in failed:
+                run_context.log_error(
+                    f"CONSTRAINT_{r['rule_type'].upper()} {r['rule_name']}:"
+                    f" {r['violation_count']} violation(s) in batch for"
+                    f" {self.qualified(layer, table)}",
+                    level=r["severity"],
+                    table_name=self.qualified(layer, table),
+                    process_log_id=process_log_id,
+                )
+        errors = [r.asDict() for r in failed if r["severity"] == "ERROR"]
+        if errors:
+            raise C.ConstraintViolationError(self.qualified(layer, table), errors)
+        self.append(df, layer, table)
+        return summary
+
     # -- catalog introspection (maps S8, sql/query_builder.py:390-567) ------
 
     def list_tables(self, layer: str):
@@ -204,3 +300,55 @@ class Catalog:
         detail = self.spark.sql(f"DESCRIBE EXTENDED {q}").collect()
         props = {r.col_name: r.data_type for r in detail}
         return {"table": q, "row_count": n, "location": props.get("Location")}
+
+    def column_info(self, layer: str, table: str) -> list[dict]:
+        """Per-column metadata (maps ``get_column_info_sql``,
+        ``sql/query_builder.py:437-489``: name/type/nullable/position plus
+        the partition flag Postgres expresses via table DDL)."""
+        cols = self.spark.catalog.listColumns(self.qualified(layer, table))
+        return [
+            {
+                "name": c.name,
+                "data_type": c.dataType,
+                "nullable": c.nullable,
+                "is_partition": c.isPartition,
+                "is_bucket": c.isBucket,
+                "ordinal_position": i,
+            }
+            for i, c in enumerate(cols)
+        ]
+
+    def table_info(self, layer: str, table: str) -> dict:
+        """Table-level metadata (maps ``get_table_info_sql``)."""
+        t = self.spark.catalog.getTable(self.qualified(layer, table))
+        return {
+            "name": t.name,
+            "database": self.db(layer),
+            "table_type": t.tableType,
+            "is_temporary": t.isTemporary,
+            "description": t.description,
+        }
+
+    def database_info(self, layer: str) -> dict:
+        """Layer-database metadata (maps ``get_database_info_sql``)."""
+        d = self.spark.catalog.getDatabase(self.db(layer))
+        return {
+            "name": d.name,
+            "catalog": d.catalog,
+            "description": d.description,
+            "location": d.locationUri,
+        }
+
+    def schema_info(self) -> list[dict]:
+        """All layer databases with their table inventory (maps
+        ``get_schema_info_sql`` — one row per schema with object counts)."""
+        out = []
+        for layer in LAYERS:
+            db = self.db(layer)
+            if not self.spark.catalog.databaseExists(db):
+                continue
+            tables = sorted(t.name for t in self.spark.catalog.listTables(db))
+            out.append(
+                {"layer": layer, "database": db, "table_count": len(tables), "tables": tables}
+            )
+        return out

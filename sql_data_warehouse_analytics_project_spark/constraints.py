@@ -1,0 +1,127 @@
+"""Declarative table constraints (S7 — maps reference ``sql/ddl.py:300-344``:
+PRIMARY KEY / FOREIGN KEY / UNIQUE / CHECK constraint DDL).
+
+The reference declares constraints once in PostgreSQL DDL and the database
+enforces them on every write. Parquet tables have no enforcement engine, so
+the Spark-native analogue is: declare once (persisted to
+``logs.table_constraints``, latest declaration per table wins), and every
+checked write (``Catalog.checked_append``) compiles the declaration to
+``operators.validate`` rules plus referential anti-join probes, refuses the
+write on ERROR violations, and records failures to ``logs.error_log``.
+
+Constraint specs are plain JSON-serializable dicts:
+
+    {"rule": "primary_key", "columns": [c, ...]}          → not_null + unique
+    {"rule": "foreign_key", "columns": [c, ...],
+     "ref_layer": L, "ref_table": T, "ref_columns": [...]} → anti-join probe
+    any ``operators.validate`` rule spec                   → CHECK analogue
+      (unique / not_null / range / regex / data_type)
+
+FK semantics match SQL: rows with any NULL key column never violate the
+foreign key (they fail a not_null/primary_key rule if one is declared).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from sql_data_warehouse_analytics_project_spark.operators.validate import validate
+
+CONSTRAINTS_TABLE = "table_constraints"
+
+CONSTRAINTS_SCHEMA = T.StructType(
+    [
+        T.StructField("layer", T.StringType(), False),
+        T.StructField("table_name", T.StringType(), False),
+        T.StructField("constraints_json", T.StringType(), False),
+        T.StructField("declared_at", T.TimestampType(), False),
+        T.StructField("declared_by", T.StringType(), True),
+    ]
+)
+
+
+class ConstraintViolationError(Exception):
+    """A checked write found ERROR-severity constraint violations; the
+    target table was NOT written."""
+
+    def __init__(self, table: str, failures: Sequence[Mapping[str, Any]]):
+        self.table = table
+        self.failures = list(failures)
+        detail = "; ".join(
+            f"{f['rule_name']}: {f['violation_count']} violation(s)"
+            for f in self.failures
+        )
+        super().__init__(f"constraint violations writing {table}: {detail}")
+
+
+def compile_constraints(
+    specs: Sequence[Mapping[str, Any]],
+) -> tuple[list[dict], list[dict]]:
+    """Split declarations into single-table validate rules and FK probes.
+    ``primary_key`` expands to per-column not_null + a composite unique —
+    exactly the checks PostgreSQL's PK constraint implies."""
+    rules: list[dict] = []
+    fks: list[dict] = []
+    for spec in specs:
+        kind = spec["rule"]
+        if kind == "primary_key":
+            for c in spec["columns"]:
+                rules.append({"rule": "not_null", "column": c, "severity": "ERROR"})
+            rules.append(
+                {"rule": "unique", "columns": list(spec["columns"]), "severity": "ERROR"}
+            )
+        elif kind == "foreign_key":
+            fks.append(dict(spec))
+        else:
+            rules.append(dict(spec))
+    return rules, fks
+
+
+def fk_summary(df: DataFrame, spec: Mapping[str, Any], parent: DataFrame) -> DataFrame:
+    """One summary row (same shape as ``validate``'s output) counting child
+    rows whose fully-non-NULL key has no match in the parent. The probe is
+    a left-anti join on the key columns — a plain shuffle join at scale
+    (AQE broadcasts small parents automatically); the parent side is
+    key-projected and deduplicated before the join so only distinct keys
+    shuffle."""
+    cols = list(spec["columns"])
+    ref_cols = list(spec.get("ref_columns", cols))
+    sev = spec.get("severity", "ERROR")
+    name = "foreign_key_" + "_".join(cols)
+    child = df.select(*[F.col(c) for c in cols])
+    for c in cols:
+        child = child.filter(F.col(c).isNotNull())
+    keys = parent.select(
+        *[F.col(rc).alias(c) for rc, c in zip(ref_cols, cols)]
+    ).dropDuplicates()
+    orphans = child.join(keys, cols, "left_anti").count()
+    total = df.count()
+    return df.sparkSession.createDataFrame(
+        [(name, "foreign_key", sev, orphans, total, orphans == 0)],
+        "rule_name string, rule_type string, severity string,"
+        " violation_count long, total_rows long, passed boolean",
+    )
+
+
+def check(catalog, df: DataFrame, specs: Sequence[Mapping[str, Any]]) -> DataFrame:
+    """Evaluate every declared constraint against ``df``; returns the
+    per-rule summary (rule_name, rule_type, severity, violation_count,
+    total_rows, passed). ``catalog`` resolves FK parents via
+    ``Catalog.read`` (soft-deleted parent rows don't count as match
+    targets, mirroring the standing ``is_deleted`` filter)."""
+    rules, fks = compile_constraints(specs)
+    parts: list[DataFrame] = []
+    if rules or not fks:
+        parts.append(validate(df, rules))
+    for fk in fks:
+        parent = catalog.read(fk["ref_layer"], fk["ref_table"])
+        parts.append(fk_summary(df, fk, parent))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -208,6 +208,88 @@ def minhash_signatures_portable(
     )
 
 
+def minhash_dedup_pairs_portable(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    threshold: float = 0.8,
+    num_hashes: int = 8,
+    num_bands: int = 4,
+    n: int = 3,
+) -> DataFrame:
+    """The FULL banding pipeline — signatures → band buckets → candidate
+    join → exact-Jaccard verify — parameterized on the md5 portable hash so
+    a DuckDB oracle can replay every stage bit-exactly (the xxhash64
+    production pipeline, :func:`minhash_dedup_pairs`, has no SQL twin and
+    is recall-gated only; this twin closes the gap by oracle-checking the
+    banding/verify *plumbing* end-to-end, not just the signature math).
+
+    Band buckets are plain strings ``"<band>,<h_i>,...,<h_j>"`` instead of
+    the production path's xxhash64(bucket) int64 — portable, and the join
+    semantics (docs sharing any band collide) are identical."""
+    rows_per_band = num_hashes // num_bands
+    sh = df.select(
+        F.col(id_col).alias("doc"), F.explode(shingles(text_col, n)).alias("s")
+    ).localCheckpoint(eager=True)
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
+    mins = sh.groupBy("doc").agg(
+        *[
+            F.min(
+                F.conv(
+                    F.substring(F.md5(F.concat(F.col("s"), F.lit(f"#{i}"))), 1, 15),
+                    16,
+                    10,
+                ).cast("long")
+            ).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    bands = mins.select(
+        "doc",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ",",
+                        F.lit(str(b)),
+                        *[
+                            F.col(f"h{b * rows_per_band + r}")
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                    for b in range(num_bands)
+                ]
+            )
+        ).alias("bucket"),
+    )
+    a = bands.select(F.col("doc").alias("id_a"), "bucket")
+    b = bands.select(F.col("doc").alias("id_b"), "bucket")
+    cands = (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sa = sh.select(F.col("doc").alias("id_a"), "s")
+    sb = sh.select(F.col("doc").alias("id_b"), "s")
+    common = (
+        sa.join(cands, "id_a")
+        .join(sb, ["s", "id_b"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        common.join(sizes.withColumnsRenamed({"doc": "id_a", "n_shingles": "n_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"doc": "id_b", "n_shingles": "n_b"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
 def simhash_portable(
     df: DataFrame,
     id_col: str,

@@ -54,6 +54,7 @@ def iterate(
     max_depth: int,
     *,
     checkpoint_every: int | None = 1,
+    frontier_partitions: int | None = 4,
 ) -> DataFrame:
     """U3 — recursive-CTE semantics as a bounded fixpoint loop:
     ``result = base ∪ step(base) ∪ step²(base) ...`` up to ``max_depth``
@@ -72,12 +73,23 @@ def iterate(
     GraphFrames checkpoint the same way); ``checkpoint_every=N`` thins it
     to every Nth round for steps cheap to recompute, and ``None`` disables
     checkpointing entirely (accepting the recompute cost).
+
+    Frontiers are typically tiny relative to the cluster (a lineage
+    traversal's frontier is a handful of edges), but each one inherits the
+    session's full shuffle-partition count, so every checkpoint round pays
+    dozens of near-empty tasks of fixed scheduler overhead.
+    ``frontier_partitions`` coalesces the frontier before materializing it
+    (a narrow dependency — no shuffle); pass ``None`` for genuinely large
+    frontiers (e.g. connected components over a big graph) to keep the
+    step's native parallelism.
     """
     result = base
     frontier = base
     for depth in range(1, max_depth + 1):
         frontier = step(frontier, depth)
         if checkpoint_every and depth % checkpoint_every == 0:
+            if frontier_partitions:
+                frontier = frontier.coalesce(frontier_partitions)
             frontier = frontier.localCheckpoint(eager=True)
         if frontier.isEmpty():
             break

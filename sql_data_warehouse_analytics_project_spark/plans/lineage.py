@@ -33,12 +33,21 @@ def traverse(
     start_node: str,
     direction: str = "upstream",
     max_depth: int = 5,
+    *,
+    broadcast_frontier: bool = True,
 ) -> DataFrame:
     """All nodes reachable from ``start_node``, with depth and full path.
 
     ``direction='upstream'`` walks target→source (what feeds this table);
     ``'downstream'`` walks source→target (what this table feeds).
     Returns (node, depth, path:array<string>).
+
+    ``broadcast_frontier`` hash-joins each depth without shuffling either
+    side: the frontier (just-checkpointed, a handful of paths) broadcasts
+    and the edge table stays in place. Right for lineage metadata graphs —
+    a warehouse has thousands of tables, so frontiers are KBs. Pass False
+    for dense million-edge graphs where path enumeration can explode past
+    broadcast size; the loop then falls back to plain shuffle joins.
     """
     if direction not in ("upstream", "downstream"):
         raise ValueError(direction)
@@ -50,8 +59,11 @@ def traverse(
         oriented = edges.select(F.col("src").alias("node"), F.col("dst").alias("next"))
     # the bounded fixpoint embeds this subtree once per depth level —
     # materialize so the edge derivation (scan + distinct) computes once
-    # (localCheckpoint, not persist: no CacheManager residue — see dedup)
-    oriented = oriented.localCheckpoint(eager=True)
+    # (localCheckpoint, not persist: no CacheManager residue — see dedup).
+    # Coalesced first: lineage edges are metadata-scale (tables × tables),
+    # and every depth's join launches one task per edge partition — 8 beats
+    # the session's full shuffle-partition count for a KB-sized edge list.
+    oriented = oriented.coalesce(8).localCheckpoint(eager=True)
 
     spark = lineage.sparkSession
     base = spark.createDataFrame(
@@ -59,6 +71,8 @@ def traverse(
     )
 
     def step(frontier: DataFrame, depth: int) -> DataFrame:
+        if broadcast_frontier:
+            frontier = F.broadcast(frontier)
         return (
             oriented.join(frontier, "node")
             .filter(~F.array_contains(F.col("path"), F.col("next")))  # cycle guard

@@ -277,24 +277,26 @@ def q34_recursive_traversal(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region")
+    # no per-arm .distinct(): traverse's _edges dedups the union in ONE
+    # shuffle — per-arm distincts would add three more for the same rows
     e1 = customer.select(
         F.lit("crm").alias("source_schema"),
         F.concat(F.lit("customer_"), F.col("c_custkey") % 100).alias("source_table"),
         F.lit("src").alias("target_schema"),
         F.concat(F.lit("nation_"), F.col("c_nationkey")).alias("target_table"),
-    ).distinct()
+    )
     e2 = nation.select(
         F.lit("src").alias("source_schema"),
         F.concat(F.lit("nation_"), F.col("n_nationkey")).alias("source_table"),
         F.lit("silver").alias("target_schema"),
         F.concat(F.lit("region_"), F.col("n_regionkey")).alias("target_table"),
-    ).distinct()
+    )
     e3 = region.select(
         F.lit("silver").alias("source_schema"),
         F.concat(F.lit("region_"), F.col("r_regionkey")).alias("source_table"),
         F.lit("gold").alias("target_schema"),
         F.lit("world").alias("target_table"),
-    ).distinct()
+    )
     edges = e1.unionByName(e2).unionByName(e3)
     walk = lineage.traverse(edges, "gold.world", "upstream", max_depth=4)
     return walk.groupBy("node").agg(

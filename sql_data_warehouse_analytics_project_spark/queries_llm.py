@@ -373,6 +373,60 @@ def qd13_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "qd17_minhash_band_pairs_portable",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS t FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t)-1)]) AS shingles
+      FROM toks WHERE len(t) >= 3
+    ), ex AS (
+      SELECT doc_id, unnest(shingles) AS s FROM sh
+    ), sizes AS (
+      SELECT doc_id, len(shingles) AS n FROM sh
+    ), mins AS (
+      SELECT doc_id, {", ".join(
+          f"CAST(MIN(CAST(concat('0x', substr(md5(s || '#{i}'), 1, 15)) AS UBIGINT)) AS BIGINT) AS h{i}"
+          for i in range(8)
+      )}
+      FROM ex GROUP BY doc_id
+    ), bands AS (
+      SELECT doc_id, unnest([{", ".join(
+          f"concat('{b}', ',', h{2 * b}, ',', h{2 * b + 1})" for b in range(4)
+      )}]) AS bucket
+      FROM mins
+    ), cands AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ), common AS (
+      SELECT c.id_a, c.id_b, count(*) AS cnt
+      FROM cands c
+      JOIN ex ea ON ea.doc_id = c.id_a
+      JOIN ex eb ON eb.doc_id = c.id_b AND eb.s = ea.s
+      GROUP BY 1, 2
+    )
+    SELECT c.id_a, c.id_b,
+           round(CAST(cnt AS DOUBLE) / (sa.n + sb.n - cnt), 6) AS jaccard
+    FROM common c
+    JOIN sizes sa ON c.id_a = sa.doc_id
+    JOIN sizes sb ON c.id_b = sb.doc_id
+    WHERE CAST(cnt AS DOUBLE) / (sa.n + sb.n - cnt) >= 0.8
+    """,
+)
+def qd17_minhash_band_pairs_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full MinHash banding→verify pipeline oracle-checked end to end:
+    8 md5-portable hashes, 4 bands of 2 rows, candidates = docs sharing any
+    band, exact-Jaccard verify ≥ 0.8 on candidates only. Complements qd13
+    (signature math only) by replaying the candidate-generation and verify
+    stages in DuckDB with identical band-bucket strings."""
+    docs = _docs(spark, sf_dir)
+    return dedup.minhash_dedup_pairs_portable(
+        docs, "doc_id", threshold=0.8, num_hashes=8, num_bands=4
+    )
+
+
+@register(
     "qd14_simhash_portable",
     f"""
     WITH tok AS (

@@ -29,6 +29,17 @@ TABLES = (
 )
 
 
+def _ensure_conf(spark: SparkSession, key: str, value: str) -> None:
+    """Set a session conf only when it differs — keeps ``load_table``
+    side-effect-free on every call after the first."""
+    try:
+        current = spark.conf.get(key)
+    except Exception:
+        current = None
+    if current != value:
+        spark.conf.set(key, value)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one parquet table. Lazy — no data moves until an action.
 
@@ -41,10 +52,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # Pin the session timezone: the caller may hand us a vanilla session
     # (the correctness driver does); naive parquet timestamps must collect
     # as UTC wall-times to agree with the DuckDB oracle (SURVEY §7.2 r5).
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # _ensure_conf writes at most once per session — repeated load_table
+    # calls never re-mutate session state (and never clobber a caller who
+    # pinned these deliberately, since the target value is identical).
+    _ensure_conf(spark, "spark.sql.session.timeZone", "UTC")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        _ensure_conf(spark, "spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))

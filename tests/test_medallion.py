@@ -167,6 +167,29 @@ def test_cli_setup(spark):
     Catalog(spark, prefix="cli_").drop_layers()
 
 
+def test_catalog_introspection(cat, loaded):
+    """S8 parity: column/table/database/schema info (reference
+    query_builder.py:390-567)."""
+    cols = cat.column_info("bronze", "crm_customers_raw")
+    names = [c["name"] for c in cols]
+    assert "cst_id" in names and "_row_hash" in names
+    assert all(
+        {"data_type", "nullable", "is_partition", "ordinal_position"} <= set(c)
+        for c in cols
+    )
+
+    ti = cat.table_info("bronze", "crm_customers_raw")
+    assert ti["name"] == "crm_customers_raw" and not ti["is_temporary"]
+
+    di = cat.database_info("bronze")
+    assert di["name"] == cat.db("bronze") and di["location"]
+
+    si = {s["layer"]: s for s in cat.schema_info()}
+    assert set(si) == {"logs", "bronze", "silver", "gold"}
+    assert "crm_customers_raw" in si["bronze"]["tables"]
+    assert si["bronze"]["table_count"] == len(si["bronze"]["tables"])
+
+
 def test_create_table_comment_with_quotes(cat):
     from pyspark.sql import types as T
 

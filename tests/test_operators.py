@@ -298,6 +298,78 @@ def test_validate_and_log_records_errors(spark, tmp_path):
     cat.drop_layers()
 
 
+def test_declared_constraints_enforced_on_write(spark, tmp_path):
+    """S7 constraint surface: declare PK/CHECK/FK once, then every checked
+    write enforces them — a violating batch is refused (target untouched)
+    with the failures recorded to logs.error_log; a clean batch lands."""
+    import pytest
+
+    from sql_data_warehouse_analytics_project_spark import constraints as C
+    from sql_data_warehouse_analytics_project_spark.catalog import Catalog
+    from sql_data_warehouse_analytics_project_spark.ops.context import RunContext
+
+    cat = Catalog(spark, prefix="cons_")
+    cat.drop_layers()
+    cat.create_layers()
+    try:
+        ctx = RunContext(cat)
+        regions = spark.createDataFrame([(1, "eu"), (2, "na")], "region_id int, name string")
+        cat.append(regions, "silver", "regions")
+        cat.declare_constraints(
+            "silver",
+            "accounts",
+            [
+                {"rule": "primary_key", "columns": ["account_id"]},
+                {"rule": "range", "column": "balance", "min": 0, "max": 1e9},
+                {
+                    "rule": "foreign_key",
+                    "columns": ["region_id"],
+                    "ref_layer": "silver",
+                    "ref_table": "regions",
+                    "ref_columns": ["region_id"],
+                },
+            ],
+        )
+        assert len(cat.get_constraints("silver", "accounts")) == 3
+
+        bad = spark.createDataFrame(
+            # dup PK (10), negative balance, orphan FK (99); NULL FK is OK
+            [(10, 5.0, 1), (10, -2.0, 99), (11, 1.0, None)],
+            "account_id int, balance double, region_id int",
+        )
+        with pytest.raises(C.ConstraintViolationError) as exc:
+            cat.checked_append(bad, "silver", "accounts", run_context=ctx)
+        failed_names = {f["rule_name"] for f in exc.value.failures}
+        assert failed_names == {"unique_account_id", "range_balance", "foreign_key_region_id"}
+        assert not cat.table_exists("silver", "accounts")  # write refused
+        errs = ctx.get_unresolved_errors().collect()
+        assert len(errs) == 3 and all("CONSTRAINT_" in e.error_message for e in errs)
+
+        good = spark.createDataFrame(
+            [(10, 5.0, 1), (11, 1.0, None)],
+            "account_id int, balance double, region_id int",
+        )
+        summary = cat.checked_append(good, "silver", "accounts", run_context=ctx)
+        assert summary.filter("NOT passed").count() == 0
+        assert cat.read("silver", "accounts").count() == 2
+    finally:
+        cat.drop_layers()
+
+
+def test_iterate_without_frontier_coalesce(spark):
+    """frontier_partitions=None keeps the step's native parallelism."""
+    from sql_data_warehouse_analytics_project_spark.operators import setops
+
+    base = spark.createDataFrame([(0,)], "n int")
+    out = setops.iterate(
+        base,
+        lambda f, d: f.selectExpr("n + 1 AS n").filter("n < 4"),
+        max_depth=10,
+        frontier_partitions=None,
+    )
+    assert sorted(r.n for r in out.collect()) == [0, 1, 2, 3]
+
+
 def test_validate_unique_rule_is_null_safe(spark):
     """UNIQUE semantics: NULL-keyed rows are not uniqueness violations
     (they fail not_null instead). Regression for the count(1) -
