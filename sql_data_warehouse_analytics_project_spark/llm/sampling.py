@@ -1,0 +1,96 @@
+"""Deterministic hash-based sampling & splitting for training-data
+pipelines (north-star extension, beyond the reference's surface).
+
+``df.sample()`` is the wrong tool for corpus curation: its output depends
+on the RNG seed *and* the physical partitioning, so re-running after a
+repartition (or on a different cluster) silently yields a different
+sample, and train/test membership can't be recomputed later. The standard
+fix — used by every large-scale data pipeline — is content-addressed
+sampling: a row is kept iff ``hash(salt || id) mod M`` falls under the
+threshold. Fully deterministic, engine-portable (md5-based, so a DuckDB
+oracle replays it bit-exactly), stable under repartitioning, and
+map-side-only: every operator here is a pure column predicate with ZERO
+shuffles — it pushes into the scan pipeline at 100 TB.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Bucket space. 10^6 buckets ⇒ rate granularity of 0.0001%.
+DEFAULT_MOD = 1_000_000
+
+
+def hash_bucket(
+    id_col: str | Column, *, salt: str = "", mod: int = DEFAULT_MOD
+) -> Column:
+    """Uniform bucket in [0, mod) from the row id: first 60 bits of
+    md5(salt ‖ id) mod ``mod``. md5 rather than xxhash64 so an ANSI-SQL
+    oracle computes the identical bucket; the hot path is still one hash
+    per row inside codegen."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    h = F.conv(F.substring(F.md5(F.concat(F.lit(salt), c.cast("string"))), 1, 15), 16, 10)
+    return (h.cast("long") % mod).alias("bucket")
+
+
+def hash_sample(
+    df: DataFrame,
+    id_col: str,
+    fraction: float,
+    *,
+    salt: str = "sample",
+    mod: int = DEFAULT_MOD,
+) -> DataFrame:
+    """Keep a deterministic ~``fraction`` of rows (exact membership is a
+    pure function of the id — rerunning, repartitioning, or recomputing
+    downstream always selects the same rows)."""
+    return df.filter(hash_bucket(id_col, salt=salt, mod=mod) < int(fraction * mod))
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    fractions: Mapping[str, float],
+    *,
+    default_fraction: float = 0.0,
+    salt: str = "sample",
+    mod: int = DEFAULT_MOD,
+) -> DataFrame:
+    """Per-stratum deterministic sampling rates (e.g. downsample common
+    languages, keep all of rare ones) — the mixing-weights primitive of a
+    corpus pipeline. One predicate, no shuffle, no per-stratum pass."""
+    threshold = F.lit(int(default_fraction * mod))
+    for value, frac in fractions.items():
+        threshold = (
+            F.when(F.col(strata_col) == value, F.lit(int(frac * mod))).otherwise(threshold)
+        )
+    return df.filter(hash_bucket(id_col, salt=salt, mod=mod) < threshold)
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    splits: Mapping[str, float],
+    *,
+    salt: str = "split",
+    mod: int = DEFAULT_MOD,
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign every row to exactly one named split (train/val/test …) by
+    contiguous bucket ranges. Fractions must sum to ≤ 1; any remainder is
+    labeled NULL (excluded rows). Membership is recomputable forever from
+    (salt, id) — the property that makes held-out sets trustworthy."""
+    total = sum(splits.values())
+    if total > 1.0 + 1e-9:
+        raise ValueError(f"split fractions sum to {total} > 1")
+    bucket = hash_bucket(id_col, salt=salt, mod=mod)
+    expr: Column = F.lit(None).cast("string")
+    hi = 0
+    for name, frac in splits.items():
+        lo, hi = hi, hi + int(frac * mod)
+        expr = F.when((bucket >= lo) & (bucket < hi), F.lit(name)).otherwise(expr)
+    return df.withColumn(split_col, expr)

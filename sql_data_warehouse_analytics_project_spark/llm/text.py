@@ -152,6 +152,26 @@ def fingerprint(text: str | Column) -> Column:
     return F.sha2(normalized, 256)
 
 
+def rolling_fingerprint(
+    text: str | Column, *, base: int = 131, mod: int = 1_000_000_007
+) -> Column:
+    """Polynomial rolling hash over the token stream (Rabin–Karp style):
+    ``h = fold(tokens, (h, x) -> (h·base + x) mod M)`` with per-token
+    ``x = md5-60bit(token) mod M``. Order-sensitive (unlike the sorted
+    sha256 :func:`fingerprint`), incremental, and SQL-portable so the
+    DuckDB oracle replays it exactly. Empty token stream → 0.
+
+    All arithmetic stays in int64: h < M ≈ 2³⁰, so h·base + x < 2³⁸."""
+    toks = tokens(text)
+    tok_h = F.transform(
+        toks,
+        lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long") % mod,
+    )
+    return F.aggregate(
+        tok_h, F.lit(0).cast("long"), lambda h, x: (h * base + x) % mod
+    )
+
+
 def shingles(text: str | Column, n: int = 3) -> Column:
     """Word n-gram shingles → array<string> (distinct). The unit of
     near-duplicate detection for Jaccard/MinHash."""

@@ -480,6 +480,73 @@ def qd15_lsh_signatures_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_signatures(emb, num_planes=16).select("vec_id", "lsh_sig")
 
 
+@register(
+    "qd18_rolling_fingerprint",
+    f"""
+    SELECT doc_id,
+           CASE WHEN len({_TOKS}) = 0 THEN 0
+                ELSE list_reduce(
+                    list_transform({_TOKS},
+                        t -> CAST(CAST(concat('0x', substr(md5(t), 1, 15)) AS UBIGINT)
+                             % 1000000007 AS BIGINT)),
+                    (h, x) -> (h * 131 + x) % 1000000007)
+           END AS rolling_fp
+    FROM documents
+    """,
+)
+def qd18_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting via a polynomial rolling hash (Rabin–Karp
+    fold over the token stream) — the order-sensitive complement to qd01's
+    whitespace-normalized sha256; equal fingerprints ⇔ equal token
+    sequences, and the fold structure extends to windowed/incremental
+    fingerprinting. Every per-doc value is oracle-checked bit-exactly.
+    DuckDB's ``list_reduce`` seeds the fold with the first element; Spark's
+    ``aggregate`` seeds with 0 — identical here because ``0·base + x₀ = x₀``."""
+    docs = _docs(spark, sf_dir)
+    return docs.select("doc_id", text.rolling_fingerprint("text").alias("rolling_fp"))
+
+
+_BUCKET = (
+    "CAST(CAST(concat('0x', substr(md5('{salt}' || CAST(doc_id AS VARCHAR)), 1, 15))"
+    " AS UBIGINT) % 1000000 AS BIGINT)"
+)
+
+
+@register(
+    "qd19_hash_sample_split",
+    f"""
+    WITH sampled AS (
+      SELECT doc_id, lang,
+             {_BUCKET.format(salt='split')} AS split_bucket
+      FROM documents
+      WHERE {_BUCKET.format(salt='sample')} <
+            CASE lang WHEN 'en' THEN 500000 WHEN 'zh' THEN 1000000 ELSE 250000 END
+    )
+    SELECT doc_id, lang,
+           CASE WHEN split_bucket < 800000 THEN 'train'
+                WHEN split_bucket < 900000 THEN 'val'
+                ELSE 'test' END AS split
+    FROM sampled
+    """,
+)
+def qd19_hash_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible corpus curation end-to-end: stratified hash sampling
+    (50% en, 100% zh, 25% everything else — per-language mixing weights)
+    followed by a deterministic train/val/test split (80/10/10). Pure
+    column predicates — zero shuffles, membership recomputable from
+    (salt, doc_id) forever; the oracle replays both stages bit-exactly."""
+    from sql_data_warehouse_analytics_project_spark.llm import sampling
+
+    docs = _docs(spark, sf_dir)
+    sampled = sampling.stratified_hash_sample(
+        docs, "doc_id", "lang", {"en": 0.5, "zh": 1.0}, default_fraction=0.25
+    )
+    split = sampling.hash_split(
+        sampled, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    return split.select("doc_id", "lang", "split")
+
+
 # -- xxhash64-based operators: no SQL twin → rows-only driver check ---------
 
 

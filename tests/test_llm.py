@@ -194,6 +194,64 @@ def test_ivf_ann_recall_vs_exact(spark, sf_dir):
     assert recall >= 0.6, f"IVF recall too low: {recall}"
 
 
+def test_hash_sampling_deterministic_and_stratified(spark, sf_dir):
+    """Membership is a pure function of (salt, id): stable across runs and
+    physical partitionings; per-stratum rates hold (zh → keep all)."""
+    from sql_data_warehouse_analytics_project_spark.llm import sampling
+    from sql_data_warehouse_analytics_project_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = {r.doc_id for r in sampling.hash_sample(docs, "doc_id", 0.3).select("doc_id").collect()}
+    b = {
+        r.doc_id
+        for r in sampling.hash_sample(docs.repartition(7), "doc_id", 0.3)
+        .select("doc_id")
+        .collect()
+    }
+    assert a == b and 0 < len(a) < docs.count()
+
+    strat = sampling.stratified_hash_sample(
+        docs, "doc_id", "lang", {"zh": 1.0}, default_fraction=0.0
+    )
+    zh_total = docs.filter("lang = 'zh'").count()
+    assert strat.count() == zh_total  # zh kept fully, everything else dropped
+
+
+def test_hash_split_partitions_every_row_once(spark, sf_dir):
+    from sql_data_warehouse_analytics_project_spark.llm import sampling
+    from sql_data_warehouse_analytics_project_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    split = sampling.hash_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r.split: r.n for r in split.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}  # fractions sum to 1 → no NULLs
+    assert sum(counts.values()) == docs.count()
+    assert counts["train"] > counts["val"]  # 80/10/10 shape
+
+    import pytest
+
+    with pytest.raises(ValueError, match="> 1"):
+        sampling.hash_split(docs, "doc_id", {"a": 0.9, "b": 0.2})
+
+
+def test_rolling_fingerprint_is_order_sensitive(spark):
+    from sql_data_warehouse_analytics_project_spark.llm import text as T
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),
+            (2, "gamma beta alpha"),      # same tokens, different order
+            (3, "Alpha, beta; GAMMA!"),   # same token stream as doc 1
+            (4, ""),                      # empty → 0
+        ],
+        "doc_id int, text string",
+    )
+    fp = {r.doc_id: r.fp for r in df.select("doc_id", T.rolling_fingerprint("text").alias("fp")).collect()}
+    assert fp[1] == fp[3]  # punctuation/case-insensitive via tokenizer
+    assert fp[1] != fp[2]  # order matters (unlike the sha256 fingerprint)
+    assert fp[4] == 0
+
+
 def test_ngram_jaccard_hot_shingle_consistent_universe(spark):
     """When the hot-shingle cap fires, numerator and denominator must
     count over the same (filtered) shingle universe: two identical docs
