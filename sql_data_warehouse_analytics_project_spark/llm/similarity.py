@@ -173,6 +173,65 @@ def lsh_ann_topk(
     )
 
 
+def _kmeans_refine(base: DataFrame, cmat, n_iter: int):
+    """Spherical k-means (Lloyd) refinement of the IVF coarse quantizer.
+
+    Each iteration is ONE distributed pass: an Arrow-batched kernel
+    assigns its partition's vectors to the nearest (unit) centroid and
+    emits per-partition partial sums — (centroid, count, Σ unit-vector) —
+    so the driver combines at most ``partitions × centroids`` tiny rows,
+    never the corpus. Updated centroid = renormalized mean of assigned
+    unit vectors (the spherical-k-means update, which optimizes cosine
+    assignment); empty clusters keep their previous centroid. Partials
+    are combined in sorted order so the float reduction is reproducible.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = base.sparkSession
+    k, dim = cmat.shape
+    for _ in range(n_iter):
+        cn = np.linalg.norm(cmat, axis=1)
+        cn[cn == 0] = 1.0
+        bc = spark.sparkContext.broadcast(cmat / cn[:, None])
+
+        def partial(batches):
+            cu = bc.value
+            sums = np.zeros((k, dim))
+            counts = np.zeros(k, dtype=np.int64)
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                mat = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
+                norms = np.linalg.norm(mat, axis=1)
+                norms[norms == 0] = 1.0
+                unit = mat / norms[:, None]
+                # ties break toward the lower centroid index (np.argmax
+                # returns the first max), matching the assign kernel
+                a = np.argmax(unit @ cu.T, axis=1)
+                np.add.at(sums, a, unit)
+                np.add.at(counts, a, 1)
+            nz = np.nonzero(counts)[0]
+            if len(nz):
+                yield pd.DataFrame(
+                    {"cid": nz.astype(np.int32), "n": counts[nz], "s": list(sums[nz])}
+                )
+
+        rows = base.select("v").mapInPandas(
+            partial, schema="cid int, n long, s array<double>"
+        ).collect()
+        acc = np.zeros((k, dim))
+        tot = np.zeros(k, dtype=np.int64)
+        for r in sorted(rows, key=lambda r: (r["cid"], r["n"], r["s"])):
+            acc[r["cid"]] += np.asarray(r["s"], dtype=np.float64)
+            tot[r["cid"]] += r["n"]
+        nxt = cmat.copy()
+        occupied = tot > 0
+        nxt[occupied] = acc[occupied] / tot[occupied, None]
+        cmat = nxt
+    return cmat
+
+
 def ivf_ann_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -181,6 +240,7 @@ def ivf_ann_topk(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    kmeans_iters: int = 2,
 ) -> DataFrame:
     """IVF (inverted-file) approximate nearest neighbors — the second
     scale path alongside LSH bucketing: a coarse quantizer assigns every
@@ -189,10 +249,11 @@ def ivf_ann_topk(
     ``n_probe`` nearest centroids' buckets, so the exact-cosine rerank
     touches ~n_probe/n_centroids of the corpus instead of all of it.
 
-    Centroids are deterministic (the ``n_centroids`` lowest-id vectors —
-    a seeding choice, not a fit; Lloyd iterations are a straightforward
-    extension that would reuse the same assignment kernel). Recall is
-    gated in tests against the exact brute-force path."""
+    The quantizer seeds deterministically (the ``n_centroids`` lowest-id
+    vectors) and is refined with ``kmeans_iters`` spherical-Lloyd passes
+    (:func:`_kmeans_refine` — one distributed partial-sum pass each), so
+    cells track the data distribution instead of the seed draw; 0 turns
+    refinement off. Recall is gated in tests against brute force."""
     import numpy as np
     import pandas as pd
 
@@ -211,6 +272,9 @@ def ivf_ann_topk(
             " cosine double, rank int",
         )
     cmat = np.array([r[1] for r in cent_rows], dtype=np.float64)
+    if kmeans_iters and len(cent_rows) > 1:
+        refine_base = nonnull.select(F.col(vec_col).cast("array<double>").alias("v"))
+        cmat = _kmeans_refine(refine_base, cmat, kmeans_iters)
     cnorm = np.linalg.norm(cmat, axis=1)
     bc = embeddings.sparkSession.sparkContext.broadcast((cmat, cnorm))
     # the kernel only repeats ids — no arithmetic on them — so any id type

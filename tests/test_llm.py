@@ -194,6 +194,33 @@ def test_ivf_ann_recall_vs_exact(spark, sf_dir):
     assert recall >= 0.6, f"IVF recall too low: {recall}"
 
 
+def test_kmeans_refine_converges_on_separable_clusters(spark):
+    """Two well-separated direction clusters: after Lloyd passes each
+    centroid must align with its cluster's mean direction (cos > 0.99),
+    wherever the lowest-id seeds started."""
+    import numpy as np
+
+    from sql_data_warehouse_analytics_project_spark.llm import similarity
+
+    rows = []
+    for i in range(40):  # cluster A ~ +x, cluster B ~ +y (slight wobble)
+        rows.append((i, [1.0, 0.01 * (i % 5), 0.0]))
+        rows.append((100 + i, [0.01 * (i % 5), 1.0, 0.0]))
+    emb = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    base = emb.selectExpr("cast(embedding as array<double>) as v")
+    # seeds = two lowest-id vectors — BOTH from cluster A
+    seeds = np.array([[1.0, 0.0, 0.0], [1.0, 0.01, 0.0]])
+    out = similarity._kmeans_refine(base, seeds.copy(), n_iter=5)
+    units = out / np.linalg.norm(out, axis=1)[:, None]
+    best_x = max(u[0] for u in units)
+    best_y = max(u[1] for u in units)
+    assert best_x > 0.99 and best_y > 0.99  # one centroid per cluster
+
+    # refinement is reproducible bit-exactly (sorted partial combine)
+    out2 = similarity._kmeans_refine(base, seeds.copy(), n_iter=5)
+    assert np.array_equal(out, out2)
+
+
 def test_hash_sampling_deterministic_and_stratified(spark, sf_dir):
     """Membership is a pure function of (salt, id): stable across runs and
     physical partitionings; per-stratum rates hold (zh → keep all)."""
