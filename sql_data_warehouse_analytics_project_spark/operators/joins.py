@@ -109,6 +109,80 @@ def write_bucketed(
     writer.saveAsTable(table)
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: Sequence[str],
+    *,
+    left_ts: str,
+    right_ts: str,
+    right_values: Sequence[str],
+    tolerance_seconds: float | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """As-of (most-recent-match) join: every left row picks up the right
+    row with the greatest ``right_ts <= left_ts`` for the same ``by`` keys
+    — the time-series primitive Spark lacks as a built-in (DuckDB/Polars
+    expose it as ASOF JOIN; kdb as aj).
+
+    NOT implemented as the naive theta join (``l.ts >= r.ts`` explodes
+    into a per-key cross product before ranking). Instead the classic
+    merge formulation: tag and union both sides, sort each key's single
+    timeline once, and carry the latest right payload forward with
+    ``last(..., ignorenulls=True)`` over rows-unbounded-preceding. ONE
+    shuffle on the key columns, O(n log n) in each key's row count, no
+    row-pair blowup — survives 100 TB where both sides are fact-scale
+    (the window refuses nothing: every partition is one user's stream).
+
+    Right rows must be unique per (by, ts) — pre-aggregate if not
+    (equal-timestamp duplicates would make "the" most recent row
+    ambiguous). ``tolerance_seconds`` nulls out matches staler than the
+    given horizon (pandas ``merge_asof(tolerance=...)`` semantics).
+    Output: all left columns + ``<col><suffix>`` for each right value
+    column + ``<right_ts><suffix>`` for the matched timestamp.
+    """
+    keys = list(by)
+    vals = list(right_values)
+    out_ts = f"{right_ts}{suffix}"
+    l_tagged = left.select(
+        *keys,
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        *[c for c in left.columns if c not in keys],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"{c}{suffix}") for c in vals],
+        F.lit(None).cast(right.schema[right_ts].dataType).alias(out_ts),
+    )
+    r_tagged = right.select(
+        *keys,
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in left.columns if c not in keys],
+        *[F.col(c).alias(f"{c}{suffix}") for c in vals],
+        F.col(right_ts).alias(out_ts),
+    )
+    from pyspark.sql.window import Window
+
+    # right rows sort before left at equal ts (_side 0 < 1) → inclusive
+    # "<=" match, the ASOF default
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("_ts"), F.col("_side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = r_tagged.unionByName(l_tagged)
+    for c in [*[f"{v}{suffix}" for v in vals], out_ts]:
+        carried = carried.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    out = carried.filter(F.col("_side") == 1)
+    if tolerance_seconds is not None:
+        stale = (
+            F.unix_micros(F.col("_ts")) - F.unix_micros(F.col(out_ts))
+        ) > int(tolerance_seconds * 1_000_000)
+        for c in [*[f"{v}{suffix}" for v in vals], out_ts]:
+            out = out.withColumn(c, F.when(stale, F.lit(None)).otherwise(F.col(c)))
+    return out.drop("_ts", "_side")
+
+
 def classify_changes(
     source: DataFrame,
     target: DataFrame,

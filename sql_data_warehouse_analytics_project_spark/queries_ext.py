@@ -461,3 +461,154 @@ def q39_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_totalprice").cast("double").alias("o_totalprice"),
         )
     )
+
+
+@register(
+    "q40_asof_join",
+    """
+    WITH p AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ), c AS (
+      SELECT user_id, ts, event_id AS click_id FROM events WHERE event_type = 'click'
+    )
+    SELECT p.event_id, p.user_id, c.click_id,
+           epoch_us(p.ts) - epoch_us(c.ts) AS micros_since_click
+    FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def q40_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join — each purchase matched to the user's most recent click
+    at-or-before it, checked against DuckDB's NATIVE ASOF JOIN. The
+    operator (operators/joins.asof_join) is the union+ordered-window merge
+    formulation: one shuffle on user_id, no per-key pair blowup."""
+    from sql_data_warehouse_analytics_project_spark.operators import joins
+
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    out = joins.asof_join(
+        p, c, ["user_id"], left_ts="ts", right_ts="ts", right_values=["click_id"]
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("click_id_asof").alias("click_id"),
+        (F.unix_micros("ts") - F.unix_micros("ts_asof")).alias("micros_since_click"),
+    )
+
+
+@register(
+    "q41_distribution_windows",
+    """
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INTEGER) AS order_year,
+           CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume_d
+    FROM orders
+    WINDOW w AS (PARTITION BY year(o_orderdate)
+                 ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def q41_distribution_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 distribution functions: ntile / percent_rank / cume_dist per
+    order-year. The window orders by (price, key): ntile depends on ROW
+    order, so a non-total ordering would be nondeterministic distributed
+    (same risk class as LIMIT without total order, SURVEY §7.2 r4)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy(F.year("o_orderdate")).orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("int").alias("order_year"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume_d"),
+    )
+
+
+@register(
+    "q42_approx_sketches",
+    """
+    SELECT o_orderstatus,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_custkeys,
+           TRUE AS hll_within_5pct,
+           TRUE AS median_within_2pct
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q42_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregates for 100 TB cardinality work: HyperLogLog++
+    (``approx_count_distinct``) and t-digest-style quantiles
+    (``approx_percentile``) — mergeable, fixed-size state, one pass, vs
+    the exact versions' full shuffle of distinct values.
+
+    Sketches have no cross-engine twin, so the oracle checks an ACCURACY
+    GATE instead of values: the query emits booleans asserting the sketch
+    landed within its error envelope (HLL rsd=2% gated at 5%, quantile
+    accuracy 10⁻⁴ gated at 2%) and the oracle emits literal TRUE — a
+    drifting sketch hash-mismatches and turns the row red.
+
+    The exact distinct count is computed as a two-phase groupBy — mixing
+    ``count_distinct`` into the sketch aggregation forces Catalyst's
+    Expand rewrite (every row duplicated per aggregate group, codegen
+    disabled by the imperative sketch buffers): measured 8× slower than
+    the split plan, and the Expand blowup scales WITH the data."""
+    orders = load_table(spark, sf_dir, "orders")
+    sketches = orders.groupBy("o_orderstatus").agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("hll"),
+        F.expr("percentile(o_totalprice, 0.5)").alias("exact_median"),
+        F.expr("approx_percentile(o_totalprice, 0.5, 10000)").alias("approx_median"),
+    )
+    exact = (
+        orders.groupBy("o_orderstatus", "o_custkey")
+        .agg(F.lit(1).alias("_"))
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("exact_custkeys"))
+    )
+    agg = sketches.join(exact, "o_orderstatus")
+    return agg.select(
+        "o_orderstatus",
+        "exact_custkeys",
+        (
+            F.abs(F.col("hll") - F.col("exact_custkeys"))
+            / F.col("exact_custkeys")
+            <= 0.05
+        ).alias("hll_within_5pct"),
+        (
+            F.abs(F.col("approx_median") - F.col("exact_median"))
+            / F.col("exact_median")
+            <= 0.02
+        ).alias("median_within_2pct"),
+    )
+
+
+@register(
+    "q43_salted_join_parity",
+    """
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q43_salted_join_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew machinery correctness: ``salted_join`` (the manual remedy for
+    a pathological hot key that outgrows even AQE's skew splitting) must
+    be semantically invisible — same rows as the plain equi join, here
+    aggregated against the plain-join oracle. Salt replicates only the
+    orders side (×8) and splits each lineitem key across 8 shuffle
+    partitions."""
+    from sql_data_warehouse_analytics_project_spark.operators import joins
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    joined = joins.salted_join(li, orders, ["l_orderkey"], salt_buckets=8)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(money("l_extendedprice")).cast("double").alias("revenue"),
+    )

@@ -298,6 +298,53 @@ def test_validate_and_log_records_errors(spark, tmp_path):
     cat.drop_layers()
 
 
+def test_asof_join_semantics(spark):
+    """Most-recent-match semantics: inclusive <=, per-key isolation,
+    unmatched-left → NULL payload, tolerance nulls stale matches."""
+    from datetime import datetime as DT
+
+    from sql_data_warehouse_analytics_project_spark.operators import joins
+
+    left = spark.createDataFrame(
+        [
+            (1, "u1", DT(2024, 1, 1, 10, 0, 0)),   # matches r2 (exact tie)
+            (2, "u1", DT(2024, 1, 1, 12, 0, 0)),   # matches r3
+            (3, "u2", DT(2024, 1, 1, 9, 0, 0)),    # u2 has no right rows
+            (4, "u1", DT(2024, 1, 1, 8, 0, 0)),    # before any right row
+        ],
+        "lid int, user string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            ("u1", DT(2024, 1, 1, 9, 0, 0), 100.0),   # r1
+            ("u1", DT(2024, 1, 1, 10, 0, 0), 200.0),  # r2
+            ("u1", DT(2024, 1, 1, 11, 0, 0), 300.0),  # r3
+        ],
+        "user string, ts timestamp, price double",
+    )
+    out = {
+        r.lid: (r.price_asof, r.ts_asof)
+        for r in joins.asof_join(
+            left, right, ["user"], left_ts="ts", right_ts="ts", right_values=["price"]
+        ).collect()
+    }
+    assert out[1][0] == 200.0   # equal timestamps match (inclusive)
+    assert out[2][0] == 300.0   # latest at-or-before wins
+    assert out[3] == (None, None)  # key with no right rows
+    assert out[4] == (None, None)  # left row before any right row
+
+    # tolerance: lid=2 matched r3 one hour earlier — a 30-min horizon
+    # nulls it; lid=1's exact-tie match (0s stale) survives
+    tol = {
+        r.lid: r.price_asof
+        for r in joins.asof_join(
+            left, right, ["user"], left_ts="ts", right_ts="ts",
+            right_values=["price"], tolerance_seconds=1800,
+        ).collect()
+    }
+    assert tol[1] == 200.0 and tol[2] is None
+
+
 def test_declared_constraints_enforced_on_write(spark, tmp_path):
     """S7 constraint surface: declare PK/CHECK/FK once, then every checked
     write enforces them — a violating batch is refused (target untouched)
