@@ -183,6 +183,66 @@ def asof_join(
     return out.drop("_ts", "_side")
 
 
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: Sequence[str],
+    *,
+    left_start: str,
+    left_end: str,
+    right_point: str,
+    bucket_seconds: int,
+    how: str = "inner",
+) -> DataFrame:
+    """Point-in-interval range join at scale: every right row whose
+    ``right_point`` timestamp falls in a left row's
+    ``[left_start, left_end]`` (inclusive), matched per ``by`` keys.
+
+    Spark plans a raw inequality ON as BroadcastNestedLoopJoin (or a
+    per-key cross product) — quadratic per key. This is the standard
+    bucketization instead: intervals explode into the time buckets they
+    touch (⌈interval/bucket⌉+1 rows), points land in exactly ONE bucket,
+    and the join is a plain EQUI join on (keys, bucket) + an exact range
+    filter. Because each point has a single bucket, every true pair
+    appears exactly once — no dedup pass. Pick ``bucket_seconds`` near
+    the typical interval length: the left-side blowup stays ~2× and each
+    shuffle partition holds one key×bucket slice — this is how DuckDB/
+    Trino execute range joins internally (IEJoin-adjacent), expressed in
+    DataFrame ops.
+
+    ``how='left'`` keeps intervals with no points (right columns NULL) —
+    each left interval keeps ≥1 bucket row, so aggregate with
+    ``count(<right col>)`` (non-null) rather than ``count(*)``."""
+    if how not in ("inner", "left"):
+        raise ValueError("range_join supports inner/left")
+    keys = list(by)
+    w = F.lit(bucket_seconds * 1_000_000).cast("long")
+    l = left.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                (F.unix_micros(F.col(left_start)) / w).cast("long"),
+                (F.unix_micros(F.col(left_end)) / w).cast("long"),
+            )
+        ),
+    )
+    r = right.withColumn("_bucket", (F.unix_micros(F.col(right_point)) / w).cast("long"))
+    in_range = F.col(right_point).isNotNull() & F.col(right_point).between(
+        F.col(left_start), F.col(left_end)
+    )
+    if how == "inner":
+        return l.join(r, [*keys, "_bucket"]).filter(in_range).drop("_bucket")
+    # left join: out-of-range matches must degrade to NULLs, not drop the
+    # interval — null out right columns, conditioned inside the join
+    matched = l.join(r, [*keys, "_bucket"], "left")
+    right_cols = [c for c in right.columns if c not in keys]
+    for c in right_cols:
+        matched = matched.withColumn(
+            c, F.when(in_range, F.col(c)).otherwise(F.lit(None))
+        )
+    return matched.drop("_bucket")
+
+
 def classify_changes(
     source: DataFrame,
     target: DataFrame,

@@ -612,3 +612,55 @@ def q43_salted_join_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_items"),
         F.sum(money("l_extendedprice")).cast("double").alias("revenue"),
     )
+
+
+@register(
+    "q44_range_join",
+    """
+    WITH e AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'
+    ), c AS (
+      SELECT user_id, ts, value FROM events WHERE event_type = 'click'
+    )
+    SELECT e.event_id, e.user_id,
+           CAST(COUNT(c.ts) AS BIGINT) AS n_clicks_2min,
+           CAST(round(COALESCE(SUM(c.value), 0.0), 6) AS DOUBLE) AS click_value_2min
+    FROM e LEFT JOIN c
+      ON c.user_id = e.user_id
+     AND c.ts BETWEEN e.ts - INTERVAL 120 SECOND AND e.ts
+    GROUP BY e.event_id, e.user_id
+    """,
+)
+def q44_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (point-in-interval) join — click activity in the 2 minutes
+    before each error event, per user, checked against DuckDB's plain
+    inequality join. The operator (operators/joins.range_join) bucketizes
+    time so the plan is an EQUI join on (user, bucket) + exact filter —
+    no BroadcastNestedLoopJoin, no per-key cross product; ~2× left-side
+    blowup with bucket = window length."""
+    from sql_data_warehouse_analytics_project_spark.operators import joins
+
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id",
+        "user_id",
+        (F.col("ts") - F.expr("INTERVAL 120 SECOND")).alias("win_start"),
+        F.col("ts").alias("win_end"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts"), "value"
+    )
+    j = joins.range_join(
+        errors,
+        clicks,
+        ["user_id"],
+        left_start="win_start",
+        left_end="win_end",
+        right_point="click_ts",
+        bucket_seconds=120,
+        how="left",
+    )
+    return j.groupBy("event_id", "user_id").agg(
+        F.count("click_ts").alias("n_clicks_2min"),
+        F.round(F.coalesce(F.sum("value"), F.lit(0.0)), 6).alias("click_value_2min"),
+    )

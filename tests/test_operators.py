@@ -345,6 +345,50 @@ def test_asof_join_semantics(spark):
     assert tol[1] == 200.0 and tol[2] is None
 
 
+def test_range_join_bucketization_exact(spark):
+    """Bucketized point-in-interval join: inclusive bounds, cross-bucket
+    intervals, per-key isolation, exactly one row per true pair, and the
+    left variant keeps pointless intervals."""
+    from datetime import datetime as DT
+
+    from sql_data_warehouse_analytics_project_spark.operators import joins
+
+    iv = spark.createDataFrame(
+        [
+            (1, "u1", DT(2024, 1, 1, 10, 0, 0), DT(2024, 1, 1, 10, 2, 0)),
+            (2, "u1", DT(2024, 1, 1, 11, 59, 30), DT(2024, 1, 1, 12, 0, 30)),
+            (3, "u2", DT(2024, 1, 1, 10, 0, 0), DT(2024, 1, 1, 10, 2, 0)),
+        ],
+        "iid int, user string, s timestamp, e timestamp",
+    )
+    pts = spark.createDataFrame(
+        [
+            ("u1", DT(2024, 1, 1, 10, 0, 0), 1),   # on iv1 start (inclusive)
+            ("u1", DT(2024, 1, 1, 10, 2, 0), 2),   # on iv1 end (inclusive)
+            ("u1", DT(2024, 1, 1, 10, 2, 1), 3),   # just past iv1
+            ("u1", DT(2024, 1, 1, 12, 0, 0), 4),   # inside iv2, different bucket than s
+            ("u2", DT(2024, 1, 1, 10, 1, 0), 5),   # iv3 (key isolation)
+        ],
+        "user string, p timestamp, pid int",
+    )
+    inner = joins.range_join(
+        iv, pts, ["user"], left_start="s", left_end="e", right_point="p",
+        bucket_seconds=60,
+    )
+    pairs = sorted((r.iid, r.pid) for r in inner.collect())
+    assert pairs == [(1, 1), (1, 2), (2, 4), (3, 5)]
+    assert len(pairs) == len(set(pairs))  # no bucket-induced duplicates
+
+    left = joins.range_join(
+        iv.filter("iid = 1"),
+        pts.filter("pid = 3"),
+        ["user"], left_start="s", left_end="e", right_point="p",
+        bucket_seconds=60, how="left",
+    )
+    agg = left.groupBy("iid").agg(F.count("pid").alias("n")).collect()
+    assert [(r.iid, r.n) for r in agg] == [(1, 0)]  # interval kept, zero matches
+
+
 def test_declared_constraints_enforced_on_write(spark, tmp_path):
     """S7 constraint surface: declare PK/CHECK/FK once, then every checked
     write enforces them — a violating batch is refused (target untouched)
