@@ -152,6 +152,50 @@ def fingerprint(text: str | Column) -> Column:
     return F.sha2(normalized, 256)
 
 
+def tfidf_top_terms(
+    df: DataFrame, id_col: str, text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """Top-k characteristic terms per document by smoothed TF-IDF
+    (sklearn's formulation: ``idf = ln((N+1)/(df+1)) + 1``) — keyword
+    extraction / topic signal for corpus curation.
+
+    Plan: explode tokens → per-(doc, term) counts (one shuffle, map-side
+    combined) → document frequency per term (second aggregation over the
+    already-reduced (doc, term) pairs, never the raw tokens) → join tf⋈idf
+    on term (plain shuffle join — the vocabulary can be huge at corpus
+    scale, so no broadcast assumption; AQE promotes small vocabs) → top-k
+    window per doc. Ties break lexicographically so output is total-order
+    deterministic. Output: (id, term, tfidf, rank).
+    """
+    from pyspark.sql.window import Window
+
+    tok = df.select(F.col(id_col).alias("doc"), F.explode(tokens(text_col)).alias("term"))
+    tf = tok.groupBy("doc", "term").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = tf.select(F.countDistinct("doc").alias("n_docs"))
+    idf = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df_"))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "term",
+            (F.log((F.col("n_docs") + 1.0) / (F.col("df_") + 1.0)) + 1.0).alias("idf"),
+        )
+    )
+    w = Window.partitionBy("doc").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        tf.join(idf, "term")
+        .withColumn("tfidf", F.col("tf") * F.col("idf"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("doc").alias(id_col),
+            "term",
+            F.round("tfidf", 6).alias("tfidf"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
 def rolling_fingerprint(
     text: str | Column, *, base: int = 131, mod: int = 1_000_000_007
 ) -> Column:

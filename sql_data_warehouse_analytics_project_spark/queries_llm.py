@@ -579,3 +579,35 @@ def qd11_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate nearest neighbors (recall-gated in tests)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.lsh_ann_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
+
+
+@register(
+    "qd20_tfidf_top_terms",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2
+    ), nd AS (
+      SELECT count(DISTINCT doc_id) AS n_docs FROM tf
+    ), idf AS (
+      SELECT term, ln((nd.n_docs + 1.0) / (count(*) + 1.0)) + 1.0 AS idf
+      FROM tf, nd GROUP BY term, nd.n_docs
+    ), scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf * idf.idf AS tfidf,
+             row_number() OVER (PARTITION BY tf.doc_id
+                                ORDER BY tf.tf * idf.idf DESC, tf.term) AS rank
+      FROM tf JOIN idf USING (term)
+    )
+    SELECT doc_id, term, round(tfidf, 6) AS tfidf, CAST(rank AS INTEGER) AS rank
+    FROM scored WHERE rank <= 3
+    """,
+)
+def qd20_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by smoothed TF-IDF —
+    keyword extraction over the corpus, oracle-checked end to end
+    (term frequencies, document frequencies, and the ln-smoothed scores
+    are all replayed exactly; ties break lexicographically on both
+    sides so the top-k is total-order deterministic)."""
+    docs = _docs(spark, sf_dir)
+    return text.tfidf_top_terms(docs, "doc_id", k=3)
