@@ -270,6 +270,9 @@ class Catalog:
         if not specs:
             self.append(df, layer, table)
             return None
+        # materialize once: the constraint scans AND the append below all
+        # read the checkpointed batch instead of re-running its lineage
+        df = df.localCheckpoint(eager=True)
         summary = C.check(self, df, specs)
         failed = summary.filter(~F.col("passed")).collect()
         if run_context is not None:

@@ -59,16 +59,30 @@ class ConstraintViolationError(Exception):
         super().__init__(f"constraint violations writing {table}: {detail}")
 
 
+_CHECK_KINDS = ("not_null", "unique", "range", "regex", "data_type")
+
+
 def compile_constraints(
     specs: Sequence[Mapping[str, Any]],
 ) -> tuple[list[dict], list[dict]]:
     """Split declarations into single-table validate rules and FK probes.
     ``primary_key`` expands to per-column not_null + a composite unique —
-    exactly the checks PostgreSQL's PK constraint implies."""
+    exactly the checks PostgreSQL's PK constraint implies.
+
+    Rule kinds and severities are validated HERE, at declaration time —
+    a typo'd spec must fail the ``declare_constraints`` call, not brick
+    every later ``checked_append`` (enforcement also compares
+    ``severity == 'ERROR'``, so a miscased severity would otherwise
+    silently disable write refusal)."""
+    from sql_data_warehouse_analytics_project_spark.operators.validate import SEVERITIES
+
     rules: list[dict] = []
     fks: list[dict] = []
     for spec in specs:
         kind = spec["rule"]
+        sev = spec.get("severity", "ERROR")
+        if sev not in SEVERITIES:
+            raise ValueError(f"severity must be one of {SEVERITIES}: {sev!r}")
         if kind == "primary_key":
             for c in spec["columns"]:
                 rules.append({"rule": "not_null", "column": c, "severity": "ERROR"})
@@ -77,18 +91,30 @@ def compile_constraints(
             )
         elif kind == "foreign_key":
             fks.append(dict(spec))
-        else:
+        elif kind in _CHECK_KINDS:
             rules.append(dict(spec))
+        else:
+            raise ValueError(
+                f"unknown constraint rule {kind!r}; expected primary_key,"
+                f" foreign_key, or one of {_CHECK_KINDS}"
+            )
     return rules, fks
 
 
-def fk_summary(df: DataFrame, spec: Mapping[str, Any], parent: DataFrame) -> DataFrame:
+def fk_summary(
+    df: DataFrame,
+    spec: Mapping[str, Any],
+    parent: DataFrame,
+    *,
+    total_rows: int | None = None,
+) -> DataFrame:
     """One summary row (same shape as ``validate``'s output) counting child
     rows whose fully-non-NULL key has no match in the parent. The probe is
     a left-anti join on the key columns — a plain shuffle join at scale
     (AQE broadcasts small parents automatically); the parent side is
     key-projected and deduplicated before the join so only distinct keys
-    shuffle."""
+    shuffle. ``total_rows`` lets a caller checking several FKs share one
+    count instead of rescanning the batch per constraint."""
     cols = list(spec["columns"])
     ref_cols = list(spec.get("ref_columns", cols))
     sev = spec.get("severity", "ERROR")
@@ -100,7 +126,7 @@ def fk_summary(df: DataFrame, spec: Mapping[str, Any], parent: DataFrame) -> Dat
         *[F.col(rc).alias(c) for rc, c in zip(ref_cols, cols)]
     ).dropDuplicates()
     orphans = child.join(keys, cols, "left_anti").count()
-    total = df.count()
+    total = df.count() if total_rows is None else total_rows
     return df.sparkSession.createDataFrame(
         [(name, "foreign_key", sev, orphans, total, orphans == 0)],
         "rule_name string, rule_type string, severity string,"
@@ -113,14 +139,20 @@ def check(catalog, df: DataFrame, specs: Sequence[Mapping[str, Any]]) -> DataFra
     per-rule summary (rule_name, rule_type, severity, violation_count,
     total_rows, passed). ``catalog`` resolves FK parents via
     ``Catalog.read`` (soft-deleted parent rows don't count as match
-    targets, mirroring the standing ``is_deleted`` filter)."""
+    targets, mirroring the standing ``is_deleted`` filter).
+
+    This evaluates the batch several times (validate pass, per-FK
+    anti-join, shared row count) — callers with an expensive upstream
+    lineage should hand in a materialized batch;
+    ``Catalog.checked_append`` localCheckpoints before calling."""
     rules, fks = compile_constraints(specs)
     parts: list[DataFrame] = []
     if rules or not fks:
         parts.append(validate(df, rules))
+    total = df.count() if fks else None
     for fk in fks:
         parent = catalog.read(fk["ref_layer"], fk["ref_table"])
-        parts.append(fk_summary(df, fk, parent))
+        parts.append(fk_summary(df, fk, parent, total_rows=total))
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

@@ -221,16 +221,19 @@ def incremental_batch(
     if last_processed_value is not None:
         out = out.filter(F.col(incremental_column) > F.lit(last_processed_value))
     if batch_size is not None:
+        cut = "_cutoff"
+        while cut in out.columns:  # never shadow a source column
+            cut += "_"
         cutoff = (
             out.select(incremental_column)
             .orderBy(F.col(incremental_column))
             .limit(batch_size)
-            .agg(F.max(incremental_column).alias("_cutoff"))
+            .agg(F.max(incremental_column).alias(cut))
         )
         out = (
             out.crossJoin(F.broadcast(cutoff))
-            .filter(F.col(incremental_column) <= F.col("_cutoff"))
-            .drop("_cutoff")
+            .filter(F.col(incremental_column) <= F.col(cut))
+            .drop(cut)
         )
     return out
 

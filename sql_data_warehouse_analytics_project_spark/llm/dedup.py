@@ -19,7 +19,12 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from sql_data_warehouse_analytics_project_spark.llm.text import fingerprint, shingles, tokens
+from sql_data_warehouse_analytics_project_spark.llm.text import (
+    fingerprint,
+    md5_60bit,
+    shingles,
+    tokens,
+)
 
 
 # ---------------------------------------------------------------------------
@@ -192,13 +197,7 @@ def minhash_signatures_portable(
     )
     mins = sh.groupBy("doc").agg(
         *[
-            F.min(
-                F.conv(
-                    F.substring(F.md5(F.concat(F.col("s"), F.lit(f"#{i}"))), 1, 15),
-                    16,
-                    10,
-                ).cast("long")
-            ).alias(f"h{i}")
+            F.min(md5_60bit(F.concat(F.col("s"), F.lit(f"#{i}")))).alias(f"h{i}")
             for i in range(num_hashes)
         ]
     )
@@ -227,6 +226,13 @@ def minhash_dedup_pairs_portable(
     Band buckets are plain strings ``"<band>,<h_i>,...,<h_j>"`` instead of
     the production path's xxhash64(bucket) int64 — portable, and the join
     semantics (docs sharing any band collide) are identical."""
+    if num_bands <= 0 or num_hashes % num_bands != 0:
+        # silent trailing-hash truncation would quietly lower recall, and
+        # rows_per_band=0 would collapse every band into one bucket
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be a positive multiple of"
+            f" num_bands ({num_bands})"
+        )
     rows_per_band = num_hashes // num_bands
     sh = df.select(
         F.col(id_col).alias("doc"), F.explode(shingles(text_col, n)).alias("s")
@@ -234,13 +240,7 @@ def minhash_dedup_pairs_portable(
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
     mins = sh.groupBy("doc").agg(
         *[
-            F.min(
-                F.conv(
-                    F.substring(F.md5(F.concat(F.col("s"), F.lit(f"#{i}"))), 1, 15),
-                    16,
-                    10,
-                ).cast("long")
-            ).alias(f"h{i}")
+            F.min(md5_60bit(F.concat(F.col("s"), F.lit(f"#{i}")))).alias(f"h{i}")
             for i in range(num_hashes)
         ]
     )
@@ -303,10 +303,7 @@ def simhash_portable(
     SQL stays readable."""
     tok = df.select(
         F.col(id_col).alias("doc"), F.explode(tokens(text_col)).alias("t")
-    ).select(
-        "doc",
-        F.conv(F.substring(F.md5("t"), 1, 15), 16, 10).cast("long").alias("h"),
-    )
+    ).select("doc", md5_60bit(F.col("t")).alias("h"))
     h = F.col("h")
     sums = tok.groupBy("doc").agg(
         F.count(F.lit(1)).alias("n_"),
@@ -339,7 +336,15 @@ def lsh_candidate_pairs(
     sharing any band bucket → candidate pairs (id_a < id_b). With 64 hashes
     and 16 bands (r=4) the S-curve crosses ~0.5 at j≈0.7."""
     sig_len_row = signatures.select(F.size(sig_col).alias("n")).limit(1).collect()
-    rows_per_band = (sig_len_row[0]["n"] if sig_len_row else 0) // num_bands or 1
+    sig_len = sig_len_row[0]["n"] if sig_len_row else 0
+    if sig_len and (num_bands <= 0 or sig_len % num_bands != 0):
+        # a ragged split would band only the leading hashes (silent recall
+        # loss) or, past sig_len bands, bucket every doc together (O(n²))
+        raise ValueError(
+            f"signature length ({sig_len}) must be a positive multiple of"
+            f" num_bands ({num_bands})"
+        )
+    rows_per_band = sig_len // num_bands or 1
     bands = signatures.select(
         F.col(id_col).alias("doc"),
         F.explode(

@@ -20,6 +20,8 @@ from collections.abc import Mapping
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from sql_data_warehouse_analytics_project_spark.llm.text import md5_60bit
+
 #: Bucket space. 10^6 buckets ⇒ rate granularity of 0.0001%.
 DEFAULT_MOD = 1_000_000
 
@@ -32,8 +34,7 @@ def hash_bucket(
     oracle computes the identical bucket; the hot path is still one hash
     per row inside codegen."""
     c = F.col(id_col) if isinstance(id_col, str) else id_col
-    h = F.conv(F.substring(F.md5(F.concat(F.lit(salt), c.cast("string"))), 1, 15), 16, 10)
-    return (h.cast("long") % mod).alias("bucket")
+    return (md5_60bit(F.concat(F.lit(salt), c.cast("string"))) % mod).alias("bucket")
 
 
 def hash_sample(

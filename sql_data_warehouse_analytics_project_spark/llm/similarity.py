@@ -220,6 +220,7 @@ def _kmeans_refine(base: DataFrame, cmat, n_iter: int):
         rows = base.select("v").mapInPandas(
             partial, schema="cid int, n long, s array<double>"
         ).collect()
+        bc.unpersist()  # one broadcast per iteration — don't accumulate
         acc = np.zeros((k, dim))
         tot = np.zeros(k, dtype=np.int64)
         for r in sorted(rows, key=lambda r: (r["cid"], r["n"], r["s"])):

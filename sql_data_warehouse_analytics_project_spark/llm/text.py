@@ -30,6 +30,16 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 EN_STOPWORDS = LANG_MARKERS["en"] + ("on", "with", "as", "at", "by", "this")
 
 
+def md5_60bit(c: Column) -> Column:
+    """First 60 bits of md5 as a non-negative int64 — THE engine-portable
+    hash every oracle-checked twin shares (DuckDB spelling:
+    ``CAST(CAST(concat('0x', substr(md5(x), 1, 15)) AS UBIGINT) AS
+    BIGINT)``). 15 hex chars so the value fits signed int64 in both
+    engines; keep this single definition and the SQL twins in lockstep —
+    a drift in either breaks every portable oracle at once."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
 def tokens(text: str | Column) -> Column:
     """Lowercase whitespace+punctuation tokenization → array<string>."""
     c = F.col(text) if isinstance(text, str) else text
@@ -207,10 +217,7 @@ def rolling_fingerprint(
 
     All arithmetic stays in int64: h < M ≈ 2³⁰, so h·base + x < 2³⁸."""
     toks = tokens(text)
-    tok_h = F.transform(
-        toks,
-        lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long") % mod,
-    )
+    tok_h = F.transform(toks, lambda t: md5_60bit(t) % mod)
     return F.aggregate(
         tok_h, F.lit(0).cast("long"), lambda h, x: (h * base + x) % mod
     )

@@ -144,13 +144,22 @@ def asof_join(
     keys = list(by)
     vals = list(right_values)
     out_ts = f"{right_ts}{suffix}"
+    # the right payload travels as ONE struct so the match is always a
+    # whole right row — carrying each value column independently with
+    # last(ignorenulls) would backfill a NULL field from an OLDER right
+    # row, fabricating composite rows no engine's ASOF join produces
+    payload = F.struct(F.col(right_ts).alias("_pts"), *[F.col(c) for c in vals])
     l_tagged = left.select(
         *keys,
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_side"),
         *[c for c in left.columns if c not in keys],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"{c}{suffix}") for c in vals],
-        F.lit(None).cast(right.schema[right_ts].dataType).alias(out_ts),
+        F.lit(None).cast(
+            "struct<_pts:"
+            + right.schema[right_ts].dataType.simpleString()
+            + "".join(f",{c}:{right.schema[c].dataType.simpleString()}" for c in vals)
+            + ">"
+        ).alias("_payload"),
     )
     r_tagged = right.select(
         *keys,
@@ -158,8 +167,7 @@ def asof_join(
         F.lit(0).alias("_side"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c)
           for c in left.columns if c not in keys],
-        *[F.col(c).alias(f"{c}{suffix}") for c in vals],
-        F.col(right_ts).alias(out_ts),
+        payload.alias("_payload"),
     )
     from pyspark.sql.window import Window
 
@@ -170,17 +178,23 @@ def asof_join(
         .orderBy(F.col("_ts"), F.col("_side"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = r_tagged.unionByName(l_tagged)
-    for c in [*[f"{v}{suffix}" for v in vals], out_ts]:
-        carried = carried.withColumn(c, F.last(c, ignorenulls=True).over(w))
-    out = carried.filter(F.col("_side") == 1)
+    out = (
+        r_tagged.unionByName(l_tagged)
+        .withColumn("_payload", F.last("_payload", ignorenulls=True).over(w))
+        .filter(F.col("_side") == 1)
+    )
     if tolerance_seconds is not None:
         stale = (
-            F.unix_micros(F.col("_ts")) - F.unix_micros(F.col(out_ts))
+            F.unix_micros(F.col("_ts")) - F.unix_micros(F.col("_payload._pts"))
         ) > int(tolerance_seconds * 1_000_000)
-        for c in [*[f"{v}{suffix}" for v in vals], out_ts]:
-            out = out.withColumn(c, F.when(stale, F.lit(None)).otherwise(F.col(c)))
-    return out.drop("_ts", "_side")
+        out = out.withColumn(
+            "_payload", F.when(stale, F.lit(None)).otherwise(F.col("_payload"))
+        )
+    return out.select(
+        *[c for c in out.columns if c not in ("_ts", "_side", "_payload")],
+        *[F.col(f"_payload.{c}").alias(f"{c}{suffix}") for c in vals],
+        F.col("_payload._pts").alias(out_ts),
+    )
 
 
 def range_join(
@@ -210,14 +224,20 @@ def range_join(
     Trino execute range joins internally (IEJoin-adjacent), expressed in
     DataFrame ops.
 
-    ``how='left'`` keeps intervals with no points (right columns NULL) —
-    each left interval keeps ≥1 bucket row, so aggregate with
-    ``count(<right col>)`` (non-null) rather than ``count(*)``."""
+    ``how='left'`` has exact SQL LEFT JOIN multiplicity: one row per
+    matching pair, and exactly ONE all-NULL-right row for an interval
+    with no matches (implemented as inner matches ∪ anti-joined leftovers
+    — the bucket explosion never leaks phantom rows into the output)."""
     if how not in ("inner", "left"):
         raise ValueError("range_join supports inner/left")
     keys = list(by)
     w = F.lit(bucket_seconds * 1_000_000).cast("long")
-    l = left.withColumn(
+    lid = "_range_join_lid"
+    # row identity for the left-join leftovers; stable because both the
+    # matched and anti-join branches derive from this one tagged plan
+    # over a deterministic scan partitioning
+    left_tagged = left.withColumn(lid, F.monotonically_increasing_id())
+    l = left_tagged.withColumn(
         "_bucket",
         F.explode(
             F.sequence(
@@ -230,17 +250,16 @@ def range_join(
     in_range = F.col(right_point).isNotNull() & F.col(right_point).between(
         F.col(left_start), F.col(left_end)
     )
+    matched = l.join(r, [*keys, "_bucket"]).filter(in_range).drop("_bucket")
     if how == "inner":
-        return l.join(r, [*keys, "_bucket"]).filter(in_range).drop("_bucket")
-    # left join: out-of-range matches must degrade to NULLs, not drop the
-    # interval — null out right columns, conditioned inside the join
-    matched = l.join(r, [*keys, "_bucket"], "left")
-    right_cols = [c for c in right.columns if c not in keys]
-    for c in right_cols:
-        matched = matched.withColumn(
-            c, F.when(in_range, F.col(c)).otherwise(F.lit(None))
-        )
-    return matched.drop("_bucket")
+        return matched.drop(lid)
+    unmatched = left_tagged.join(
+        matched.select(lid).distinct(), lid, "left_anti"
+    ).select(
+        "*", *[F.lit(None).cast(right.schema[c].dataType).alias(c)
+               for c in right.columns if c not in keys]
+    )
+    return matched.unionByName(unmatched).drop(lid)
 
 
 def classify_changes(

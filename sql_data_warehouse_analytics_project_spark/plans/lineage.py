@@ -60,10 +60,15 @@ def traverse(
     # the bounded fixpoint embeds this subtree once per depth level —
     # materialize so the edge derivation (scan + distinct) computes once
     # (localCheckpoint, not persist: no CacheManager residue — see dedup).
-    # Coalesced first: lineage edges are metadata-scale (tables × tables),
-    # and every depth's join launches one task per edge partition — 8 beats
-    # the session's full shuffle-partition count for a KB-sized edge list.
-    oriented = oriented.coalesce(8).localCheckpoint(eager=True)
+    # In small-graph mode, coalesce first: every depth's join launches one
+    # task per edge partition, and 8 beats the session's full
+    # shuffle-partition count for a KB-sized edge list. The dense-graph
+    # escape hatch (broadcast_frontier=False) keeps the edge table's
+    # native parallelism — a hardcoded coalesce would cap every depth at
+    # 8 tasks on exactly the graphs that need the cluster.
+    if broadcast_frontier:
+        oriented = oriented.coalesce(8)
+    oriented = oriented.localCheckpoint(eager=True)
 
     spark = lineage.sparkSession
     base = spark.createDataFrame(

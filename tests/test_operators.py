@@ -345,6 +345,65 @@ def test_asof_join_semantics(spark):
     assert tol[1] == 200.0 and tol[2] is None
 
 
+def test_asof_join_null_payload_is_not_backfilled(spark):
+    """The matched right row travels as ONE struct: a NULL field in the
+    most recent right row must come through as NULL, never backfilled
+    from an older right row (which would fabricate a composite match)."""
+    from datetime import datetime as DT
+
+    from sql_data_warehouse_analytics_project_spark.operators import joins
+
+    left = spark.createDataFrame(
+        [(1, "u", DT(2024, 1, 1, 10, 30))], "lid int, user string, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [
+            ("u", DT(2024, 1, 1, 9, 0), 100.0, "a"),
+            ("u", DT(2024, 1, 1, 10, 0), None, "b"),  # most recent: price NULL
+        ],
+        "user string, ts timestamp, price double, tag string",
+    )
+    row = joins.asof_join(
+        left, right, ["user"], left_ts="ts", right_ts="ts",
+        right_values=["price", "tag"],
+    ).collect()[0]
+    assert row.tag_asof == "b" and row.price_asof is None  # whole 10:00 row
+    assert row.ts_asof == DT(2024, 1, 1, 10, 0)
+
+
+def test_range_join_left_multiplicity_is_sql_exact(spark):
+    """how='left' must behave like SQL LEFT JOIN: one row per match (no
+    phantom NULL rows from other buckets), exactly one NULL row for a
+    matchless interval — count(*) equals matches, not bucket blowup."""
+    from datetime import datetime as DT
+
+    from sql_data_warehouse_analytics_project_spark.operators import joins
+
+    iv = spark.createDataFrame(
+        [
+            # spans 3 buckets (60s), one matching point
+            (1, "u", DT(2024, 1, 1, 10, 0, 30), DT(2024, 1, 1, 10, 2, 30)),
+            # same bucket as two out-of-range points, zero matches
+            (2, "u", DT(2024, 1, 1, 12, 0, 0), DT(2024, 1, 1, 12, 0, 10)),
+        ],
+        "iid int, user string, s timestamp, e timestamp",
+    )
+    pts = spark.createDataFrame(
+        [
+            ("u", DT(2024, 1, 1, 10, 1, 0), 1),
+            ("u", DT(2024, 1, 1, 12, 0, 20), 2),  # in iv2's bucket, out of range
+            ("u", DT(2024, 1, 1, 12, 0, 40), 3),  # in iv2's bucket, out of range
+        ],
+        "user string, p timestamp, pid int",
+    )
+    out = joins.range_join(
+        iv, pts, ["user"], left_start="s", left_end="e", right_point="p",
+        bucket_seconds=60, how="left",
+    )
+    rows = sorted((r.iid, r.pid) for r in out.collect())
+    assert rows == [(1, 1), (2, None)]  # exact SQL LEFT JOIN multiplicity
+
+
 def test_range_join_bucketization_exact(spark):
     """Bucketized point-in-interval join: inclusive bounds, cross-bucket
     intervals, per-key isolation, exactly one row per true pair, and the
