@@ -664,3 +664,35 @@ def q44_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("click_ts").alias("n_clicks_2min"),
         F.round(F.coalesce(F.sum("value"), F.lit(0.0)), 6).alias("click_value_2min"),
     )
+
+
+@register(
+    "q45_string_functions",
+    """
+    SELECT p_partkey,
+           CAST(levenshtein(lower(p_name), lower(p_type)) AS INTEGER) AS name_type_dist,
+           reverse(p_name) AS rev_name,
+           lpad(p_brand, 12, '*') AS brand_padded,
+           translate(p_name, 'aeiou', '12345') AS name_translated,
+           split_part(p_name, ' ', 1) AS first_word,
+           CAST(strpos(p_name, 'e') AS INTEGER) AS first_e_pos,
+           repeat(substr(p_type, 1, 3), 2) AS type_echo
+    FROM part
+    """,
+)
+def q45_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 string-scalar battery — levenshtein / reverse / lpad /
+    translate / split_part / instr / repeat / substring, every value
+    oracle-checked (both engines implement the same SQL semantics:
+    1-based positions, 0 when absent, Levenshtein edit distance)."""
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.levenshtein(F.lower("p_name"), F.lower("p_type")).cast("int").alias("name_type_dist"),
+        F.reverse("p_name").alias("rev_name"),
+        F.lpad("p_brand", 12, "*").alias("brand_padded"),
+        F.translate("p_name", "aeiou", "12345").alias("name_translated"),
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias("first_word"),
+        F.instr("p_name", "e").cast("int").alias("first_e_pos"),
+        F.repeat(F.substring("p_type", 1, 3), 2).alias("type_echo"),
+    )

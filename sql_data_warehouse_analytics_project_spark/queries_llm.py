@@ -534,10 +534,12 @@ def qd19_hash_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     (50% en, 100% zh, 25% everything else — per-language mixing weights)
     followed by a deterministic train/val/test split (80/10/10). Pure
     column predicates — zero shuffles, membership recomputable from
-    (salt, doc_id) forever; the oracle replays both stages bit-exactly."""
+    (salt, doc_id) forever; the oracle replays both stages bit-exactly.
+    Reads the raw table (not ``_docs``): sampling has no tokenizer hot
+    path, so the repartition would add the plan's ONLY exchange."""
     from sql_data_warehouse_analytics_project_spark.llm import sampling
 
-    docs = _docs(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
     sampled = sampling.stratified_hash_sample(
         docs, "doc_id", "lang", {"en": 0.5, "zh": 1.0}, default_fraction=0.25
     )

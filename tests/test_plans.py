@@ -148,3 +148,37 @@ def test_partitioned_table_prunes_partitions(spark):
     assert "PartitionFilters: [" in p
     assert "business_date" in p.split("PartitionFilters")[1].split("]")[0]
     assert q.count() == 10
+
+
+def test_asof_join_is_single_shuffle(plans):
+    """asof_join's scale claim: the union+window merge shuffles ONCE (on
+    the key columns for the window) — never a per-key cross product, a
+    sort-merge join, or a nested-loop join."""
+    p = plans("q40_asof_join")
+    for bad in ("SortMergeJoin", "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert bad not in p, bad
+    # exactly one exchange feeds the window (AQE may reuse it)
+    n_exchanges = p.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, f"expected 1 shuffle, saw {n_exchanges}:\n{p}"
+    assert "Window" in p
+
+
+def test_range_join_is_equi_join(plans):
+    """range_join's scale claim: bucketization turns the interval
+    predicate into a hash-partitioned EQUI join — BroadcastNestedLoopJoin
+    or CartesianProduct in this plan means the rewrite regressed."""
+    p = plans("q44_range_join")
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p) or (
+        "BroadcastHashJoin" in p  # AQE may promote the small test side
+    )
+
+
+def test_hash_sampling_is_map_side_only(plans):
+    """qd19's zero-shuffle claim: deterministic sampling + splitting is a
+    pure column predicate — no Exchange anywhere in the plan."""
+    p = plans("qd19_hash_sample_split")
+    assert "Exchange" not in p.split("== Initial Plan ==")[0].replace(
+        "ReusedExchange", ""
+    ), p
