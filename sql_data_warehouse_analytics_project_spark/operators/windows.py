@@ -218,3 +218,42 @@ def cohort_retention(
             2,
         ).alias("retention_pct"),
     )
+
+
+def date_spine(df: DataFrame, keys: Sequence[str], date_col: str) -> DataFrame:
+    """Dense per-key calendar: one row per key per day across that key's
+    [min, max] date range — the spine for gap-filling sparse time series
+    (a reporting query that skips empty days silently lies about them).
+
+    One aggregation to find each key's range, then ``sequence`` + explode
+    generates days inside the executors — the spine never routes through
+    the driver and its row count is Σ per-key day-spans, independent of
+    the source row count."""
+    rng = df.groupBy(*keys).agg(
+        F.min(date_col).alias("_d0"), F.max(date_col).alias("_d1")
+    )
+    return rng.select(
+        *keys, F.explode(F.sequence("_d0", "_d1")).alias(date_col)
+    )
+
+
+def forward_fill(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    cols: Sequence[str],
+    *,
+    suffix: str = "_ffill",
+) -> DataFrame:
+    """Carry each column's last non-NULL value forward along the key's
+    timeline (`last(ignorenulls)` over rows-unbounded-preceding — one
+    shuffle on the keys, same frame the asof join rides)."""
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(order_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = df
+    for c in cols:
+        out = out.withColumn(f"{c}{suffix}", F.last(c, ignorenulls=True).over(w))
+    return out

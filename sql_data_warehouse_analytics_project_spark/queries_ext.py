@@ -696,3 +696,58 @@ def q45_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.instr("p_name", "e").cast("int").alias("first_e_pos"),
         F.repeat(F.substring("p_type", 1, 3), 2).alias("type_echo"),
     )
+
+
+@register(
+    "q46_resample_gap_fill",
+    """
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             count(*) AS n, round(sum(value), 6) AS day_value
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    ), rng AS (
+      SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1
+    ), spine AS (
+      SELECT user_id,
+             unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+      FROM rng
+    ), j AS (
+      SELECT s.user_id, s.day,
+             coalesce(d.n, 0) AS n_events, d.day_value
+      FROM spine s LEFT JOIN daily d USING (user_id, day)
+    )
+    SELECT user_id, day,
+           CAST(n_events AS BIGINT) AS n_events,
+           round(last_value(day_value IGNORE NULLS) OVER (
+                 PARTITION BY user_id ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+           AS value_ffill
+    FROM j
+    """,
+)
+def q46_resample_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling: daily purchase activity per user with the
+    EMPTY days materialized (date_spine) and the last seen daily value
+    carried forward (forward_fill) — a sparse series densified without
+    driver-side loops. Spine generation and the fill are both per-key
+    distributed ops; the oracle replays spine, join, and fill exactly."""
+    from sql_data_warehouse_analytics_project_spark.operators import windows as W
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 6).alias("day_value"),
+        )
+    )
+    spine = W.date_spine(daily, ["user_id"], "day")
+    j = spine.join(daily, ["user_id", "day"], "left")
+    filled = W.forward_fill(j, ["user_id"], "day", ["day_value"])
+    return filled.select(
+        "user_id",
+        "day",
+        F.coalesce("n", F.lit(0)).cast("bigint").alias("n_events"),
+        F.round("day_value_ffill", 6).alias("value_ffill"),
+    )

@@ -536,3 +536,28 @@ def test_validate_unique_rule_is_null_safe(spark):
     ).collect()}
     assert out["unique_k"].violation_count == 1  # only the duplicated k=1
     assert out["not_null_k"].violation_count == 2
+
+
+def test_date_spine_and_forward_fill(spark):
+    from datetime import date
+
+    from sql_data_warehouse_analytics_project_spark.operators import windows as W
+
+    df = spark.createDataFrame(
+        [
+            ("a", date(2024, 1, 1), 1.0),
+            ("a", date(2024, 1, 4), 4.0),   # 2-day gap
+            ("b", date(2024, 2, 1), 9.0),   # singleton range
+        ],
+        "k string, d date, v double",
+    )
+    spine = W.date_spine(df, ["k"], "d")
+    assert spine.count() == 5  # a: 4 days, b: 1 day
+    filled = W.forward_fill(
+        spine.join(df, ["k", "d"], "left"), ["k"], "d", ["v"]
+    )
+    vals = {(r.k, str(r.d)): r.v_ffill for r in filled.collect()}
+    assert vals[("a", "2024-01-02")] == 1.0  # gap carries last value
+    assert vals[("a", "2024-01-03")] == 1.0
+    assert vals[("a", "2024-01-04")] == 4.0
+    assert vals[("b", "2024-02-01")] == 9.0
