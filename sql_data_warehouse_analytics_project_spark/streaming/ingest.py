@@ -159,3 +159,24 @@ def sessionized_counts(
             "n_events",
         )
     )
+
+
+def dedup_stream(
+    stream: DataFrame,
+    keys: "list[str]",
+    ts_col: str,
+    *,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact-dedup: suppress records re-delivered within the
+    watermark horizon — the ingest guard for at-least-once sources
+    (replayed Kafka offsets, re-dropped files) in a training-data feed.
+
+    ``dropDuplicatesWithinWatermark`` keeps the FIRST arrival per key and
+    expires each key's state once the watermark passes it, so state size
+    is bounded by arrival-rate × horizon, never by stream history — the
+    property that makes this safe to run forever at 100 TB/day (a plain
+    streaming ``dropDuplicates`` grows state without bound)."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )

@@ -223,3 +223,46 @@ def test_bronze_sink_replay_is_idempotent(spark):
         assert per_batch == {"stream-0": 2, "stream-1": 2}
     finally:
         cat.drop_layers()
+
+
+def test_dedup_stream_suppresses_redelivery(spark, dropzone):
+    """At-least-once delivery: a record re-arriving in a later micro-batch
+    within the watermark horizon must be dropped; distinct keys all pass."""
+    from sql_data_warehouse_analytics_project_spark.streaming.ingest import dedup_stream
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("v", T.DoubleType()),
+        ]
+    )
+    with open(os.path.join(dropzone, "f1.csv"), "w") as f:
+        f.write("event_id,ts,v\n1,2024-01-01 00:00:01,1.0\n2,2024-01-01 00:00:02,2.0\n")
+    with open(os.path.join(dropzone, "f2.csv"), "w") as f:
+        # event 2 re-delivered (source replay), event 3 genuinely new
+        f.write("event_id,ts,v\n2,2024-01-01 00:00:02,2.0\n3,2024-01-01 00:00:03,3.0\n")
+
+    ckpt = tempfile.mkdtemp(prefix="ckpt_dedup_")
+    try:
+        stream = (
+            spark.readStream.schema(schema)
+            .option("header", True)
+            .option("maxFilesPerTrigger", 1)  # redelivery in a LATER batch
+            .csv(dropzone)
+        )
+        q = (
+            dedup_stream(stream, ["event_id"], "ts", watermark="1 hour")
+            .writeStream.format("memory")
+            .queryName("dedup_out")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {r.event_id for r in spark.table("dedup_out").collect()}
+        assert got == {1, 2, 3}
+        assert spark.table("dedup_out").count() == 3  # replay suppressed
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
