@@ -415,6 +415,53 @@ def minhash_dedup_pairs(
 
 
 # ---------------------------------------------------------------------------
+# Benchmark decontamination
+# ---------------------------------------------------------------------------
+
+
+def contaminated_ids(
+    df: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 5,
+    min_common: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination scan: training docs sharing ≥``min_common``
+    word ``n``-gram shingles with an evaluation corpus — the standard
+    guard against eval leakage into a training set. Returns
+    (id, n_common_shingles).
+
+    Plan: both corpora ride the int64 ``shingle_index``; the eval side is
+    reduced to DISTINCT shingles (benchmark suites are tiny next to the
+    training corpus — AQE broadcasts that side), the join output is just
+    (doc, shingle) hits, and the per-doc count is map-side combined.
+    The training text itself never shuffles."""
+    train = shingle_index(df, id_col, text_col, n)
+    evals = shingle_index(eval_df, id_col, text_col, n).select("shingle").distinct()
+    return (
+        train.join(evals, "shingle")
+        .groupBy("doc")
+        .agg(F.count(F.lit(1)).alias("n_common_shingles"))
+        .filter(F.col("n_common_shingles") >= min_common)
+        .select(F.col("doc").alias(id_col), "n_common_shingles")
+    )
+
+
+def decontaminate(
+    df: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 5,
+    min_common: int = 1,
+) -> DataFrame:
+    """Drop the contaminated docs (anti join on :func:`contaminated_ids`)."""
+    flagged = contaminated_ids(df, eval_df, id_col, text_col, n, min_common)
+    return df.join(flagged.select(id_col), id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 

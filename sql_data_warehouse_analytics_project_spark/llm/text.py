@@ -223,6 +223,36 @@ def rolling_fingerprint(
     )
 
 
+#: PII patterns shared verbatim with the SQL oracles. Kept inside the
+#: RE2 ∩ Java-regex common subset (no lookaround, no backreferences, no
+#: alternation whose leftmost-first vs leftmost-longest semantics differ)
+#: so both engines match identical spans.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    ("email", r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"),
+    ("ipv4", r"([0-9]{1,3}\.){3}[0-9]{1,3}"),
+)
+
+
+def redact_pii(text: str | Column) -> Column:
+    """Replace every PII match with a typed placeholder (``<EMAIL>``,
+    ``<IPV4>``) — the scrub stage of a training-data pipeline. Pure
+    ``regexp_replace`` chain: codegen'd, no UDF, order fixed (email
+    before ipv4 so an address inside an email-like token is consumed by
+    the earlier pattern, same as the oracle)."""
+    c = F.col(text) if isinstance(text, str) else text
+    out = c
+    for name, pat in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, f"<{name.upper()}>")
+    return out
+
+
+def pii_counts(text: str | Column) -> dict[str, Column]:
+    """Occurrences of each PII pattern (audit/reporting companion to
+    :func:`redact_pii`)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return {name: F.regexp_count(c, F.lit(pat)) for name, pat in PII_PATTERNS}
+
+
 def shingles(text: str | Column, n: int = 3) -> Column:
     """Word n-gram shingles → array<string> (distinct). The unit of
     near-duplicate detection for Jaccard/MinHash."""

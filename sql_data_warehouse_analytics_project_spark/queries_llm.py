@@ -613,3 +613,77 @@ def qd20_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     sides so the top-k is total-order deterministic)."""
     docs = _docs(spark, sf_dir)
     return text.tfidf_top_terms(docs, "doc_id", k=3)
+
+
+@register(
+    "qd21_pii_redaction",
+    """
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' contact user' || doc_id || '@example.com from 10.0.'
+                  || (doc_id % 256) || '.' || (doc_id % 100) AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}')) AS INTEGER) AS n_emails,
+           CAST(len(regexp_extract_all(t, '([0-9]{1,3}\\.){3}[0-9]{1,3}')) AS INTEGER) AS n_ipv4,
+           md5(regexp_replace(
+               regexp_replace(t, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+               '([0-9]{1,3}\\.){3}[0-9]{1,3}', '<IPV4>', 'g')) AS redacted_md5
+    FROM aug
+    """,
+)
+def qd21_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub end-to-end: every doc is salted with a synthetic email +
+    IPv4 (closed-form in doc_id, so the oracle builds the identical
+    input), then counts per pattern and the md5 of the REDACTED text are
+    compared — a single flipped or missed character anywhere in the
+    replacement chain fails the hash."""
+    docs = _docs(spark, sf_dir)
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id"), F.lit("@example.com from 10.0."),
+            F.col("doc_id") % 256, F.lit("."), F.col("doc_id") % 100,
+        ).alias("t"),
+    )
+    counts = text.pii_counts("t")
+    return aug.select(
+        "doc_id",
+        counts["email"].cast("int").alias("n_emails"),
+        counts["ipv4"].cast("int").alias("n_ipv4"),
+        F.md5(text.redact_pii("t")).alias("redacted_md5"),
+    )
+
+
+@register(
+    "qd22_decontamination",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS t FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(t[i:i+3], ' ') FOR i IN range(1, len(t)-2)]) AS shingles
+      FROM toks WHERE len(t) >= 4
+    ), train AS (
+      SELECT doc_id, unnest(shingles) AS s FROM sh WHERE doc_id % 50 <> 0
+    ), eval_sh AS (
+      SELECT DISTINCT unnest(shingles) AS s FROM sh WHERE doc_id % 50 = 0
+    )
+    SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_common_shingles
+    FROM train t JOIN eval_sh e ON t.s = e.s
+    GROUP BY t.doc_id
+    HAVING count(*) >= 1
+    """,
+)
+def qd22_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs (doc_id % 50 ≠ 0) sharing
+    any 4-gram with the held-out eval slice (doc_id % 50 = 0). The
+    production operator joins on int64-hashed shingles; the oracle joins
+    the shingle STRINGS — results agree up to xxhash64 collisions
+    (~2e-9 across this corpus), the same tolerance class qd02 rides."""
+    docs = _docs(spark, sf_dir)
+    train = docs.filter(F.col("doc_id") % 50 != 0)
+    evals = docs.filter(F.col("doc_id") % 50 == 0)
+    return dedup.contaminated_ids(train, evals, "doc_id", n=4, min_common=1)

@@ -319,3 +319,40 @@ def test_ivf_ann_degrades_with_fewer_centroids_than_probe(spark):
 
     empty = emb.filter("vec_id < 0")
     assert similarity.ivf_ann_topk(empty, emb, k=2).count() == 0
+
+
+def test_redact_pii_and_counts(spark):
+    from sql_data_warehouse_analytics_project_spark.llm import text as T
+
+    df = spark.createDataFrame(
+        [(1, "mail a.b+c@ex.co or 192.168.0.1; also plain text")],
+        "id int, text string",
+    )
+    counts = T.pii_counts("text")
+    row = df.select(
+        T.redact_pii("text").alias("red"),
+        counts["email"].alias("ne"),
+        counts["ipv4"].alias("ni"),
+    ).collect()[0]
+    assert row.red == "mail <EMAIL> or <IPV4>; also plain text"
+    assert row.ne == 1 and row.ni == 1
+
+
+def test_decontaminate_drops_leaked_docs(spark):
+    from sql_data_warehouse_analytics_project_spark.llm import dedup
+
+    evals = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id int, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "prefix words then the quick brown fox appears here"),  # leaked 4-gram
+            (2, "completely unrelated sentence about database engines"),
+        ],
+        "doc_id int, text string",
+    )
+    flagged = dedup.contaminated_ids(train, evals, "doc_id", n=4)
+    assert [r.doc_id for r in flagged.collect()] == [1]
+    clean = dedup.decontaminate(train, evals, "doc_id", n=4)
+    assert [r.doc_id for r in clean.collect()] == [2]
