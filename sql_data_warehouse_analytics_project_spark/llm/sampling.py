@@ -95,3 +95,42 @@ def hash_split(
         lo, hi = hi, hi + int(frac * mod)
         expr = F.when((bucket >= lo) & (bucket < hi), F.lit(name)).otherwise(expr)
     return df.withColumn(split_col, expr)
+
+
+def rebalance_mix(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    weights: Mapping[str, float],
+    *,
+    salt: str = "mix",
+    mod: int = DEFAULT_MOD,
+) -> DataFrame:
+    """Rebalance a corpus to target mixing proportions — THE dataset-mixing
+    primitive: given target weights w_s per stratum (language, source,
+    quality tier), downsample each stratum so the output hits the largest
+    feasible total T = min_s(n_s / w_s) with composition w_s·T, keeping
+    every row of the binding (scarcest-relative-to-target) stratum.
+
+    Entirely distributed: stratum counts are one aggregation, the binding
+    ratio is a one-row aggregate broadcast back, per-stratum keep-rates
+    ride a broadcast join, and membership is the deterministic md5 bucket
+    (same reproducibility contract as :func:`hash_sample`). Strata absent
+    from ``weights`` are dropped. No driver-side collect anywhere."""
+    spark = df.sparkSession
+    wdf = spark.createDataFrame(
+        [(k, float(v)) for k, v in weights.items()], f"{strata_col} string, _w double"
+    )
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("_n")).join(
+        wdf, strata_col
+    )
+    binding = counts.agg(F.min(F.col("_n") / F.col("_w")).alias("_t"))
+    rates = counts.crossJoin(F.broadcast(binding)).select(
+        strata_col,
+        (F.col("_w") * F.col("_t") / F.col("_n")).alias("_rate"),
+    )
+    return (
+        df.join(F.broadcast(rates), strata_col)
+        .filter(hash_bucket(id_col, salt=salt, mod=mod) < F.col("_rate") * mod)
+        .drop("_rate")
+    )

@@ -687,3 +687,36 @@ def qd22_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = docs.filter(F.col("doc_id") % 50 != 0)
     evals = docs.filter(F.col("doc_id") % 50 == 0)
     return dedup.contaminated_ids(train, evals, "doc_id", n=4, min_common=1)
+
+
+@register(
+    "qd23_rebalance_mix",
+    """
+    WITH w(lang, w) AS (VALUES ('en', 0.4), ('zh', 0.3), ('es', 0.3)),
+    counts AS (
+      SELECT d.lang, count(*) AS n, any_value(w.w) AS w
+      FROM documents d JOIN w ON d.lang = w.lang GROUP BY d.lang
+    ), binding AS (
+      SELECT min(n / w) AS t FROM counts
+    ), rates AS (
+      SELECT lang, w * binding.t / n AS rate FROM counts, binding
+    )
+    SELECT d.doc_id, d.lang
+    FROM documents d
+    JOIN rates r ON d.lang = r.lang
+    WHERE CAST(CAST(concat('0x', substr(md5('mix' || CAST(d.doc_id AS VARCHAR)), 1, 15))
+               AS UBIGINT) % 1000000 AS BIGINT) < r.rate * 1000000
+    """,
+)
+def qd23_rebalance_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset mixing: rebalance the corpus to 40/30/30 en/zh/es (other
+    languages dropped), downsampling via the deterministic hash bucket so
+    the blend is reproducible. Rate derivation (binding stratum, largest
+    feasible total) and membership are replayed exactly by the oracle."""
+    from sql_data_warehouse_analytics_project_spark.llm import sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = sampling.rebalance_mix(
+        docs, "doc_id", "lang", {"en": 0.4, "zh": 0.3, "es": 0.3}
+    )
+    return out.select("doc_id", "lang")

@@ -356,3 +356,25 @@ def test_decontaminate_drops_leaked_docs(spark):
     assert [r.doc_id for r in flagged.collect()] == [1]
     clean = dedup.decontaminate(train, evals, "doc_id", n=4)
     assert [r.doc_id for r in clean.collect()] == [2]
+
+
+def test_rebalance_mix_hits_target_proportions(spark):
+    from sql_data_warehouse_analytics_project_spark.llm import sampling
+
+    rows = (
+        [(i, "en") for i in range(800)]
+        + [(1000 + i, "zh") for i in range(100)]
+        + [(2000 + i, "es") for i in range(300)]
+        + [(3000 + i, "fr") for i in range(50)]  # not in weights → dropped
+    )
+    df = spark.createDataFrame(rows, "doc_id int, lang string")
+    out = sampling.rebalance_mix(df, "doc_id", "lang", {"en": 0.5, "zh": 0.25, "es": 0.25})
+    counts = {r.lang: r.n for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    # binding stratum: zh (100 / 0.25 = 400 = max total) → zh kept fully
+    assert counts["zh"] == 100
+    assert "fr" not in counts
+    # en/es downsampled toward 200/100 (hash sampling: ±~20% at n=100)
+    assert abs(counts["en"] - 200) <= 40 and abs(counts["es"] - 100) <= 30
+    # deterministic
+    again = sampling.rebalance_mix(df, "doc_id", "lang", {"en": 0.5, "zh": 0.25, "es": 0.25})
+    assert sorted(r.doc_id for r in out.collect()) == sorted(r.doc_id for r in again.collect())
