@@ -720,3 +720,62 @@ def qd23_rebalance_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "doc_id", "lang", {"en": 0.4, "zh": 0.3, "es": 0.3}
     )
     return out.select("doc_id", "lang")
+
+
+@register(
+    "qd24_int8_quantization",
+    """
+    WITH prep AS (
+      SELECT vec_id,
+             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+      FROM embeddings WHERE embedding IS NOT NULL
+    ), q AS (
+      SELECT e.vec_id, p.scale,
+             CASE WHEN p.scale > 0
+                  THEN list_transform(e.embedding, x -> CAST(round(CAST(x AS DOUBLE) / p.scale, 0) AS BIGINT))
+                  ELSE list_transform(e.embedding, x -> CAST(0 AS BIGINT)) END AS codes
+      FROM embeddings e JOIN prep p USING (vec_id)
+    )
+    SELECT vec_id,
+           round(scale, 9) AS scale,
+           array_to_string(codes, ',') AS codes,
+           CASE WHEN scale > 0 THEN
+             list_max(list_transform(list_zip(
+                 (SELECT embedding FROM embeddings x WHERE x.vec_id = q.vec_id),
+                 codes), p -> abs(CAST(p[1] AS DOUBLE) - p[2] * scale))) <= scale / 2.0 + 1e-12
+           ELSE TRUE END AS recon_err_bounded
+    FROM q
+    """,
+)
+def qd24_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization: per-vector scale, the full
+    code array (serialized — every code value hash-compared against the
+    oracle), and a reconstruction-error bound check (|v - code·scale| ≤
+    scale/2 element-wise). 4× storage cut for 100 TB embedding stores;
+    the math is pure column folds, replayed exactly by DuckDB."""
+    from sql_data_warehouse_analytics_project_spark.llm import vectors
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    q = emb.select(
+        "vec_id",
+        "embedding",
+        vectors.int8_scale("embedding").alias("scale"),
+        vectors.quantize_int8("embedding").alias("codes"),
+    )
+    recon_err = F.array_max(
+        F.zip_with(
+            F.col("embedding"),
+            vectors.dequantize_int8("codes", "scale"),
+            lambda a, b: F.abs(a.cast("double") - b),
+        )
+    )
+    return q.select(
+        "vec_id",
+        F.round("scale", 9).alias("scale"),
+        F.array_join(F.col("codes").cast("array<string>"), ",").alias("codes"),
+        F.when(F.col("scale") > 0, recon_err <= F.col("scale") / 2.0 + 1e-12)
+        .otherwise(F.lit(True))
+        .alias("recon_err_bounded"),
+    )

@@ -378,3 +378,31 @@ def test_rebalance_mix_hits_target_proportions(spark):
     # deterministic
     again = sampling.rebalance_mix(df, "doc_id", "lang", {"en": 0.5, "zh": 0.25, "es": 0.25})
     assert sorted(r.doc_id for r in out.collect()) == sorted(r.doc_id for r in again.collect())
+
+
+def test_int8_quantization_roundtrip(spark):
+    from sql_data_warehouse_analytics_project_spark.llm import vectors
+
+    df = spark.createDataFrame(
+        [(1, [1.0, -0.5, 0.25]), (2, [0.0, 0.0, 0.0]), (3, [127.0, -127.0, 0.0])],
+        "vec_id int, embedding array<double>",
+    )
+    out = df.select(
+        "vec_id",
+        "embedding",
+        vectors.int8_scale("embedding").alias("s"),
+        vectors.quantize_int8("embedding").alias("q"),
+        vectors.normalize("embedding").alias("unit"),
+    ).collect()
+    rows = {r.vec_id: r for r in out}
+    assert rows[1].q == [127, -64, 32]  # round(±v/scale), extremes hit ±127
+    assert rows[2].q == [0, 0, 0] and rows[2].s == 0.0  # zero vector safe
+    assert rows[3].q == [127, -127, 0]
+    # reconstruction error bounded by scale/2 element-wise
+    for r in (rows[1], rows[3]):
+        for v, c in zip(r.embedding, r.q):
+            assert abs(v - c * r.s) <= r.s / 2 + 1e-12
+    # normalization: unit norm; zero vector → NULL, not a crash
+    import math
+    assert abs(math.sqrt(sum(x * x for x in rows[1].unit)) - 1.0) < 1e-12
+    assert rows[2].unit is None
