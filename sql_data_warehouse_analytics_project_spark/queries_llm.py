@@ -13,9 +13,11 @@ Shared determinism contracts with the DuckDB oracles:
   the 0.4 threshold or a rounding half-point (~1e-9 odds per dataset)
 - MinHash/SimHash/LSH production paths use Spark's xxhash64 (no DuckDB
   twin) → registered WITHOUT oracles; their correctness gates are recall
-  tests vs the exact operators in tests/test_llm.py. The MinHash and SimHash
-  *math* IS oracle-checked through md5-based portable variants
-  (qd13/qd14).
+  tests vs the exact operators in tests/test_llm.py. The underlying math
+  IS oracle-checked through md5-based portable twins: signature math
+  (qd13/qd14), hyperplane signatures (qd15), and the FULL banding→verify
+  pipeline (qd17). The md5-60-bit idiom lives in ONE place —
+  ``text.md5_60bit`` — and must stay in lockstep with the SQL twins here.
 """
 
 from __future__ import annotations
