@@ -1,0 +1,134 @@
+"""Duplicate-cluster resolution: near-dup PAIRS → connected components →
+one canonical document per cluster (north-star extension; the reference
+has no graph surface — its nearest analogue is the recursive lineage
+traversal ``logs/data_lineage.py:378-435``, and this module rides the
+same bounded-iteration discipline as ``operators.setops.iterate``).
+
+Why this exists: every near-dup detector in :mod:`~.llm.dedup` emits
+*pairs* (a ~ b). Dropping one side of each pair independently
+over-deletes (a~b, b~c would drop both b and c); the correct contract is
+transitive closure — group pairs into clusters, keep exactly one
+canonical doc per cluster. At 100 TB the cluster graph has billions of
+edges, so the closure must be computed distributed, not on the driver.
+
+Algorithm: iterative min-label propagation ("hash-to-min"): every node
+starts labeled with itself; each round every node takes the min of its
+own and its neighbors' labels. Converges in O(graph diameter) rounds —
+and near-dup graphs are short-diameter by construction (detectors emit
+near-cliques; chains longer than a few hops are vanishingly rare), so
+3-5 rounds close real corpora. Each round is one shuffle on node id
+(join + min-aggregate, both map-side combinable); frontiers are
+localCheckpointed like :func:`~.operators.setops.iterate` so the plan
+stays flat and the convergence probe reads materialized rows. For
+adversarial long-chain graphs the alternating large-star/small-star
+variant (Kiveris et al., "Connected Components in MapReduce") drops the
+round count to O(log n); min-label propagation is the right default for
+dedup workloads and keeps every round a plain equi-join Catalyst can
+plan (sort-merge or AQE-broadcast as sizes dictate).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    *,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Resolve the undirected graph in ``edges`` to components.
+
+    Returns ``(node, component)`` — one row per distinct node, where
+    ``component`` is the MINIMUM node id reachable from ``node`` (a
+    stable, deterministic cluster id usable as the canonical member).
+
+    ``max_iter`` bounds the label-propagation rounds (diameter bound);
+    convergence short-circuits as soon as a round changes no label.
+    """
+    e = edges.select(
+        F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+    )
+    # Symmetrize once; both directions materialized together because every
+    # round re-reads the full edge list.
+    e = (
+        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        e.select(F.col("u").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("comp"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            e.join(labels.select(F.col("node").alias("v"), "comp"), "v")
+            .groupBy("u")
+            .agg(F.min("comp").alias("nbr_comp"))
+            .select(F.col("u").alias("node"), "nbr_comp")
+        )
+        new_labels = (
+            labels.join(nbr_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))).alias(
+                    "comp"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.join(
+                labels.select("node", F.col("comp").alias("old_comp")), "node"
+            )
+            .filter(F.col("comp") != F.col("old_comp"))
+        )
+        labels = new_labels
+        if changed.isEmpty():
+            break
+    return labels
+
+
+def dup_clusters(
+    pairs: DataFrame, src: str = "id_a", dst: str = "id_b", *, max_iter: int = 25
+) -> DataFrame:
+    """Near-dup pairs → per-node cluster assignment with canonical flags.
+
+    Returns ``(node, cluster_id, cluster_size, is_canonical)`` for every
+    node appearing in ``pairs``. ``cluster_id`` is the minimum member id;
+    ``is_canonical`` marks exactly one keeper per cluster (the minimum —
+    deterministic; callers wanting keep-longest should join their own
+    quality signal against this table and re-pick).
+    """
+    cc = connected_components(pairs, src, dst, max_iter=max_iter)
+    sizes = cc.groupBy("comp").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return cc.join(sizes, "comp").select(
+        "node",
+        F.col("comp").alias("cluster_id"),
+        "cluster_size",
+        (F.col("node") == F.col("comp")).alias("is_canonical"),
+    )
+
+
+def dedup_by_pairs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Corpus minus non-canonical cluster members: transitively-correct
+    dedup (never drops both sides of a chain, never keeps two members of
+    the same cluster). One anti-join on the id — docs never shuffle on
+    content."""
+    drop = (
+        dup_clusters(pairs, src, dst)
+        .filter(~F.col("is_canonical"))
+        .select(F.col("node").alias(id_col))
+    )
+    return docs.join(drop, id_col, "left_anti")

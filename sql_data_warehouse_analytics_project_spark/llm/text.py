@@ -263,3 +263,39 @@ def shingles(text: str | Column, n: int = 3) -> Column:
         idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
     )
     return F.array_distinct(F.when(k >= n, grams).otherwise(F.array()))
+
+
+def chunk_text(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    *,
+    size: int = 512,
+    overlap: int = 64,
+) -> DataFrame:
+    """Split documents into overlapping character chunks — the retrieval/
+    embedding prep stage (chunk → embed → index). One row per chunk:
+    ``(id, chunk_idx, chunk_text, chunk_len)``.
+
+    Chunks start every ``size - overlap`` characters; the final chunk may
+    be shorter than ``size``. Empty documents yield no chunks. The whole
+    operator is generate-offsets → explode → substring: pure column
+    expressions, no UDF, and the explode multiplies rows ~len/step× — at
+    100 TB feed it pre-filtered/deduplicated text and let the downstream
+    embed stage consume the exploded stream without materializing it.
+    """
+    if overlap >= size:
+        raise ValueError(f"overlap ({overlap}) must be < size ({size})")
+    step = size - overlap
+    c = F.col(text_col)
+    starts = F.sequence(F.lit(0), F.length(c) - 1, F.lit(step))
+    return (
+        df.filter(F.length(c) > 0)
+        .select(id_col, c.alias("_t"), F.posexplode(starts).alias("chunk_idx", "_s"))
+        .select(
+            id_col,
+            "chunk_idx",
+            F.expr(f"substring(_t, _s + 1, {size})").alias("chunk_text"),
+        )
+        .withColumn("chunk_len", F.length("chunk_text"))
+    )

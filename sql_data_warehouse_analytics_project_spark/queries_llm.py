@@ -784,6 +784,137 @@ def qd24_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "qd28_dup_clusters",
+    f"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, {_TOKS} AS t FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t)-1)]) AS shingles
+      FROM toks WHERE len(t) >= 3
+    ), ex AS (
+      SELECT doc_id, unnest(shingles) AS s FROM sh
+    ), sizes AS (
+      SELECT doc_id, len(shingles) AS n FROM sh
+    ), common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT id_a, id_b
+      FROM common
+      JOIN sizes sa ON id_a = sa.doc_id
+      JOIN sizes sb ON id_b = sb.doc_id
+      WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.8
+    ), e AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b AS u, id_a AS v FROM pairs
+    ), reach(u, r) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM e)
+      UNION
+      SELECT e.u, reach.r FROM e JOIN reach ON e.v = reach.u
+    ), comp AS (
+      SELECT u AS node, MIN(r) AS cluster_id FROM reach GROUP BY u
+    ), csizes AS (
+      SELECT cluster_id, COUNT(*) AS cluster_size FROM comp GROUP BY cluster_id
+    )
+    SELECT c.node, c.cluster_id, s.cluster_size, c.node = c.cluster_id AS is_canonical
+    FROM comp c JOIN csizes s USING (cluster_id)
+    """,
+)
+def qd28_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → connected components → canonical member per
+    cluster: the transitively-correct dedup contract (a~b, b~c must
+    collapse to ONE keeper, not drop everything). Spark side resolves the
+    closure by distributed min-label propagation
+    (:mod:`~.llm.clustering`); the oracle replays it with a recursive CTE
+    computing min-reachable-id — every node's cluster assignment,
+    cluster size, and keeper flag are hash-compared."""
+    from sql_data_warehouse_analytics_project_spark.llm import clustering
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", threshold=0.8)
+    return clustering.dup_clusters(pairs)
+
+
+_PACK_BUCKET = (
+    "CAST(CAST(concat('0x', substr(md5('{salt}' || CAST(doc_id AS VARCHAR)), 1, 15))"
+    " AS UBIGINT) % {mod} AS BIGINT)"
+)
+
+
+@register(
+    "qd29_sequence_packing",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+             {_PACK_BUCKET.format(salt='pack:stream', mod=8)} AS stream_id,
+             {_PACK_BUCKET.format(salt='pack:order', mod=1000000)} AS sort_key
+      FROM documents
+    ), w AS (
+      SELECT doc_id, stream_id, n_tokens,
+             COALESCE(CAST(SUM(n_tokens) OVER (
+                 PARTITION BY stream_id ORDER BY sort_key, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+               0) AS s
+      FROM t
+    )
+    SELECT doc_id, stream_id,
+           CAST(s // 2048 AS BIGINT) AS pack_id,
+           CAST(s % 2048 AS BIGINT) AS pack_offset,
+           n_tokens,
+           CASE WHEN n_tokens > 0 THEN (s + n_tokens - 1) // 2048 > s // 2048
+                ELSE FALSE END AS crosses_boundary
+    FROM w
+    """,
+)
+def qd29_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: every document's (stream, pack,
+    offset) position in fixed 2048-token training windows, computed as a
+    stream-partitioned window cumsum (8 independent hash streams — the
+    sharded layout a 100 TB packing job uses, no global sort). The oracle
+    replays stream assignment, the deterministic shuffle order, and the
+    running-offset math bit-exactly for every document."""
+    from sql_data_warehouse_analytics_project_spark.llm import packing
+
+    docs = _docs(spark, sf_dir)
+    return packing.pack_concat_chunks(
+        docs, "doc_id", text.token_count("text"), capacity=2048, n_streams=8
+    )
+
+
+@register(
+    "qd30_document_chunking",
+    """
+    WITH s AS (
+      SELECT doc_id, text, unnest(range(0, length(text), 448)) AS i
+      FROM documents WHERE length(text) > 0
+    )
+    SELECT doc_id,
+           CAST(i // 448 AS INTEGER) AS chunk_idx,
+           md5(substr(text, CAST(i + 1 AS INTEGER), 512)) AS chunk_md5,
+           CAST(length(substr(text, CAST(i + 1 AS INTEGER), 512)) AS INTEGER) AS chunk_len
+    FROM s
+    """,
+)
+def qd30_document_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping character chunking (512-char chunks, 64-char overlap)
+    — the retrieval/embedding prep stage. Every chunk's md5 and length
+    are hash-compared, so boundary math, overlap, and multibyte (zh)
+    character counting are all verified against the oracle."""
+    docs = _docs(spark, sf_dir)
+    chunks = text.chunk_text(docs, "doc_id", size=512, overlap=64)
+    return chunks.select(
+        "doc_id",
+        "chunk_idx",
+        F.md5("chunk_text").alias("chunk_md5"),
+        "chunk_len",
+    )
+
+
+@register(
     "qd25_minhash_recall_gate",
     f"""
     WITH toks AS (

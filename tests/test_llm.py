@@ -406,3 +406,81 @@ def test_int8_quantization_roundtrip(spark):
     import math
     assert abs(math.sqrt(sum(x * x for x in rows[1].unit)) - 1.0) < 1e-12
     assert rows[2].unit is None
+
+
+def test_connected_components_transitive_chains(spark):
+    from sql_data_warehouse_analytics_project_spark.llm import clustering
+
+    # two clusters: a 3-chain (1-2, 2-3) and a pair (10-11); 3 never
+    # touches 1 directly — only the transitive closure links them
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    cc = {r.node: r.comp for r in clustering.connected_components(pairs).collect()}
+    assert cc == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+    clusters = {
+        r.node: (r.cluster_id, r.cluster_size, r.is_canonical)
+        for r in clustering.dup_clusters(pairs).collect()
+    }
+    assert clusters[1] == (1, 3, True)
+    assert clusters[2] == (1, 3, False)
+    assert clusters[3] == (1, 3, False)
+    assert clusters[10] == (10, 2, True)
+    assert clusters[11] == (10, 2, False)
+
+
+def test_dedup_by_pairs_keeps_one_per_cluster(spark):
+    from sql_data_warehouse_analytics_project_spark.llm import clustering
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in (1, 2, 3, 10, 11, 99)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], "id_a long, id_b long")
+    kept = sorted(
+        r.doc_id for r in clustering.dedup_by_pairs(docs, pairs).collect()
+    )
+    # one canonical per cluster + the untouched doc survive
+    assert kept == [1, 10, 99]
+
+
+def test_pack_concat_chunks_layout_invariants(spark):
+    from sql_data_warehouse_analytics_project_spark.llm import packing
+
+    df = spark.createDataFrame(
+        [(i, 100) for i in range(1, 11)], "doc_id long, n long"
+    )
+    packed = packing.pack_concat_chunks(
+        df, "doc_id", F.col("n"), capacity=250, n_streams=1
+    ).collect()
+    # single stream of 10 × 100-token docs → starts are 0,100,...,900
+    starts = sorted(r.pack_id * 250 + r.pack_offset for r in packed)
+    assert starts == [i * 100 for i in range(10)]
+    for r in packed:
+        assert 0 <= r.pack_offset < 250
+        assert r.crosses_boundary == (r.pack_offset + r.n_tokens > 250)
+
+    util = packing.pack_utilization(
+        packing.pack_concat_chunks(df, "doc_id", F.col("n"), capacity=250, n_streams=1),
+        capacity=250,
+    ).collect()[0]
+    assert util.n_docs == 10 and util.total_tokens == 1000
+    assert util.n_packs == 4 and util.fill_ratio == 1.0
+
+
+def test_chunk_text_overlap_and_unicode(spark):
+    docs = spark.createDataFrame(
+        [(1, "abcdefghij"), (2, ""), (3, "你好世界")], "doc_id long, text string"
+    )
+    chunks = text.chunk_text(docs, "doc_id", size=4, overlap=1).collect()
+    by_doc = {}
+    for r in chunks:
+        by_doc.setdefault(r.doc_id, []).append((r.chunk_idx, r.chunk_text, r.chunk_len))
+    assert sorted(by_doc[1]) == [(0, "abcd", 4), (1, "defg", 4), (2, "ghij", 4), (3, "j", 1)]
+    assert 2 not in by_doc  # empty doc yields no chunks
+    # char, not byte, offsets: len("你好世界")=4 → starts 0 and 3
+    assert sorted(by_doc[3]) == [(0, "你好世界", 4), (1, "界", 1)]
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        text.chunk_text(docs, "doc_id", size=4, overlap=4)
