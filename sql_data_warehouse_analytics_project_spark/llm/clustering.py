@@ -59,19 +59,25 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # Fold the first propagation round into initialization: the symmetric
+    # edge list already holds every node as `u`, so min(self, min neighbor)
+    # is both the node inventory and round 1 in a single aggregation.
     labels = (
-        e.select(F.col("u").alias("node"))
-        .distinct()
-        .select("node", F.col("node").alias("comp"))
+        e.groupBy("u")
+        .agg(F.min("v").alias("_mn"))
+        .select(F.col("u").alias("node"), F.least("u", "_mn").alias("comp"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_iter):
+    for _ in range(max_iter - 1):
         nbr_min = (
             e.join(labels.select(F.col("node").alias("v"), "comp"), "v")
             .groupBy("u")
             .agg(F.min("comp").alias("nbr_comp"))
             .select(F.col("u").alias("node"), "nbr_comp")
         )
+        # Compute the convergence flag in the SAME pass as the update; the
+        # probe is then one tiny aggregate over the already-materialized
+        # checkpoint instead of a second labels⋈labels join per round.
         new_labels = (
             labels.join(nbr_min, "node", "left")
             .select(
@@ -79,17 +85,14 @@ def connected_components(
                 F.least(F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))).alias(
                     "comp"
                 ),
+                (F.coalesce("nbr_comp", F.col("comp")) < F.col("comp")).alias(
+                    "_changed"
+                ),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.join(
-                labels.select("node", F.col("comp").alias("old_comp")), "node"
-            )
-            .filter(F.col("comp") != F.col("old_comp"))
-        )
-        labels = new_labels
-        if changed.isEmpty():
+        labels = new_labels.select("node", "comp")
+        if not new_labels.agg(F.max("_changed")).first()[0]:
             break
     return labels
 
