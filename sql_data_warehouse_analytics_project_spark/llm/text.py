@@ -265,6 +265,86 @@ def shingles(text: str | Column, n: int = 3) -> Column:
     return F.array_distinct(F.when(k >= n, grams).otherwise(F.array()))
 
 
+def repetition_features(
+    df: DataFrame, id_col: str, text_col: str = "text", *, ngram: int = 2
+) -> DataFrame:
+    """Repetition/boilerplate signals per document (the Gopher-style
+    repetition filters: templated pages, keyword stuffing, and scraped
+    boilerplate all light up on these):
+
+    - ``n_lines`` — non-empty trimmed line count
+    - ``dup_line_frac`` — fraction of lines that are repeats of an
+      earlier line (1 - distinct/total)
+    - ``dup_line_char_frac`` — fraction of line characters inside those
+      repeats (char-weighted variant; one giant duplicated paragraph
+      should weigh more than a duplicated "Home")
+    - ``top_ngram_frac`` — share of word ``ngram``-grams taken by the
+      single most frequent one
+    - ``rep_ngram_frac`` — share of word ``ngram``-grams that occur
+      more than once
+
+    Line signals are per-row array expressions (codegen, zero shuffle).
+    The n-gram signals explode to (doc, gram) and aggregate — one
+    map-side-combined shuffle keyed by doc id, never a per-document
+    quadratic scan, so book-length documents cost O(tokens), and the
+    doc-id key means no global hot key at 100 TB. Documents with no
+    lines / fewer than ``ngram`` tokens score 0.0 on the respective
+    fractions.
+    """
+    c = F.col(text_col)
+    lines = F.filter(
+        F.transform(F.split(c, "\n"), lambda x: F.trim(x)), lambda x: x != ""
+    )
+    n_lines = F.size(lines)
+    d_lines = F.size(F.array_distinct(lines))
+    tot_chars = F.aggregate(lines, F.lit(0), lambda a, x: a + F.length(x))
+    dis_chars = F.aggregate(
+        F.array_distinct(lines), F.lit(0), lambda a, x: a + F.length(x)
+    )
+    base = df.select(
+        F.col(id_col),
+        n_lines.cast("long").alias("n_lines"),
+        F.round(
+            F.when(n_lines == 0, F.lit(0.0)).otherwise((n_lines - d_lines) / n_lines), 6
+        ).alias("dup_line_frac"),
+        F.round(
+            F.when(tot_chars == 0, F.lit(0.0)).otherwise(
+                (tot_chars - dis_chars) / tot_chars
+            ),
+            6,
+        ).alias("dup_line_char_frac"),
+    )
+    toks = tokens(text_col)
+    k = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(k - ngram, F.lit(0)))
+    grams = F.when(
+        k >= ngram,
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, ngram))),
+    ).otherwise(F.array())
+    counts = (
+        df.select(F.col(id_col), F.explode(grams).alias("g"))
+        .groupBy(id_col, "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    agg = counts.groupBy(id_col).agg(
+        F.max("c").alias("top_c"),
+        F.sum("c").alias("tot_c"),
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0))).alias("rep_c"),
+    )
+    return base.join(agg, id_col, "left").select(
+        id_col,
+        "n_lines",
+        "dup_line_frac",
+        "dup_line_char_frac",
+        F.round(F.coalesce(F.col("top_c") / F.col("tot_c"), F.lit(0.0)), 6).alias(
+            "top_ngram_frac"
+        ),
+        F.round(F.coalesce(F.col("rep_c") / F.col("tot_c"), F.lit(0.0)), 6).alias(
+            "rep_ngram_frac"
+        ),
+    )
+
+
 def chunk_text(
     df: DataFrame,
     id_col: str,

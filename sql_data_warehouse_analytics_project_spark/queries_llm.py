@@ -915,6 +915,56 @@ def qd30_document_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "qd31_repetition_signals",
+    f"""
+    WITH ls AS (
+      SELECT doc_id,
+             list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+                         x -> x <> '') AS lines
+      FROM documents
+    ), base AS (
+      SELECT doc_id,
+             len(lines) AS n_lines,
+             CASE WHEN len(lines) = 0 THEN 0.0
+                  ELSE CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE) / len(lines)
+             END AS dup_line_frac,
+             COALESCE(list_sum(list_transform(lines, x -> length(x))), 0) AS tot_chars,
+             COALESCE(list_sum(list_transform(list_distinct(lines), x -> length(x))), 0) AS dis_chars
+      FROM ls
+    ), toks AS (
+      SELECT doc_id, {_TOKS} AS t FROM documents
+    ), grams AS (
+      SELECT doc_id, unnest([array_to_string(t[i:i+1], ' ') FOR i IN range(1, len(t))]) AS g
+      FROM toks WHERE len(t) >= 2
+    ), cnt AS (
+      SELECT doc_id, g, count(*) AS c FROM grams GROUP BY 1, 2
+    ), agg AS (
+      SELECT doc_id, max(c) AS top_c, sum(c) AS tot_c,
+             sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS rep_c
+      FROM cnt GROUP BY 1
+    )
+    SELECT b.doc_id,
+           b.n_lines,
+           round(b.dup_line_frac, 6) AS dup_line_frac,
+           round(CASE WHEN b.tot_chars = 0 THEN 0.0
+                      ELSE CAST(b.tot_chars - b.dis_chars AS DOUBLE) / b.tot_chars
+                 END, 6) AS dup_line_char_frac,
+           round(COALESCE(CAST(a.top_c AS DOUBLE) / a.tot_c, 0.0), 6) AS top_ngram_frac,
+           round(COALESCE(CAST(a.rep_c AS DOUBLE) / a.tot_c, 0.0), 6) AS rep_ngram_frac
+    FROM base b LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def qd31_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition/boilerplate filters: duplicate-line
+    fractions (line-count and char-weighted) plus top/repeated word-bigram
+    shares. Line math is pure array expressions; bigram math is one
+    map-side-combined shuffle keyed by doc id. Every fraction for every
+    document is hash-compared against the oracle's replay."""
+    docs = _docs(spark, sf_dir)
+    return text.repetition_features(docs, "doc_id", ngram=2)
+
+
+@register(
     "qd25_minhash_recall_gate",
     f"""
     WITH toks AS (

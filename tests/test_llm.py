@@ -484,3 +484,30 @@ def test_chunk_text_overlap_and_unicode(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         text.chunk_text(docs, "doc_id", size=4, overlap=4)
+
+
+def test_repetition_features_crafted_docs(spark):
+    docs = spark.createDataFrame(
+        [
+            # 4 lines, "home" repeated 3x → dup_line_frac 0.5;
+            # line chars: total 4+10+4+4=22, distinct 4+10=14 → 8/22
+            (1, "home\nabout us x\nhome\nhome"),
+            # bigrams: "a b","b a","a b","b a","a b" → top 3/5, all repeat
+            (2, "a b a b a b"),
+            (3, ""),  # empty: everything 0
+            (4, "unique words only here"),  # no repeats at all
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in text.repetition_features(docs, "doc_id").collect()}
+    r1 = rows[1]
+    assert r1.n_lines == 4 and r1.dup_line_frac == 0.5
+    assert r1.dup_line_char_frac == round(8 / 22, 6)
+    r2 = rows[2]
+    assert r2.top_ngram_frac == 0.6 and r2.rep_ngram_frac == 1.0
+    r3 = rows[3]
+    assert r3.n_lines == 0 and r3.dup_line_frac == 0.0
+    assert r3.top_ngram_frac == 0.0 and r3.rep_ngram_frac == 0.0
+    r4 = rows[4]
+    assert r4.dup_line_frac == 0.0 and r4.rep_ngram_frac == 0.0
+    assert r4.top_ngram_frac == round(1 / 3, 6)
