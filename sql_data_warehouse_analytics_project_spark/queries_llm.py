@@ -25,7 +25,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from sql_data_warehouse_analytics_project_spark.llm import dedup, multimodal, similarity, text
+from sql_data_warehouse_analytics_project_spark.llm import (
+    clustering,
+    dedup,
+    multimodal,
+    similarity,
+    text,
+)
 from sql_data_warehouse_analytics_project_spark.queries import register
 from sql_data_warehouse_analytics_project_spark.sources.readers import load_table
 
@@ -831,8 +837,6 @@ def qd28_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     (:mod:`~.llm.clustering`); the oracle replays it with a recursive CTE
     computing min-reachable-id — every node's cluster assignment,
     cluster size, and keeper flag are hash-compared."""
-    from sql_data_warehouse_analytics_project_spark.llm import clustering
-
     docs = load_table(spark, sf_dir, "documents")
     pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", threshold=0.8)
     return clustering.dup_clusters(pairs)
@@ -912,6 +916,43 @@ def qd30_document_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("chunk_text").alias("chunk_md5"),
         "chunk_len",
     )
+
+
+@register(
+    "qd32_semantic_dup_clusters",
+    f"""
+    WITH RECURSIVE pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE {_COS.format(a='a.embedding', b='b.embedding')} >= 0.4
+    ), e AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b AS u, id_a AS v FROM pairs
+    ), reach(u, r) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM e)
+      UNION
+      SELECT e.u, reach.r FROM e JOIN reach ON e.v = reach.u
+    ), comp AS (
+      SELECT u AS node, MIN(r) AS cluster_id FROM reach GROUP BY u
+    ), csizes AS (
+      SELECT cluster_id, COUNT(*) AS cluster_size FROM comp GROUP BY cluster_id
+    )
+    SELECT c.node, c.cluster_id, s.cluster_size, c.node = c.cluster_id AS is_canonical
+    FROM comp c JOIN csizes s USING (cluster_id)
+    """,
+)
+def qd32_semantic_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup: exact cosine near-dup pairs over the
+    embedding column (GEMM path, threshold 0.4 — where this corpus's true
+    neighbors sit) resolved to connected components, one canonical vector
+    per cluster. Same closure contract as qd28 but over the embedding
+    space; the oracle replays pairs + closure with a recursive CTE. At
+    100 TB the pair stage swaps to LSH/IVF candidates
+    (:mod:`~.llm.similarity`); the closure is shared."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = dedup.embedding_dup_pairs(emb, "vec_id", threshold=0.4)
+    return clustering.dup_clusters(pairs)
 
 
 @register(
