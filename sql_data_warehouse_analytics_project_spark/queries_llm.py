@@ -31,6 +31,7 @@ from sql_data_warehouse_analytics_project_spark.llm import (
     multimodal,
     similarity,
     text,
+    vocab,
 )
 from sql_data_warehouse_analytics_project_spark.queries import register
 from sql_data_warehouse_analytics_project_spark.sources.readers import load_table
@@ -916,6 +917,57 @@ def qd30_document_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("chunk_text").alias("chunk_md5"),
         "chunk_len",
     )
+
+
+@register(
+    "qd33_vocab_top_terms",
+    f"""
+    WITH ex AS (
+      SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+    ), counts AS (
+      SELECT term,
+             CAST(count(*) AS BIGINT) AS n_occurrences,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+      FROM ex GROUP BY term
+    ), f AS (
+      SELECT * FROM counts WHERE n_occurrences >= 2
+    )
+    SELECT term, n_occurrences, n_docs,
+           CAST(row_number() OVER (ORDER BY n_occurrences DESC, term) AS INTEGER) AS rank
+    FROM f ORDER BY n_occurrences DESC, term LIMIT 100
+    """,
+)
+def qd33_vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-prep vocabulary build: top-100 terms with occurrence and
+    document frequencies, min_count=2, deterministic rank. The top-k cut
+    is a distributed TakeOrderedAndProject, never a global sort of the
+    vocabulary; counts/ranks are hash-compared against the oracle."""
+    docs = _docs(spark, sf_dir)
+    return vocab.build_vocab(docs, "doc_id", min_count=2, top_k=100)
+
+
+@register(
+    "qd34_bpe_pair_stats",
+    f"""
+    WITH ex AS (
+      SELECT unnest({_TOKS}) AS w FROM documents
+    ), wc AS (
+      SELECT w, count(*) AS wn FROM ex GROUP BY w
+    ), pairs AS (
+      SELECT unnest([substr(w, i, 2) FOR i IN range(1, length(w))]) AS pair, wn
+      FROM wc WHERE length(w) >= 2
+    )
+    SELECT pair, CAST(sum(wn) AS BIGINT) AS n_occurrences
+    FROM pairs GROUP BY pair
+    """,
+)
+def qd34_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE first-merge statistic: corpus-wide adjacent character-pair
+    counts weighted by word frequency, generated over the collapsed
+    (word, count) vocabulary rather than raw occurrences. Every pair's
+    total is hash-compared."""
+    docs = _docs(spark, sf_dir)
+    return vocab.bpe_pair_counts(docs)
 
 
 @register(

@@ -511,3 +511,32 @@ def test_repetition_features_crafted_docs(spark):
     r4 = rows[4]
     assert r4.dup_line_frac == 0.0 and r4.rep_ngram_frac == 0.0
     assert r4.top_ngram_frac == round(1 / 3, 6)
+
+
+def test_build_vocab_counts_and_rank(spark):
+    from sql_data_warehouse_analytics_project_spark.llm import vocab
+
+    docs = spark.createDataFrame(
+        [(1, "apple banana apple"), (2, "banana cherry"), (3, "apple")],
+        "doc_id long, text string",
+    )
+    full = {r.term: (r.n_occurrences, r.n_docs) for r in
+            vocab.build_vocab(docs, "doc_id").collect()}
+    assert full == {"apple": (3, 2), "banana": (2, 2), "cherry": (1, 1)}
+    # min_count prunes; rank breaks the apple/banana order by count then term
+    top = vocab.build_vocab(docs, "doc_id", min_count=2, top_k=10).collect()
+    assert [(r.term, r.rank) for r in top] == [("apple", 1), ("banana", 2)]
+    # top_k cuts after the deterministic order
+    one = vocab.build_vocab(docs, "doc_id", top_k=1).collect()
+    assert [(r.term, r.rank) for r in one] == [("apple", 1)]
+
+
+def test_bpe_pair_counts_weighted_by_word_freq(spark):
+    from sql_data_warehouse_analytics_project_spark.llm import vocab
+
+    docs = spark.createDataFrame(
+        [(1, "aab aab x"), (2, "ab")], "doc_id long, text string"
+    )
+    # aab (×2) → pairs aa, ab each ×2; ab (×1) → ab; "x" too short
+    counts = {r.pair: r.n_occurrences for r in vocab.bpe_pair_counts(docs).collect()}
+    assert counts == {"aa": 2, "ab": 3}
