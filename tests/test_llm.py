@@ -540,3 +540,15 @@ def test_bpe_pair_counts_weighted_by_word_freq(spark):
     # aab (×2) → pairs aa, ab each ×2; ab (×1) → ab; "x" too short
     counts = {r.pair: r.n_occurrences for r in vocab.bpe_pair_counts(docs).collect()}
     assert counts == {"aa": 2, "ab": 3}
+
+
+def test_connected_components_long_chain_converges(spark):
+    from sql_data_warehouse_analytics_project_spark.llm import clustering
+
+    # 7-node path graph — needs several propagation rounds beyond the
+    # folded-in first one; all nodes must land on the minimum label
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 7)], "id_a long, id_b long"
+    )
+    comp = {r.node: r.comp for r in clustering.connected_components(pairs).collect()}
+    assert comp == {i: 1 for i in range(1, 8)}

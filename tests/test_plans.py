@@ -182,3 +182,31 @@ def test_hash_sampling_is_map_side_only(plans):
     assert "Exchange" not in p.split("== Initial Plan ==")[0].replace(
         "ReusedExchange", ""
     ), p
+
+
+def test_sequence_packing_is_single_shuffle(plans):
+    """pack_concat_chunks' scale claim: the layout is ONE stream-keyed
+    window shuffle — no global sort, no join, no second exchange (the
+    only other Exchange is _docs' round-robin spread of the single-file
+    test input)."""
+    p = plans("qd29_sequence_packing")
+    for bad in ("SortMergeJoin", "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert bad not in p, bad
+    n = p.count("Exchange hashpartitioning")
+    assert n == 1, f"expected 1 hash shuffle, saw {n}:\n{p}"
+    assert "Window" in p
+
+
+def test_chunking_has_no_hash_shuffle(plans):
+    """chunk_text is generate→explode→substring: zero hash shuffles (the
+    single round-robin Exchange is _docs' test-input spread)."""
+    p = plans("qd30_document_chunking")
+    assert "Exchange hashpartitioning" not in p, p
+    assert "Generate" in p  # the posexplode
+
+
+def test_vocab_topk_is_take_ordered(plans):
+    """build_vocab(top_k=...) must cut with a distributed top-k, never a
+    global sort of the vocabulary."""
+    p = plans("qd33_vocab_top_terms")
+    assert "TakeOrderedAndProject" in p, p
