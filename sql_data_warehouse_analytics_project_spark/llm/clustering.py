@@ -29,6 +29,8 @@ plan (sort-merge or AQE-broadcast as sizes dictate).
 
 from __future__ import annotations
 
+from collections.abc import Mapping
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -135,3 +137,41 @@ def dedup_by_pairs(
         .select(F.col("node").alias(id_col))
     )
     return docs.join(drop, id_col, "left_anti")
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    splits: Mapping[str, float] | None = None,
+    *,
+    src: str = "id_a",
+    dst: str = "id_b",
+    salt: str = "split",
+    split_col: str = "split",
+) -> DataFrame:
+    """Train/val/test assignment where near-duplicates NEVER straddle a
+    split boundary — the eval-leakage guard: hashing each doc
+    independently would put a near-copy of a training doc into the test
+    set, silently inflating eval scores.
+
+    Resolves ``pairs`` to clusters, keys the deterministic
+    :func:`~.llm.sampling.hash_split` bucket on the CLUSTER id (docs in
+    no pair key on their own id), and assigns the whole cluster together.
+    Adds ``split_key`` (the group id used) and ``split_col``. One
+    left join of docs against the (tiny relative to corpus) cluster
+    table; membership stays a pure function of (salt, cluster), so the
+    holdout is recomputable forever, exactly like a per-doc hash split.
+    """
+    from sql_data_warehouse_analytics_project_spark.llm.sampling import hash_split
+
+    if splits is None:
+        splits = {"train": 0.8, "val": 0.1, "test": 0.1}
+    cc = dup_clusters(pairs, src, dst).select(
+        F.col("node").alias(id_col), F.col("cluster_id")
+    )
+    keyed = docs.join(cc, id_col, "left").withColumn(
+        "split_key",
+        F.coalesce(F.col("cluster_id"), F.col(id_col)).cast("long"),
+    ).drop("cluster_id")
+    return hash_split(keyed, "split_key", splits, salt=salt, split_col=split_col)

@@ -920,6 +920,67 @@ def qd30_document_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "qd35_leakage_safe_split",
+    f"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, {_TOKS} AS t FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t)-1)]) AS shingles
+      FROM toks WHERE len(t) >= 3
+    ), ex AS (
+      SELECT doc_id, unnest(shingles) AS s FROM sh
+    ), sizes AS (
+      SELECT doc_id, len(shingles) AS n FROM sh
+    ), common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT id_a, id_b
+      FROM common
+      JOIN sizes sa ON id_a = sa.doc_id
+      JOIN sizes sb ON id_b = sb.doc_id
+      WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.8
+    ), e AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b AS u, id_a AS v FROM pairs
+    ), reach(u, r) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM e)
+      UNION
+      SELECT e.u, reach.r FROM e JOIN reach ON e.v = reach.u
+    ), comp AS (
+      SELECT u AS node, MIN(r) AS cluster_id FROM reach GROUP BY u
+    ), keyed AS (
+      SELECT d.doc_id, CAST(COALESCE(c.cluster_id, d.doc_id) AS BIGINT) AS split_key
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+    ), b AS (
+      SELECT doc_id, split_key,
+             CAST(CAST(concat('0x', substr(md5('split' || CAST(split_key AS VARCHAR)), 1, 15))
+                  AS UBIGINT) % 1000000 AS BIGINT) AS bk
+      FROM keyed
+    )
+    SELECT doc_id, split_key,
+           CASE WHEN bk < 800000 THEN 'train'
+                WHEN bk < 900000 THEN 'val'
+                ELSE 'test' END AS split
+    FROM b
+    """,
+)
+def qd35_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: near-dup clusters co-assign (a
+    test doc can never be a near-copy of a training doc). The oracle
+    replays pair detection, the transitive closure, the cluster-keyed md5
+    bucket, and the 80/10/10 range cuts for every document."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", threshold=0.8)
+    return clustering.leakage_safe_split(docs, pairs, "doc_id").select(
+        "doc_id", "split_key", "split"
+    )
+
+
+@register(
     "qd33_vocab_top_terms",
     f"""
     WITH ex AS (

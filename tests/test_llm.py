@@ -552,3 +552,25 @@ def test_connected_components_long_chain_converges(spark):
     )
     comp = {r.node: r.comp for r in clustering.connected_components(pairs).collect()}
     assert comp == {i: 1 for i in range(1, 8)}
+
+
+def test_leakage_safe_split_coassigns_clusters(spark):
+    from sql_data_warehouse_analytics_project_spark.llm import clustering
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(1, 40)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    out = clustering.leakage_safe_split(docs, pairs).collect()
+    by_id = {r.doc_id: r for r in out}
+    # chained near-dups land in ONE split, keyed on the cluster minimum
+    assert by_id[1].split == by_id[2].split == by_id[3].split
+    assert by_id[1].split_key == by_id[2].split_key == by_id[3].split_key == 1
+    assert by_id[10].split == by_id[11].split and by_id[10].split_key == 10
+    # untouched docs key on themselves and every row got a split
+    assert by_id[20].split_key == 20
+    assert all(r.split in ("train", "val", "test") for r in out)
+    # fractions put most singletons in train at this size
+    assert sum(1 for r in out if r.split == "train") > len(out) / 2
