@@ -62,8 +62,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = spark.read.parquet(path)
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-        return df
-    return spark.read.parquet(path)
+    else:
+        df = spark.read.parquet(path)
+    # Parquet timestamps written without isAdjustedToUTC are inferred as
+    # TIMESTAMP_NTZ by Spark 4. Normalize to TIMESTAMP so the whole engine
+    # sees one timestamp semantic (session tz is pinned UTC above, so the
+    # cast preserves wall-times and agrees with DuckDB's naive reading).
+    ntz_cols = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    for c in ntz_cols:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
