@@ -1153,12 +1153,28 @@ def qd25_minhash_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     (fixed corpus, seeded hashes), so the recovered count is a constant;
     any banding regression changes it and hash-mismatches the row."""
     docs = load_table(spark, sf_dir, "documents")
-    exact = dedup.ngram_jaccard_pairs(docs, "doc_id", threshold=0.8).select("id_a", "id_b")
-    lsh = dedup.minhash_dedup_pairs(docs, "doc_id", threshold=0.8).select("id_a", "id_b")
-    return spark.range(1).select(
-        F.lit(exact.count()).cast("bigint").alias("n_exact_pairs"),
-        F.lit(lsh.count()).cast("bigint").alias("n_lsh_pairs"),
-        F.lit(lsh.join(exact, ["id_a", "id_b"]).count()).cast("bigint").alias("n_recovered"),
+    # Materialize each pair set ONCE (they are tiny — dozens of rows), then
+    # derive all three counts from a single full-outer join + aggregation.
+    # Without this, the three separate counts re-execute both expensive
+    # pipelines (inverted index, 64-hash signatures) twice each.
+    exact = (
+        dedup.ngram_jaccard_pairs(docs, "doc_id", threshold=0.8)
+        .select("id_a", "id_b")
+        .localCheckpoint()
+        .withColumn("_e", F.lit(1))
+    )
+    lsh = (
+        dedup.minhash_dedup_pairs(docs, "doc_id", threshold=0.8)
+        .select("id_a", "id_b")
+        .localCheckpoint()
+        .withColumn("_l", F.lit(1))
+    )
+    return exact.join(lsh, ["id_a", "id_b"], "full").agg(
+        F.coalesce(F.sum("_e"), F.lit(0)).cast("bigint").alias("n_exact_pairs"),
+        F.coalesce(F.sum("_l"), F.lit(0)).cast("bigint").alias("n_lsh_pairs"),
+        F.coalesce(F.sum(F.col("_e") * F.col("_l")), F.lit(0))
+        .cast("bigint")
+        .alias("n_recovered"),
     )
 
 
