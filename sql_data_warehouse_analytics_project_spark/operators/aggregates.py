@@ -173,3 +173,40 @@ def quality_checks(
         .otherwise("FAIL")
         .alias("status"),
     )
+
+
+def key_skew_stats(
+    df: DataFrame, keys: Sequence[str], *, top_n: int = 20
+) -> DataFrame:
+    """Heavy-hitter / skew diagnostics for a prospective shuffle key.
+
+    Returns the ``top_n`` most frequent key values with their row count,
+    share of all rows, and the global ``skew_ratio`` (max key count over
+    mean key count — 1.0 is perfectly uniform). This is the pre-flight
+    check for the §2 join/agg operators: a skew_ratio in the hundreds says
+    "salt this key or let AQE split it" BEFORE the 100 TB shuffle runs.
+
+    Plan shape: one map-side-combined ``groupBy(keys).count()`` shuffle,
+    a 1-row global summary broadcast back over the counts, and a
+    TakeOrderedAndProject for the top-N (count desc, then keys asc — the
+    deterministic tiebreak keeps the selection oracle-stable).
+    """
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_rows"))
+    totals = counts.agg(
+        F.sum("n_rows").alias("_tot"),
+        F.avg("n_rows").alias("_avg"),
+        F.max("n_rows").alias("_max"),
+        F.count(F.lit(1)).alias("_nkeys"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            *keys,
+            "n_rows",
+            F.round(F.col("n_rows") / F.col("_tot"), 6).alias("share"),
+            F.col("_nkeys").alias("n_distinct_keys"),
+            F.round(F.col("_max") / F.col("_avg"), 4).alias("skew_ratio"),
+        )
+        .orderBy(F.col("n_rows").desc(), *[F.col(k) for k in keys])
+        .limit(top_n)
+    )

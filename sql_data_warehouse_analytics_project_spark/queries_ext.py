@@ -751,3 +751,136 @@ def q46_resample_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n", F.lit(0)).cast("bigint").alias("n_events"),
         F.round("day_value_ffill", 6).alias("value_ffill"),
     )
+
+
+@register(
+    "q47_key_skew",
+    """
+    WITH c AS (
+      SELECT o_custkey, COUNT(*) AS n_rows FROM orders GROUP BY o_custkey
+    ), t AS (
+      SELECT CAST(SUM(n_rows) AS DOUBLE) AS tot,
+             AVG(n_rows) AS avg_n,
+             MAX(n_rows) AS max_n,
+             COUNT(*) AS nk
+      FROM c
+    )
+    SELECT c.o_custkey,
+           CAST(c.n_rows AS BIGINT) AS n_rows,
+           ROUND(c.n_rows / t.tot, 6) AS share,
+           CAST(t.nk AS BIGINT) AS n_distinct_keys,
+           ROUND(t.max_n / t.avg_n, 4) AS skew_ratio
+    FROM c, t
+    ORDER BY c.n_rows DESC, c.o_custkey
+    LIMIT 20
+    """,
+)
+def q47_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnostics (``aggregates.key_skew_stats``): the
+    pre-flight check that decides salting/AQE-skew-split before a 100 TB
+    join. One map-side-combined shuffle + broadcast-back of a 1-row
+    summary; top-N via TakeOrderedAndProject with a deterministic
+    tiebreak."""
+    from sql_data_warehouse_analytics_project_spark.operators.aggregates import (
+        key_skew_stats,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    return key_skew_stats(orders, ["o_custkey"], top_n=20)
+
+
+@register(
+    "q48_incremental_rollup",
+    """
+    SELECT o_custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 / COUNT(*) AS avg_price,
+           CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS min_price,
+           CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS max_price
+    FROM orders
+    GROUP BY o_custkey
+    """,
+)
+def q48_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-rollup maintenance (``plans/incremental.py``): the
+    pre-1997 slice is aggregated into mergeable partial state, the rest
+    arrives as a delta and is merged WITHOUT touching the old slice's
+    rows again — the oracle recomputes the whole rollup from scratch and
+    must agree exactly (merge(agg(old), agg(delta)) == agg(full))."""
+    from sql_data_warehouse_analytics_project_spark.plans import incremental
+
+    orders = load_table(spark, sf_dir, "orders")
+    cutoff = F.lit("1997-01-01").cast("timestamp")
+    is_old = F.col("o_orderdate") < cutoff
+    old = orders.filter(is_old)
+    # NULL order dates (none expected, but never silently dropped) go to
+    # the delta side so old+delta always tiles the full table.
+    delta = orders.filter(~F.coalesce(is_old, F.lit(False)))
+    keys = ["o_custkey"]
+    measures = {
+        "n_orders": ("count", F.lit(1)),
+        "revenue": ("sum", money("o_totalprice")),
+        "min_price": ("min", money("o_totalprice")),
+        "max_price": ("max", money("o_totalprice")),
+    }
+    state = incremental.partial_aggs(old, keys, measures)
+    merged = incremental.incremental_refresh(state, delta, keys, measures)
+    fin = incremental.finalize(merged, keys, measures)
+    return fin.select(
+        "o_custkey",
+        F.col("n_orders").cast("bigint").alias("n_orders"),
+        F.col("revenue").cast("double").alias("revenue"),
+        # unrounded: both engines perform the identical IEEE double/int64
+        # division, so the quotient is bit-exact; rounding it re-introduces
+        # engine-specific last-digit differences.
+        (F.col("revenue").cast("double") / F.col("n_orders")).alias("avg_price"),
+        F.col("min_price").cast("double").alias("min_price"),
+        F.col("max_price").cast("double").alias("max_price"),
+    )
+
+
+@register(
+    "q49_jsonl_roundtrip",
+    """
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(length(text)) AS BIGINT) AS sum_chars,
+           CAST(SUM(CAST(CAST(concat('0x', substr(md5(text), 1, 15)) AS UBIGINT)
+                         AS BIGINT) % 1000000007) AS BIGINT) AS content_checksum,
+           CAST(0 AS BIGINT) AS n_corrupt
+    FROM documents
+    GROUP BY source
+    """,
+)
+def q49_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL interchange round-trip (``sources.write_jsonl`` →
+    ``sources.read_jsonl`` with an explicit schema + PERMISSIVE corrupt
+    capture): per-source doc counts, char totals, and an md5-based
+    content checksum must survive the trip bit-exactly — the oracle reads
+    the ORIGINAL table, so any loss/mangling (newlines, unicode, nulls)
+    in either sink or scan breaks the match. n_corrupt pins the corrupt
+    column to all-NULL on well-formed data."""
+    import os
+
+    from sql_data_warehouse_analytics_project_spark.llm.text import md5_60bit
+    from sql_data_warehouse_analytics_project_spark.sources.readers import read_jsonl
+    from sql_data_warehouse_analytics_project_spark.sources.writers import write_jsonl
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    path = os.path.join(
+        "/tmp", "spark_graft_roundtrip", os.path.basename(os.path.normpath(sf_dir))
+    )
+    write_jsonl(docs, path)
+    back = read_jsonl(
+        spark, path, schema="doc_id BIGINT, source STRING, text STRING"
+    )
+    return back.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).cast("bigint").alias("sum_chars"),
+        F.sum(md5_60bit(F.col("text")) % F.lit(1000000007))
+        .cast("bigint")
+        .alias("content_checksum"),
+        F.count(F.col("_corrupt_record")).cast("bigint").alias("n_corrupt"),
+    )

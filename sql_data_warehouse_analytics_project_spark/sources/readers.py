@@ -113,3 +113,28 @@ def read_csv(
     if null_value is not None:
         reader = reader.option("nullValue", null_value)
     return reader.csv(path)
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    *,
+    schema: "str | None" = None,
+    corrupt_col: str = "_corrupt_record",
+) -> DataFrame:
+    """JSON-Lines scan — the lingua franca of LLM corpus interchange.
+
+    With an explicit ``schema`` (DDL string) the scan is single-pass and
+    malformed lines are captured PERMISSIVE-ly into ``corrupt_col``
+    instead of killing the job — at 100 TB a handful of broken lines must
+    never fail the read, and the corrupt rows stay queryable for triage
+    (filter ``corrupt_col IS NOT NULL`` → error table). Without a schema,
+    Spark runs a distributed inference pass first (fine interactively;
+    pass the schema in production to halve the I/O).
+    """
+    reader = spark.read.option("mode", "PERMISSIVE").option(
+        "columnNameOfCorruptRecord", corrupt_col
+    )
+    if schema is not None:
+        reader = reader.schema(f"{schema}, {corrupt_col} STRING")
+    return reader.json(path)

@@ -1,0 +1,187 @@
+"""Source/sink tests: JSONL round-trip + corrupt capture, layout-aware
+dataset writes (partition dirs, pruning, file-size caps), skew stats, and
+incremental partial-aggregate maintenance."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from sql_data_warehouse_analytics_project_spark.operators.aggregates import (
+    key_skew_stats,
+)
+from sql_data_warehouse_analytics_project_spark.plans import incremental
+from sql_data_warehouse_analytics_project_spark.sources.readers import read_jsonl
+from sql_data_warehouse_analytics_project_spark.sources.writers import (
+    write_dataset,
+    write_jsonl,
+)
+
+
+# ---------------------------------------------------------------------------
+# JSONL
+# ---------------------------------------------------------------------------
+
+
+def test_jsonl_roundtrip_preserves_tricky_strings(spark, tmp_path):
+    rows = [
+        Row(doc_id=1, text="plain"),
+        Row(doc_id=2, text='embedded "quotes" and \\ backslash'),
+        Row(doc_id=3, text="new\nline and tab\t"),
+        Row(doc_id=4, text="unicode: héllo 世界 🚀"),
+        Row(doc_id=5, text=None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    path = str(tmp_path / "docs")
+    write_jsonl(df, path, num_files=1)
+    back = read_jsonl(spark, path, schema="doc_id BIGINT, text STRING")
+    collected = back.collect()
+    got = {r.doc_id: r.text for r in collected}
+    assert got == {r.doc_id: r.text for r in rows}
+    # counted client-side: Spark refuses queries whose referenced columns
+    # are ONLY the internal corrupt-record column
+    assert sum(r["_corrupt_record"] is not None for r in collected) == 0
+
+
+def test_jsonl_corrupt_lines_are_captured_not_fatal(spark, tmp_path):
+    p = tmp_path / "corpus.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "ok"}\n'
+        "this is not json at all\n"
+        '{"doc_id": 3, "text": "also ok"}\n'
+        '{"doc_id": "not-a-number", "text": "type clash"}\n'
+    )
+    back = read_jsonl(spark, str(p), schema="doc_id BIGINT, text STRING")
+    rows = back.collect()
+    assert len(rows) == 4  # nothing dropped, nothing fatal
+    corrupt = [r for r in rows if r["_corrupt_record"] is not None]
+    assert len(corrupt) == 2
+    ok = {r.doc_id: r.text for r in rows if r["_corrupt_record"] is None}
+    assert ok == {1: "ok", 3: "also ok"}
+
+
+# ---------------------------------------------------------------------------
+# Dataset writer layout
+# ---------------------------------------------------------------------------
+
+
+def test_write_dataset_partition_layout_and_pruning(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(i, i % 3, f"r{i}") for i in range(300)], "id long, part int, s string"
+    )
+    path = str(tmp_path / "ds")
+    write_dataset(df, path, partition_by=["part"], sort_by=["id"])
+    dirs = sorted(d for d in os.listdir(path) if d.startswith("part="))
+    assert dirs == ["part=0", "part=1", "part=2"]
+    # repartition-before-write => one task owns each partition value => a
+    # single data file per directory, not one per input task
+    for d in dirs:
+        files = [f for f in os.listdir(os.path.join(path, d)) if f.endswith(".parquet")]
+        assert len(files) == 1
+    back = spark.read.parquet(path)
+    assert back.count() == 300
+    assert {r.part for r in back.select("part").distinct().collect()} == {0, 1, 2}
+    # partition pruning must reach the scan
+    plan = back.filter(F.col("part") == 1)._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(part" in plan
+    # read-back equality (partition column round-trips through dir names)
+    got = sorted((r.id, r.part, r.s) for r in back.collect())
+    assert got == sorted((i, i % 3, f"r{i}") for i in range(300))
+
+
+def test_write_dataset_max_records_per_file_caps_file_size(spark, tmp_path):
+    df = spark.createDataFrame([(i,) for i in range(1000)], "id long").coalesce(1)
+    path = str(tmp_path / "capped")
+    write_dataset(df, path, max_records_per_file=250)
+    files = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    assert len(files) == 4  # 1000 rows / 250 cap
+    assert spark.read.parquet(path).count() == 1000
+
+
+# ---------------------------------------------------------------------------
+# Skew stats
+# ---------------------------------------------------------------------------
+
+
+def test_key_skew_stats_values(spark):
+    # key 7 -> 61 rows (60 extra + 1 from the range), keys 0..9 -> 1 each;
+    # 10 distinct keys, 70 rows, mean 7, max 61
+    data = [(7,)] * 60 + [(k,) for k in range(10)]
+    df = spark.createDataFrame(data, "k int")
+    out = key_skew_stats(df, ["k"], top_n=3).collect()
+    assert [r.k for r in out] == [7, 0, 1]  # count desc, then key asc tiebreak
+    top = out[0]
+    assert top.n_rows == 61
+    assert top.n_distinct_keys == 10
+    assert top.share == round(61 / 70, 6)
+    assert top.skew_ratio == round(61 / 7.0, 4)
+
+
+# ---------------------------------------------------------------------------
+# Incremental partial aggregates
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def sales(spark):
+    rows = [
+        (1, 10.0), (1, 20.0), (1, 5.0),
+        (2, 100.0), (2, -3.0),
+        (3, 42.0),
+    ]
+    return spark.createDataFrame(rows, "k int, v double")
+
+
+def _measures():
+    # built lazily: F.lit needs an active SparkContext, absent at import time
+    return {
+        "n": ("count", F.lit(1)),
+        "total": ("sum", "v"),
+        "mean": ("avg", "v"),
+        "lo": ("min", "v"),
+        "hi": ("max", "v"),
+    }
+
+
+def _final_map(df):
+    return {
+        r.k: (r.n, r.total, r.mean, r.lo, r.hi)
+        for r in df.collect()
+    }
+
+
+def test_incremental_refresh_equals_full_recompute(spark, sales):
+    m = _measures()
+    full = incremental.finalize(
+        incremental.partial_aggs(sales, ["k"], m), ["k"], m
+    )
+    # split rows arbitrarily (by value sign/odd positions) incl. a key (3)
+    # absent from one slice entirely
+    old = sales.filter(F.col("v") >= 10)
+    delta = sales.filter(F.col("v") < 10)
+    state = incremental.partial_aggs(old, ["k"], m)
+    merged = incremental.incremental_refresh(state, delta, ["k"], m)
+    got = incremental.finalize(merged, ["k"], m)
+    assert _final_map(got) == _final_map(full)
+
+
+def test_incremental_multiway_merge_and_empty_slice(spark, sales):
+    m = _measures()
+    full = incremental.finalize(
+        incremental.partial_aggs(sales, ["k"], m), ["k"], m
+    )
+    parts = [
+        incremental.partial_aggs(sales.filter(F.col("k") == k), ["k"], m)
+        for k in (1, 2, 3, 4)  # k=4 slice is empty
+    ]
+    merged = incremental.merge_partials(["k"], *parts)
+    got = incremental.finalize(merged, ["k"], m)
+    assert _final_map(got) == _final_map(full)
+
+
+def test_merge_partials_rejects_non_state_columns(spark, sales):
+    with pytest.raises(ValueError, match="not a partial-state column"):
+        incremental.merge_partials(["k"], sales)
