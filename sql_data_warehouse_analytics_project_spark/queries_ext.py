@@ -884,3 +884,30 @@ def q49_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("content_checksum"),
         F.count(F.col("_corrupt_record")).cast("bigint").alias("n_corrupt"),
     )
+
+
+def _zorder_oracle() -> str:
+    from sql_data_warehouse_analytics_project_spark.sources.writers import (
+        zorder_key_sql,
+    )
+
+    return (
+        "SELECT doc_id, CAST("
+        + zorder_key_sql(["doc_id", "n_chars"], bits=8)
+        + " AS BIGINT) AS zkey FROM documents"
+    )
+
+
+@register("q50_zorder_key", _zorder_oracle())
+def q50_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout key (``sources.writers.zorder_key``): bit
+    interleave of two bucketed dimensions, the sort key that keeps parquet
+    min/max stats tight on BOTH columns at write time. Pure codegen'd bit
+    arithmetic; the oracle replays the interleave with engine-portable
+    div/mod arithmetic, so every bit of every row's key is value-checked."""
+    from sql_data_warehouse_analytics_project_spark.sources.writers import zorder_key
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", zorder_key(["doc_id", "n_chars"], bits=8).alias("zkey")
+    )

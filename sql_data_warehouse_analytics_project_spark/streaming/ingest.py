@@ -180,3 +180,80 @@ def dedup_stream(
     return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         list(keys)
     )
+
+
+def rollup_batch_sink(
+    catalog: Catalog,
+    table: str,
+    keys: "tuple[str, ...] | list[str]",
+    measures,
+    *,
+    layer: str = "gold",
+):
+    """foreachBatch sink maintaining a MATERIALIZED ROLLUP incrementally
+    (``plans/incremental``): each micro-batch is aggregated alone into
+    mergeable partial state and merged into the stored rollup — per-batch
+    cost is batch-size + rollup-cardinality, never the full fact history.
+
+    Batch-level idempotence rides inside the state itself: every state row
+    carries ``_last_batch_id`` (the highest applied batch), and the staged
+    atomic swap of :meth:`Catalog.overwrite` commits data + marker in one
+    step — a replayed batch sees its own id recorded and skips, and there
+    is no window where the data is applied but the marker is not (the
+    separate-marker-table design would have exactly that window)."""
+    from sql_data_warehouse_analytics_project_spark.plans import incremental
+
+    keys = list(keys)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        qstate = catalog.qualified(layer, table)
+        delta = incremental.partial_aggs(batch_df, keys, measures)
+        if spark.catalog.tableExists(qstate):
+            state = spark.table(qstate)
+            applied = state.agg(F.max("_last_batch_id")).collect()[0][0]
+            if applied is not None and applied >= batch_id:
+                return  # replay of a committed batch — idempotent skip
+            merged = incremental.merge_partials(
+                keys, state.drop("_last_batch_id"), delta
+            )
+            catalog.overwrite(
+                merged.withColumn("_last_batch_id", F.lit(batch_id)), layer, table
+            )
+        else:
+            catalog.append(
+                delta.withColumn("_last_batch_id", F.lit(batch_id)), layer, table
+            )
+        catalog.spark.catalog.refreshTable(qstate)
+
+    return sink
+
+
+def streaming_rollup(
+    stream: DataFrame,
+    catalog: Catalog,
+    table: str,
+    keys,
+    measures,
+    *,
+    checkpoint_dir: str,
+    layer: str = "gold",
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Attach :func:`rollup_batch_sink` to a stream. Read the result with
+    :func:`read_rollup` (finalizes partial state to measure values)."""
+    sink = rollup_batch_sink(catalog, table, keys, measures, layer=layer)
+    writer = stream.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_rollup(catalog: Catalog, table: str, keys, measures, *, layer: str = "gold"):
+    """Finalized view of a streaming rollup's partial state."""
+    from sql_data_warehouse_analytics_project_spark.plans import incremental
+
+    state = catalog.spark.table(catalog.qualified(layer, table))
+    return incremental.finalize(state.drop("_last_batch_id"), list(keys), measures)

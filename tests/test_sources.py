@@ -185,3 +185,60 @@ def test_incremental_multiway_merge_and_empty_slice(spark, sales):
 def test_merge_partials_rejects_non_state_columns(spark, sales):
     with pytest.raises(ValueError, match="not a partial-state column"):
         incremental.merge_partials(["k"], sales)
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout key
+# ---------------------------------------------------------------------------
+
+
+def test_zorder_key_matches_known_morton_codes(spark):
+    from sql_data_warehouse_analytics_project_spark.sources.writers import zorder_key
+
+    # classic 2-bit Morton curve: (x,y) -> interleave(x bits even, y bits odd)
+    expected = {
+        (0, 0): 0, (1, 0): 1, (0, 1): 2, (1, 1): 3,
+        (2, 0): 4, (3, 0): 5, (2, 1): 6, (3, 1): 7,
+        (0, 2): 8, (2, 2): 12, (3, 3): 15,
+    }
+    df = spark.createDataFrame([(x, y) for x, y in expected], "x int, y int")
+    got = {
+        (r.x, r.y): r.z
+        for r in df.select("x", "y", zorder_key(["x", "y"], bits=2).alias("z")).collect()
+    }
+    assert got == expected
+
+
+def test_zorder_sort_clusters_both_dimensions(spark, tmp_path):
+    from sql_data_warehouse_analytics_project_spark.sources.writers import (
+        write_dataset,
+        zorder_key,
+    )
+
+    # 32x32 grid; write sorted by z-key in 8 capped files; each file's
+    # bounding box must cover far less than the full domain on BOTH dims
+    # (a single-column sort leaves the other dimension's range at 100%)
+    df = spark.createDataFrame(
+        [(x, y) for x in range(32) for y in range(32)], "x int, y int"
+    ).withColumn("z", zorder_key(["x", "y"], bits=5))
+    path = str(tmp_path / "zds")
+    write_dataset(
+        df.repartition(1).sortWithinPartitions("z"),
+        path,
+        max_records_per_file=128,
+    )
+    import os
+
+    spans = []
+    for f in os.listdir(path):
+        if not f.endswith(".parquet"):
+            continue
+        part = spark.read.parquet(os.path.join(path, f))
+        r = part.agg(
+            F.min("x"), F.max("x"), F.min("y"), F.max("y")
+        ).collect()[0]
+        spans.append(((r[1] - r[0] + 1) / 32.0, (r[3] - r[2] + 1) / 32.0))
+    assert len(spans) == 8
+    # every 128-row z-chunk is a 16x8 or 8x16 rectangle of the 32x32 grid
+    for sx, sy in spans:
+        assert sx <= 0.5 and sy <= 0.5

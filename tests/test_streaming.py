@@ -266,3 +266,42 @@ def test_dedup_stream_suppresses_redelivery(spark, dropzone):
         assert spark.table("dedup_out").count() == 3  # replay suppressed
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_rollup_sink_incremental_and_replay_idempotent(spark, tmp_path):
+    """Streaming materialized rollup: per-batch merge of partial state,
+    replay of a committed batch is a no-op, finalized result equals a
+    from-scratch recompute over all delivered rows."""
+    from sql_data_warehouse_analytics_project_spark.catalog import Catalog
+    from sql_data_warehouse_analytics_project_spark.plans import incremental
+    from sql_data_warehouse_analytics_project_spark.streaming.ingest import (
+        read_rollup,
+        rollup_batch_sink,
+    )
+
+    cat = Catalog(spark, prefix="rollup_")
+    cat.create_layers()
+    try:
+        measures = {"n": ("count", F.lit(1)), "total": ("sum", "v")}
+        sink = rollup_batch_sink(cat, "sales", ["k"], measures)
+        b0 = spark.createDataFrame([(1, 10.0), (1, 5.0), (2, 7.0)], "k int, v double")
+        b1 = spark.createDataFrame([(2, 3.0), (3, 1.0)], "k int, v double")
+        sink(b0, 0)
+        sink(b0, 0)  # replay of the SAME committed batch — must not double-count
+        sink(b1, 1)
+        got = {
+            r.k: (r.n, r.total)
+            for r in read_rollup(cat, "sales", ["k"], measures).collect()
+        }
+        assert got == {1: (2, 15.0), 2: (2, 10.0), 3: (1, 1.0)}
+        state = spark.table(cat.qualified("gold", "sales"))
+        assert state.select(F.max("_last_batch_id")).collect()[0][0] == 1
+        # equivalence with a from-scratch aggregation of everything delivered
+        full = incremental.finalize(
+            incremental.partial_aggs(b0.unionByName(b1), ["k"], measures),
+            ["k"],
+            measures,
+        )
+        assert got == {r.k: (r.n, r.total) for r in full.collect()}
+    finally:
+        cat.drop_layers()
