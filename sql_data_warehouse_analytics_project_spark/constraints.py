@@ -106,15 +106,19 @@ def fk_summary(
     spec: Mapping[str, Any],
     parent: DataFrame,
     *,
-    total_rows: int | None = None,
+    totals: DataFrame | None = None,
 ) -> DataFrame:
     """One summary row (same shape as ``validate``'s output) counting child
     rows whose fully-non-NULL key has no match in the parent. The probe is
     a left-anti join on the key columns — a plain shuffle join at scale
     (AQE broadcasts small parents automatically); the parent side is
     key-projected and deduplicated before the join so only distinct keys
-    shuffle. ``total_rows`` lets a caller checking several FKs share one
-    count instead of rescanning the batch per constraint."""
+    shuffle.
+
+    LAZY: the row comes back as an unevaluated 1-row aggregate, so
+    :func:`check` can union every constraint's probe into one plan and a
+    single action evaluates them all in one job — no per-FK driver round
+    trips. ``totals`` is a shared 1-row ``(total_rows)`` aggregate."""
     cols = list(spec["columns"])
     ref_cols = list(spec.get("ref_columns", cols))
     sev = spec.get("severity", "ERROR")
@@ -125,12 +129,19 @@ def fk_summary(
     keys = parent.select(
         *[F.col(rc).alias(c) for rc, c in zip(ref_cols, cols)]
     ).dropDuplicates()
-    orphans = child.join(keys, cols, "left_anti").count()
-    total = df.count() if total_rows is None else total_rows
-    return df.sparkSession.createDataFrame(
-        [(name, "foreign_key", sev, orphans, total, orphans == 0)],
-        "rule_name string, rule_type string, severity string,"
-        " violation_count long, total_rows long, passed boolean",
+    orphans = (
+        child.join(keys, cols, "left_anti")
+        .agg(F.count(F.lit(1)).alias("violation_count"))
+    )
+    if totals is None:
+        totals = df.agg(F.count(F.lit(1)).alias("total_rows"))
+    return orphans.crossJoin(F.broadcast(totals)).select(
+        F.lit(name).alias("rule_name"),
+        F.lit("foreign_key").alias("rule_type"),
+        F.lit(sev).alias("severity"),
+        F.col("violation_count").cast("long"),
+        F.col("total_rows").cast("long"),
+        (F.col("violation_count") == 0).alias("passed"),
     )
 
 
@@ -141,18 +152,20 @@ def check(catalog, df: DataFrame, specs: Sequence[Mapping[str, Any]]) -> DataFra
     ``Catalog.read`` (soft-deleted parent rows don't count as match
     targets, mirroring the standing ``is_deleted`` filter).
 
-    This evaluates the batch several times (validate pass, per-FK
-    anti-join, shared row count) — callers with an expensive upstream
-    lineage should hand in a materialized batch;
-    ``Catalog.checked_append`` localCheckpoints before calling."""
+    All probes (validate pass + every FK anti-join + the shared row
+    count) are unioned into ONE lazy plan, so the caller's single action
+    evaluates the whole constraint set in one job. Each branch still
+    scans the batch — callers with an expensive upstream lineage should
+    hand in a materialized batch; ``Catalog.checked_append``
+    localCheckpoints before calling."""
     rules, fks = compile_constraints(specs)
     parts: list[DataFrame] = []
     if rules or not fks:
         parts.append(validate(df, rules))
-    total = df.count() if fks else None
+    totals = df.agg(F.count(F.lit(1)).alias("total_rows")) if fks else None
     for fk in fks:
         parent = catalog.read(fk["ref_layer"], fk["ref_table"])
-        parts.append(fk_summary(df, fk, parent, total_rows=total))
+        parts.append(fk_summary(df, fk, parent, totals=totals))
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

@@ -119,6 +119,7 @@ def asof_join(
     right_values: Sequence[str],
     tolerance_seconds: float | None = None,
     suffix: str = "_asof",
+    validate: str = "none",
 ) -> DataFrame:
     """As-of (most-recent-match) join: every left row picks up the right
     row with the greatest ``right_ts <= left_ts`` for the same ``by`` keys
@@ -136,13 +137,38 @@ def asof_join(
 
     Right rows must be unique per (by, ts) — pre-aggregate if not
     (equal-timestamp duplicates would make "the" most recent row
-    ambiguous). ``tolerance_seconds`` nulls out matches staler than the
-    given horizon (pandas ``merge_asof(tolerance=...)`` semantics).
+    ambiguous). ``validate="unique"`` enforces that contract IN-PLAN
+    (``assert_true`` behind a filter, so the check cannot be pruned and
+    fails the job with a clear message instead of silently picking one
+    duplicate) at the cost of one extra window pass over the right side.
+    ``tolerance_seconds`` nulls out matches staler than the given horizon
+    (pandas ``merge_asof(tolerance=...)`` semantics).
     Output: all left columns + ``<col><suffix>`` for each right value
     column + ``<right_ts><suffix>`` for the matched timestamp.
     """
+    if validate not in ("none", "unique"):
+        raise ValueError(f"validate must be 'none' or 'unique', got {validate!r}")
     keys = list(by)
     vals = list(right_values)
+    if validate == "unique":
+        from pyspark.sql.window import Window as _W
+
+        right = right.withColumn(
+            "_n_dup", F.count(F.lit(1)).over(_W.partitionBy(*keys, right_ts))
+        )
+        right = right.filter(
+            F.assert_true(
+                F.col("_n_dup") == 1,
+                F.concat(
+                    F.lit("asof_join: right side has duplicate rows per ("),
+                    F.lit(", ".join([*keys, right_ts])),
+                    F.lit("): key="),
+                    F.concat_ws("/", *[F.col(k).cast("string") for k in keys]),
+                    F.lit(" ts="),
+                    F.col(right_ts).cast("string"),
+                ),
+            ).isNull()
+        ).drop("_n_dup")
     out_ts = f"{right_ts}{suffix}"
     # the right payload travels as ONE struct so the match is always a
     # whole right row — carrying each value column independently with

@@ -159,3 +159,36 @@ def validate_and_log(
             process_log_id=process_log_id,
         )
     return summary
+
+
+def profile_table(df: DataFrame, columns: Sequence[str] | None = None) -> DataFrame:
+    """Per-column data profile: one row per column with row/null/distinct
+    counts and min/max (stringified so every column type fits one output
+    schema) — the data-profiling face of S8 catalog introspection
+    (extends the reference's table-stats metadata query,
+    ``sql/query_builder.py:490-567``, from table-level to column-level).
+
+    Plan shape: one independent aggregate branch per column, unioned.
+    Each branch column-prunes to a SINGLE column's scan, so at 100 TB
+    this reads each parquet column chunk once — deliberately NOT one
+    N-column aggregate with N ``count_distinct``s, which Catalyst
+    rewrites into an Expand that duplicates every row N times (measured
+    8x slowdown on q42's sketch query; see NOTES lesson 7)."""
+    cols = list(columns) if columns is not None else list(df.columns)
+    parts = []
+    for c in cols:
+        one = df.select(F.col(c))
+        parts.append(
+            one.agg(
+                F.lit(c).alias("column_name"),
+                F.count(F.lit(1)).alias("n_rows"),
+                (F.count(F.lit(1)) - F.count(c)).alias("n_nulls"),
+                F.count_distinct(c).alias("n_distinct"),
+                F.min(c).cast("string").alias("min_value"),
+                F.max(c).cast("string").alias("max_value"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

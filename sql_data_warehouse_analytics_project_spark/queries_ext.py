@@ -911,3 +911,36 @@ def q50_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", zorder_key(["doc_id", "n_chars"], bits=8).alias("zkey")
     )
+
+
+_PROFILE_COLS = ("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
+
+
+@register(
+    "q51_table_profile",
+    " UNION ALL ".join(
+        f"""
+        SELECT '{c}' AS column_name,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_nulls,
+               CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+               CAST(MIN({c}) AS VARCHAR) AS min_value,
+               CAST(MAX({c}) AS VARCHAR) AS max_value
+        FROM customer
+        """
+        for c in _PROFILE_COLS
+    ),
+)
+def q51_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level profiling (``validate.profile_table``): row/null/
+    distinct counts + stringified min/max per column, one column-pruned
+    aggregate branch per column (never the N-way count_distinct Expand
+    blowup — NOTES lesson 7). Floating-point columns are excluded from
+    the ORACLE projection only because engines format doubles as strings
+    differently; the operator itself profiles any type."""
+    from sql_data_warehouse_analytics_project_spark.operators.validate import (
+        profile_table,
+    )
+
+    customer = load_table(spark, sf_dir, "customer")
+    return profile_table(customer, _PROFILE_COLS)

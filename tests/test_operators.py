@@ -561,3 +561,40 @@ def test_date_spine_and_forward_fill(spark):
     assert vals[("a", "2024-01-03")] == 1.0
     assert vals[("a", "2024-01-04")] == 4.0
     assert vals[("b", "2024-02-01")] == 9.0
+
+
+def test_asof_join_validate_unique(spark):
+    """validate='unique' fails loudly on ambiguous right rows and is a
+    pass-through (same result) when the contract holds."""
+    from datetime import datetime as DT
+
+    import pytest as _pytest
+
+    from sql_data_warehouse_analytics_project_spark.operators import joins
+
+    left = spark.createDataFrame(
+        [(1, "u1", DT(2024, 1, 1, 12, 0, 0))], "lid int, user string, ts timestamp"
+    )
+    ok_right = spark.createDataFrame(
+        [("u1", DT(2024, 1, 1, 9, 0, 0), 100.0)],
+        "user string, ts timestamp, price double",
+    )
+    dup_right = ok_right.unionByName(ok_right)  # same (user, ts) twice
+
+    good = joins.asof_join(
+        left, ok_right, ["user"], left_ts="ts", right_ts="ts",
+        right_values=["price"], validate="unique",
+    ).collect()
+    assert good[0].price_asof == 100.0
+
+    with _pytest.raises(Exception, match="duplicate rows per"):
+        joins.asof_join(
+            left, dup_right, ["user"], left_ts="ts", right_ts="ts",
+            right_values=["price"], validate="unique",
+        ).collect()
+
+    with _pytest.raises(ValueError, match="validate"):
+        joins.asof_join(
+            left, ok_right, ["user"], left_ts="ts", right_ts="ts",
+            right_values=["price"], validate="bogus",
+        )

@@ -210,3 +210,34 @@ def test_vocab_topk_is_take_ordered(plans):
     global sort of the vocabulary."""
     p = plans("qd33_vocab_top_terms")
     assert "TakeOrderedAndProject" in p, p
+
+
+def test_key_skew_stats_plan(plans):
+    """Skew probe: one map-side-combined shuffle for the key counts, the
+    1-row summary broadcast back (never a second hash shuffle of the
+    counts), top-N as TakeOrderedAndProject (never a global sort)."""
+    p = plans("q47_key_skew")
+    assert "TakeOrderedAndProject" in p
+    assert "partial_count" in p  # map-side combine before the shuffle
+    assert "BroadcastExchange" in p
+    assert "Sort [" not in p.replace("TakeOrderedAndProject", "")
+
+
+def test_table_profile_avoids_expand(plans):
+    """Per-column profile branches must never trigger Catalyst's Expand
+    rewrite (N distinct aggs in one agg => every row duplicated N times —
+    the blowup scales WITH data; NOTES lesson 7)."""
+    p = plans("q51_table_profile")
+    assert "Expand" not in p
+    # each branch prunes its scan to a single column
+    for frag in p.split("ReadSchema:")[1:]:
+        schema = frag.splitlines()[0]
+        assert schema.count(":") <= 1, f"branch reads >1 column: {schema}"
+
+
+def test_incremental_rollup_merges_without_join(plans):
+    """Partial-state merge is union + re-aggregate: no join anywhere (a
+    join-based merge would break N-way merges and double the shuffles)."""
+    p = plans("q48_incremental_rollup")
+    assert "Join" not in p
+    assert "Union" in p
