@@ -379,3 +379,73 @@ def chunk_text(
         )
         .withColumn("chunk_len", F.length("chunk_text"))
     )
+
+
+def corpus_filter(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    min_chars: int = 100,
+    max_chars: int = 100_000,
+    min_mean_tok_len: float = 2.0,
+    max_mean_tok_len: float = 12.0,
+    max_punct_ratio: float = 0.25,
+    max_dup_line_frac: float = 0.3,
+    max_top_ngram_frac: float = 0.2,
+    allowed_langs: "tuple[str, ...] | None" = None,
+    ngram: int = 2,
+) -> DataFrame:
+    """Gopher-style corpus filter: composes the length/token/punctuation
+    signals with the repetition signals (and optionally language ID) into
+    a single keep/drop decision, keeping WHY a document fell out —
+    ``drop_reasons`` is the comma-joined reason list (empty ⇔ ``keep``),
+    so the filter's yield per reason is one groupBy away (the knob every
+    data-curation run tunes first).
+
+    All signals are column expressions; the only shuffle is the word
+    n-gram aggregate inside :func:`repetition_features` (doc-id keyed, no
+    hot keys at 100 TB). Thresholds compare the same doubles the
+    qd04/qd31 oracles hash-check, so engine-portable replays agree even
+    at threshold boundaries.
+    """
+    toks = tokens(text_col)
+    n_chars = F.length(F.col(text_col))
+    n_toks = F.size(toks)
+    mean_tok_len = F.when(n_toks == 0, F.lit(0.0)).otherwise(
+        F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t)).cast("double")
+        / n_toks
+    )
+    base = df.select(
+        F.col(id_col),
+        n_chars.alias("_nc"),
+        mean_tok_len.alias("_mtl"),
+        punct_ratio(text_col).alias("_pr"),
+        detect_language(text_col).alias("lang"),
+    )
+    rep = repetition_features(
+        df.select(id_col, text_col), id_col, text_col, ngram=ngram
+    ).select(id_col, "dup_line_frac", "top_ngram_frac")
+    j = base.join(rep, id_col)
+    reasons = [
+        F.when(F.col("_nc") < min_chars, F.lit("too_short")),
+        F.when(F.col("_nc") > max_chars, F.lit("too_long")),
+        F.when(
+            (F.col("_mtl") < min_mean_tok_len) | (F.col("_mtl") > max_mean_tok_len),
+            F.lit("token_length"),
+        ),
+        F.when(F.col("_pr") > max_punct_ratio, F.lit("punctuation")),
+        F.when(F.col("dup_line_frac") > max_dup_line_frac, F.lit("dup_lines")),
+        F.when(F.col("top_ngram_frac") > max_top_ngram_frac, F.lit("repetition")),
+    ]
+    if allowed_langs is not None:
+        reasons.append(
+            F.when(~F.col("lang").isin(*allowed_langs), F.lit("language"))
+        )
+    drop_reasons = F.concat_ws(",", *reasons)  # concat_ws skips NULLs
+    return j.select(
+        F.col(id_col),
+        "lang",
+        drop_reasons.alias("drop_reasons"),
+        (drop_reasons == "").alias("keep"),
+    )

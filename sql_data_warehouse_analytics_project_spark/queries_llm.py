@@ -1243,3 +1243,65 @@ def qd27_ivf_ann_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     of 16 cells after k-means refinement — measured ~0.9 overall, the
     per-query gate leaves margin for the hardest vector)."""
     return _ann_recall_gate(spark, sf_dir, "ivf", 0.4).select("query_id", "recall_ok")
+
+
+@register(
+    "qd36_corpus_filter",
+    f"""
+    WITH ls AS (
+      SELECT doc_id,
+             list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+                         x -> x <> '') AS lines
+      FROM documents
+    ), lb AS (
+      SELECT doc_id,
+             round(CASE WHEN len(lines) = 0 THEN 0.0
+                        ELSE CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE)
+                             / len(lines) END, 6) AS dup_line_frac
+      FROM ls
+    ), toks AS (
+      SELECT doc_id, {_TOKS} AS t FROM documents
+    ), grams AS (
+      SELECT doc_id, unnest([array_to_string(t[i:i+1], ' ') FOR i IN range(1, len(t))]) AS g
+      FROM toks WHERE len(t) >= 2
+    ), cnt AS (
+      SELECT doc_id, g, count(*) AS c FROM grams GROUP BY 1, 2
+    ), ng AS (
+      SELECT doc_id, round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top_ngram_frac
+      FROM cnt GROUP BY 1
+    ), sig AS (
+      SELECT doc_id,
+             length(text) AS nc,
+             CASE WHEN len({_TOKS}) = 0 THEN 0.0
+                  ELSE CAST(list_sum(list_transform({_TOKS}, t -> length(t))) AS DOUBLE)
+                       / len({_TOKS}) END AS mtl,
+             CASE WHEN length(text) = 0 THEN 0.0
+                  ELSE CAST(length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) AS DOUBLE)
+                       / length(text) END AS pr
+      FROM documents
+    ), r AS (
+      SELECT s.doc_id,
+             concat_ws(',',
+               CASE WHEN s.nc < 100 THEN 'too_short' END,
+               CASE WHEN s.nc > 100000 THEN 'too_long' END,
+               CASE WHEN s.mtl < 2.0 OR s.mtl > 12.0 THEN 'token_length' END,
+               CASE WHEN s.pr > 0.25 THEN 'punctuation' END,
+               CASE WHEN lb.dup_line_frac > 0.3 THEN 'dup_lines' END,
+               CASE WHEN COALESCE(ng.top_ngram_frac, 0.0) > 0.2 THEN 'repetition' END
+             ) AS drop_reasons
+      FROM sig s JOIN lb USING (doc_id) LEFT JOIN ng USING (doc_id)
+    )
+    SELECT doc_id, drop_reasons, drop_reasons = '' AS keep FROM r
+    """,
+)
+def qd36_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style keep/drop corpus filter (``text.corpus_filter``):
+    length, token-shape, punctuation, duplicate-line, and n-gram
+    repetition gates composed into one decision with per-document drop
+    reasons. The oracle replays every gate over the same signals the
+    qd04/qd31 oracles already hash-check, so each document's reason
+    string and keep flag are value-compared exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.corpus_filter(docs, "doc_id", "text").select(
+        "doc_id", "drop_reasons", "keep"
+    )

@@ -574,3 +574,36 @@ def test_leakage_safe_split_coassigns_clusters(spark):
     assert all(r.split in ("train", "val", "test") for r in out)
     # fractions put most singletons in train at this size
     assert sum(1 for r in out if r.split == "train") > len(out) / 2
+
+
+def test_corpus_filter_reasons_and_language_gate(spark):
+    from sql_data_warehouse_analytics_project_spark.llm import text as T
+
+    good_en = (
+        "This is a perfectly reasonable document with enough words in it "
+        "to pass the length gate and the token shape gate without issues. "
+        "It has the usual mix of the and a and of and to that English has."
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, good_en),
+            (2, "short"),  # too_short (+ token_length: mean len of 'short'=5 ok -> only too_short)
+            (3, "x " * 200),  # token_length (mean 1.0) — long enough
+            (4, ("la " * 40 + "\n") * 5),  # dup_lines + repetition + token_length
+        ],
+        "doc_id int, text string",
+    )
+    out = {r.doc_id: r for r in T.corpus_filter(docs, "doc_id", "text").collect()}
+    assert out[1].keep and out[1].drop_reasons == ""
+    assert "too_short" in out[2].drop_reasons
+    assert "token_length" in out[3].drop_reasons and not out[3].keep
+    assert "dup_lines" in out[4].drop_reasons
+    assert "repetition" in out[4].drop_reasons
+
+    gated = {
+        r.doc_id: r
+        for r in T.corpus_filter(
+            docs, "doc_id", "text", allowed_langs=("fr",)
+        ).collect()
+    }
+    assert "language" in gated[1].drop_reasons  # English doc, French-only corpus
