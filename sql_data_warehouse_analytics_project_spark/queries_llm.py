@@ -1305,3 +1305,127 @@ def qd36_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.corpus_filter(docs, "doc_id", "text").select(
         "doc_id", "drop_reasons", "keep"
     )
+
+
+@register(
+    "qd37_curation_funnel",
+    f"""
+    WITH RECURSIVE fpr AS (
+      SELECT doc_id, text, row_number() OVER (PARTITION BY {_FP} ORDER BY doc_id) AS rn
+      FROM documents
+    ), surv AS (
+      SELECT doc_id, text FROM fpr WHERE rn = 1
+    ), toks AS (
+      SELECT doc_id, {_TOKS} AS t FROM surv
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t)-1)]) AS shingles
+      FROM toks WHERE len(t) >= 3
+    ), ex AS (
+      SELECT doc_id, unnest(shingles) AS s FROM sh
+    ), sizes AS (
+      SELECT doc_id, len(shingles) AS n FROM sh
+    ), common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT id_a, id_b
+      FROM common
+      JOIN sizes sa ON id_a = sa.doc_id
+      JOIN sizes sb ON id_b = sb.doc_id
+      WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.8
+    ), e AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b AS u, id_a AS v FROM pairs
+    ), reach(u, r) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM e)
+      UNION
+      SELECT e.u, reach.r FROM e JOIN reach ON e.v = reach.u
+    ), comp AS (
+      SELECT u AS node, MIN(r) AS cluster_id FROM reach GROUP BY u
+    ), near AS (
+      SELECT s.doc_id, s.text
+      FROM surv s LEFT JOIN comp c ON s.doc_id = c.node
+      WHERE c.node IS NULL OR c.node = c.cluster_id
+    ), ls AS (
+      SELECT doc_id,
+             list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+                         x -> x <> '') AS lines
+      FROM near
+    ), lb AS (
+      SELECT doc_id,
+             round(CASE WHEN len(lines) = 0 THEN 0.0
+                        ELSE CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE)
+                             / len(lines) END, 6) AS dup_line_frac
+      FROM ls
+    ), toks2 AS (
+      SELECT doc_id, {_TOKS} AS t FROM near
+    ), grams AS (
+      SELECT doc_id, unnest([array_to_string(t[i:i+1], ' ') FOR i IN range(1, len(t))]) AS g
+      FROM toks2 WHERE len(t) >= 2
+    ), cnt AS (
+      SELECT doc_id, g, count(*) AS c FROM grams GROUP BY 1, 2
+    ), ng AS (
+      SELECT doc_id, round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top_ngram_frac
+      FROM cnt GROUP BY 1
+    ), sig AS (
+      SELECT n.doc_id,
+             length(text) AS nc,
+             CASE WHEN len({_TOKS}) = 0 THEN 0.0
+                  ELSE CAST(list_sum(list_transform({_TOKS}, t -> length(t))) AS DOUBLE)
+                       / len({_TOKS}) END AS mtl,
+             CASE WHEN length(text) = 0 THEN 0.0
+                  ELSE CAST(length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) AS DOUBLE)
+                       / length(text) END AS pr
+      FROM near n
+    ), kept AS (
+      SELECT s.doc_id
+      FROM sig s JOIN lb USING (doc_id) LEFT JOIN ng USING (doc_id)
+      WHERE NOT (s.nc < 100 OR s.nc > 100000
+                 OR s.mtl < 2.0 OR s.mtl > 12.0
+                 OR s.pr > 0.25
+                 OR lb.dup_line_frac > 0.3
+                 OR COALESCE(ng.top_ngram_frac, 0.0) > 0.2)
+    ), keyed AS (
+      SELECT k.doc_id, CAST(COALESCE(c.cluster_id, k.doc_id) AS BIGINT) AS split_key
+      FROM kept k LEFT JOIN comp c ON k.doc_id = c.node
+    ), sp AS (
+      SELECT doc_id,
+             CASE WHEN bk < 800000 THEN 'train'
+                  WHEN bk < 900000 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (
+        SELECT doc_id,
+               CAST(CAST(concat('0x', substr(md5('split' || CAST(split_key AS VARCHAR)), 1, 15))
+                    AS UBIGINT) % 1000000 AS BIGINT) AS bk
+        FROM keyed
+      )
+    )
+    SELECT 'exact_dedup' AS stage, CAST(COUNT(*) AS BIGINT) AS n_docs FROM surv
+    UNION ALL
+    SELECT 'near_dedup', CAST(COUNT(*) AS BIGINT) FROM near
+    UNION ALL
+    SELECT 'quality_filter', CAST(COUNT(*) AS BIGINT) FROM kept
+    UNION ALL
+    SELECT 'curated', CAST(COUNT(*) AS BIGINT) FROM sp
+    UNION ALL
+    SELECT concat('curated_', split), CAST(COUNT(*) AS BIGINT) FROM sp GROUP BY split
+    """,
+)
+def qd37_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END curation pipeline (``llm/curate.curate_corpus``): exact
+    dedup → MinHash near-dup resolution → quality filter → leakage-safe
+    split, as one composition, verified as one unit — the oracle replays
+    every stage (fingerprint keepers, exact-Jaccard pairs + recursive-CTE
+    closure, every filter gate, cluster-keyed md5 split buckets) and the
+    per-stage funnel counts must agree exactly. The Spark side generates
+    candidates with production xxhash64 MinHash banding; its pair set is
+    provably identical to the oracle's exact pairs on this corpus (the
+    qd25 recall gate pins recovered == exact == lsh)."""
+    from sql_data_warehouse_analytics_project_spark.llm import curate
+
+    docs = load_table(spark, sf_dir, "documents")
+    stages = curate.curate_corpus(docs, materialize=True)
+    return curate.curation_report(stages)

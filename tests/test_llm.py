@@ -607,3 +607,44 @@ def test_corpus_filter_reasons_and_language_gate(spark):
         ).collect()
     }
     assert "language" in gated[1].drop_reasons  # English doc, French-only corpus
+
+
+def test_curate_corpus_stage_contracts(spark):
+    """End-to-end curation on a corpus with one exact dup, one near-dup
+    pair, and one junk doc: each stage drops exactly what it should, and
+    near-dups that survive share a split."""
+    from sql_data_warehouse_analytics_project_spark.llm import curate
+
+    base = (
+        "The quick brown fox jumps over the lazy dog while the other animals "
+        "watch from the comfortable shade of a large tree near the old farm. "
+        "It is a calm and pleasant afternoon in the quiet countryside there."
+    )
+    near = base.replace("pleasant", "lovely")  # high-Jaccard near-dup of 1
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),          # exact duplicate of 1 -> dropped at exact stage
+            (3, near),          # near-dup of 1 -> dropped at near stage (1 kept)
+            (4, "junk!!"),      # too_short -> dropped by the filter
+            (5, base.replace("fox", "cat").replace("dog", "bird").replace(
+                "afternoon", "morning")),  # distinct enough to survive
+        ],
+        "doc_id long, text string",
+    )
+    stages = curate.curate_corpus(docs, materialize=True)
+    assert {r.doc_id for r in stages["exact"].select("doc_id").collect()} == {1, 3, 4, 5}
+    prs = {(r.id_a, r.id_b) for r in stages["pairs"].select("id_a", "id_b").collect()}
+    assert (1, 3) in prs
+    assert {r.doc_id for r in stages["near"].select("doc_id").collect()} == {1, 4, 5}
+    dec = {r.doc_id: r for r in stages["decisions"].collect()}
+    assert not dec[4].keep and "too_short" in dec[4].drop_reasons
+    cur = {r.doc_id: r for r in stages["curated"].collect()}
+    assert set(cur) == {1, 5}
+    # doc 1 is split-keyed by its CLUSTER id (min member = 1), so a future
+    # run where 3 survives instead would land in the same split
+    assert cur[1].split_key == 1
+    funnel = {r.stage: r.n_docs for r in curate.curation_report(stages).collect()}
+    assert funnel["exact_dedup"] == 4
+    assert funnel["near_dedup"] == 3
+    assert funnel["quality_filter"] == 2 and funnel["curated"] == 2
