@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 #: measure spec: out_name -> (fn, column-expression). fn in _PARTIAL_FNS.
 MeasureSpec = Mapping[str, tuple[str, "str | Column"]]
 
-_PARTIAL_FNS = ("sum", "count", "avg", "min", "max")
+_PARTIAL_FNS = ("sum", "count", "avg", "min", "max", "approx_distinct")
 
 
 def _as_col(c: "str | Column") -> Column:
@@ -36,9 +36,15 @@ def partial_aggs(df: DataFrame, keys: Sequence[str], measures: MeasureSpec) -> D
     """Aggregate one slice into mergeable partial-state columns.
 
     State encoding (by suffix, which ``merge_partials`` keys on):
-    ``m__sum`` / ``m__cnt`` / ``m__min`` / ``m__max``. AVG emits both
-    ``__sum`` and ``__cnt``; COUNT counts non-null values of its column
-    (pass a literal, e.g. ``F.lit(1)``, for ``COUNT(*)`` semantics).
+    ``m__sum`` / ``m__cnt`` / ``m__min`` / ``m__max`` / ``m__hll``. AVG
+    emits both ``__sum`` and ``__cnt``; COUNT counts non-null values of
+    its column (pass a literal, e.g. ``F.lit(1)``, for ``COUNT(*)``
+    semantics). ``approx_distinct`` keeps a Datasketches HLL sketch as
+    binary state — the ONLY way a distinct count can be refreshed
+    incrementally (exact distincts are not mergeable: distinct(old) +
+    distinct(delta) double-counts keys seen in both). Sketch union is
+    order-insensitive, so merge(old, delta) estimates EXACTLY what a
+    from-scratch sketch of old+delta estimates (tested as a property).
     """
     aggs: list[Column] = []
     for name, (fn, col) in measures.items():
@@ -53,6 +59,8 @@ def partial_aggs(df: DataFrame, keys: Sequence[str], measures: MeasureSpec) -> D
             aggs.append(F.min(c).alias(f"{name}__min"))
         if fn == "max":
             aggs.append(F.max(c).alias(f"{name}__max"))
+        if fn == "approx_distinct":
+            aggs.append(F.hll_sketch_agg(c).alias(f"{name}__hll"))
     return df.groupBy(*keys).agg(*aggs)
 
 
@@ -79,6 +87,8 @@ def merge_partials(keys: Sequence[str], *parts: DataFrame) -> DataFrame:
             aggs.append(F.min(c).alias(c))
         elif c.endswith("__max"):
             aggs.append(F.max(c).alias(c))
+        elif c.endswith("__hll"):
+            aggs.append(F.hll_union_agg(c).alias(c))
         else:
             raise ValueError(f"column {c!r} is not a partial-state column")
     return unioned.groupBy(*keys).agg(*aggs)
@@ -98,6 +108,8 @@ def finalize(partials: DataFrame, keys: Sequence[str], measures: MeasureSpec) ->
             )
         elif fn in ("min", "max"):
             cols.append(F.col(f"{name}__{fn}").alias(name))
+        elif fn == "approx_distinct":
+            cols.append(F.hll_sketch_estimate(f"{name}__hll").alias(name))
         else:
             raise ValueError(f"unsupported measure fn {fn!r} for {name!r}")
     return partials.select(*cols)

@@ -944,3 +944,48 @@ def q51_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     customer = load_table(spark, sf_dir, "customer")
     return profile_table(customer, _PROFILE_COLS)
+
+
+@register(
+    "q52_incremental_distinct",
+    """
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_distinct,
+           TRUE AS estimate_ok
+    FROM orders
+    GROUP BY order_year
+    """,
+)
+def q52_incremental_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained DISTINCT count: the one aggregate exact
+    arithmetic cannot refresh (distinct(old)+distinct(delta) double-counts
+    returning keys). HLL sketch state merges losslessly across refresh
+    generations; the split-merge path here must land within 5% of the
+    oracle's from-scratch exact count per group (ACCURACY GATE pattern,
+    like q42: the oracle emits literal TRUE, so any group where the
+    merged sketch drifts past the gate hash-mismatches the row)."""
+    from sql_data_warehouse_analytics_project_spark.plans import incremental
+
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "order_year", F.year("o_orderdate")
+    )
+    cutoff = F.lit("1997-01-01").cast("timestamp")
+    is_old = F.col("o_orderdate") < cutoff
+    old = orders.filter(is_old)
+    delta = orders.filter(~F.coalesce(is_old, F.lit(False)))
+    keys = ["order_year"]
+    measures = {"apx": ("approx_distinct", "o_custkey")}
+    state = incremental.partial_aggs(old, keys, measures)
+    merged = incremental.incremental_refresh(state, delta, keys, measures)
+    est = incremental.finalize(merged, keys, measures)
+    exact = orders.groupBy("order_year").agg(
+        F.count_distinct("o_custkey").alias("exact_distinct")
+    )
+    return exact.join(est, "order_year").select(
+        F.col("order_year").cast("int"),
+        F.col("exact_distinct").cast("bigint"),
+        (
+            F.abs(F.col("apx") - F.col("exact_distinct"))
+            <= F.col("exact_distinct") * 0.05
+        ).alias("estimate_ok"),
+    )

@@ -242,3 +242,31 @@ def test_zorder_sort_clusters_both_dimensions(spark, tmp_path):
     # every 128-row z-chunk is a 16x8 or 8x16 rectangle of the 32x32 grid
     for sx, sy in spans:
         assert sx <= 0.5 and sy <= 0.5
+
+
+def test_incremental_hll_merge_equals_from_scratch_sketch(spark):
+    """HLL state property: union of slice sketches estimates exactly what
+    one sketch over all rows estimates (sketch union is order-insensitive),
+    and at small cardinality the estimate is the true distinct count."""
+    m = {"d": ("approx_distinct", "v")}
+    df = spark.createDataFrame(
+        [(i % 3, (i * 7) % 50) for i in range(500)], "k int, v int"
+    )
+    full = incremental.finalize(
+        incremental.partial_aggs(df, ["k"], m), ["k"], m
+    )
+    slices = [
+        incremental.partial_aggs(df.filter(F.col("v") % 4 == r), ["k"], m)
+        for r in range(4)
+    ]
+    merged = incremental.finalize(
+        incremental.merge_partials(["k"], *slices), ["k"], m
+    )
+    full_map = {r.k: r.d for r in full.collect()}
+    merged_map = {r.k: r.d for r in merged.collect()}
+    assert merged_map == full_map
+    exact = {
+        r.k: r.n
+        for r in df.groupBy("k").agg(F.count_distinct("v").alias("n")).collect()
+    }
+    assert full_map == exact  # HLL is exact at this cardinality
