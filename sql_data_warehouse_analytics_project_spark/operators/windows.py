@@ -257,3 +257,65 @@ def forward_fill(
     for c in cols:
         out = out.withColumn(f"{c}{suffix}", F.last(c, ignorenulls=True).over(w))
     return out
+
+
+def funnel_analysis(
+    events: DataFrame,
+    steps: Sequence[str],
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    within_seconds: float | None = None,
+) -> DataFrame:
+    """Ordered-sequence funnel: how many users performed ``steps`` IN
+    ORDER (each step at-or-after the previous one's first completion;
+    optionally within ``within_seconds`` of it). Returns one row per step
+    — ``(step, step_index, n_users, pct_of_first)`` — the drop-off curve.
+
+    Plan shape: step 0 is one groupBy(user); each later step is one
+    user-keyed join + conditional min — k-1 shuffles all on the SAME key,
+    so Catalyst reuses the exchange, and per-user state is a handful of
+    timestamps, never the user's whole event list (no collect_list of
+    fact-scale arrays). Earliest-completion semantics: a user converts on
+    the first opportunity, matching the standard funnel definition."""
+    if not steps:
+        raise ValueError("funnel_analysis needs at least one step")
+    user = F.col(user_col)
+    cur = (
+        events.filter(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("_t0"))
+    )
+    for i, step in enumerate(steps[1:], start=1):
+        nxt = events.filter(F.col(type_col) == step).select(
+            F.col(user_col), F.col(ts_col).alias("_ts")
+        )
+        cond = F.col("_ts") >= F.col(f"_t{i-1}")
+        if within_seconds is not None:
+            cond = cond & (
+                F.col("_ts").cast("double")
+                <= F.col(f"_t{i-1}").cast("double") + within_seconds
+            )
+        carry = [f"_t{j}" for j in range(i)]
+        cur = (
+            cur.join(nxt, user_col, "left")
+            .groupBy(user_col, *carry)
+            .agg(F.min(F.when(cond, F.col("_ts"))).alias(f"_t{i}"))
+        )
+    counts = cur.agg(
+        *[
+            F.count(F.col(f"_t{i}")).alias(f"_n{i}")
+            for i in range(len(steps))
+        ]
+    )
+    rows = None
+    for i, step in enumerate(steps):
+        one = counts.select(
+            F.lit(step).alias("step"),
+            F.lit(i).cast("int").alias("step_index"),
+            F.col(f"_n{i}").cast("bigint").alias("n_users"),
+            (F.col(f"_n{i}") / F.col("_n0")).alias("pct_of_first"),
+        )
+        rows = one if rows is None else rows.unionByName(one)
+    return rows

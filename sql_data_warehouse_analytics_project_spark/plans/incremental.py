@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 #: measure spec: out_name -> (fn, column-expression). fn in _PARTIAL_FNS.
 MeasureSpec = Mapping[str, tuple[str, "str | Column"]]
 
-_PARTIAL_FNS = ("sum", "count", "avg", "min", "max", "approx_distinct")
+_PARTIAL_FNS = ("sum", "count", "avg", "min", "max", "approx_distinct", "stddev")
 
 
 def _as_col(c: "str | Column") -> Column:
@@ -39,7 +39,11 @@ def partial_aggs(df: DataFrame, keys: Sequence[str], measures: MeasureSpec) -> D
     ``m__sum`` / ``m__cnt`` / ``m__min`` / ``m__max`` / ``m__hll``. AVG
     emits both ``__sum`` and ``__cnt``; COUNT counts non-null values of
     its column (pass a literal, e.g. ``F.lit(1)``, for ``COUNT(*)``
-    semantics). ``approx_distinct`` keeps a Datasketches HLL sketch as
+    semantics). ``stddev`` keeps moments (sum, sum², count) —
+    mergeable by addition, finalized with the usual one-pass formula
+    (beware: float moments lose precision when variance << mean²; keep
+    the column DECIMAL through the sums if that matters).
+    ``approx_distinct`` keeps a Datasketches HLL sketch as
     binary state — the ONLY way a distinct count can be refreshed
     incrementally (exact distincts are not mergeable: distinct(old) +
     distinct(delta) double-counts keys seen in both). Sketch union is
@@ -51,10 +55,12 @@ def partial_aggs(df: DataFrame, keys: Sequence[str], measures: MeasureSpec) -> D
         if fn not in _PARTIAL_FNS:
             raise ValueError(f"unsupported measure fn {fn!r} for {name!r}")
         c = _as_col(col)
-        if fn in ("sum", "avg"):
+        if fn in ("sum", "avg", "stddev"):
             aggs.append(F.sum(c).alias(f"{name}__sum"))
-        if fn in ("count", "avg"):
+        if fn in ("count", "avg", "stddev"):
             aggs.append(F.count(c).alias(f"{name}__cnt"))
+        if fn == "stddev":
+            aggs.append(F.sum(c * c).alias(f"{name}__sum2"))
         if fn == "min":
             aggs.append(F.min(c).alias(f"{name}__min"))
         if fn == "max":
@@ -81,7 +87,7 @@ def merge_partials(keys: Sequence[str], *parts: DataFrame) -> DataFrame:
     for c in unioned.columns:
         if c in keys:
             continue
-        if c.endswith(("__sum", "__cnt")):
+        if c.endswith(("__sum", "__cnt", "__sum2")):
             aggs.append(F.sum(c).alias(c))
         elif c.endswith("__min"):
             aggs.append(F.min(c).alias(c))
@@ -110,6 +116,19 @@ def finalize(partials: DataFrame, keys: Sequence[str], measures: MeasureSpec) ->
             cols.append(F.col(f"{name}__{fn}").alias(name))
         elif fn == "approx_distinct":
             cols.append(F.hll_sketch_estimate(f"{name}__hll").alias(name))
+        elif fn == "stddev":
+            n = F.col(f"{name}__cnt")
+            sm = F.col(f"{name}__sum").cast("double")
+            s2 = F.col(f"{name}__sum2").cast("double")
+            # sample stddev from moments; NULL for n < 2 like stddev_samp.
+            # greatest(0, ...) guards the tiny negative residue float
+            # cancellation can leave when variance is ~0.
+            cols.append(
+                F.when(
+                    n >= 2,
+                    F.sqrt(F.greatest((s2 - sm * sm / n) / (n - 1), F.lit(0.0))),
+                ).alias(name)
+            )
         else:
             raise ValueError(f"unsupported measure fn {fn!r} for {name!r}")
     return partials.select(*cols)

@@ -194,3 +194,47 @@ def q24_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(k).cast("bigint").alias("sum_k"),
         F.avg(k).alias("avg_k"),
     )
+
+
+@register(
+    "q53_event_funnel",
+    """
+    WITH s0 AS (
+      SELECT user_id, min(ts) AS t0 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), s1 AS (
+      SELECT e.user_id, min(e.ts) AS t1
+      FROM events e JOIN s0 USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts >= s0.t0
+      GROUP BY e.user_id
+    ), s2 AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN s1 USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts >= s1.t1
+      GROUP BY e.user_id
+    ), c AS (
+      SELECT (SELECT count(*) FROM s0) AS n0,
+             (SELECT count(*) FROM s1) AS n1,
+             (SELECT count(*) FROM s2) AS n2
+    )
+    SELECT 'view' AS step, CAST(0 AS INTEGER) AS step_index,
+           CAST(n0 AS BIGINT) AS n_users, n0 / n0 AS pct_of_first FROM c
+    UNION ALL
+    SELECT 'click', CAST(1 AS INTEGER), CAST(n1 AS BIGINT), n1 / n0 FROM c
+    UNION ALL
+    SELECT 'purchase', CAST(2 AS INTEGER), CAST(n2 AS BIGINT), n2 / n0 FROM c
+    """,
+)
+def q53_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view→click→purchase funnel (``windows.funnel_analysis``):
+    per-step user counts where each step happens at-or-after the user's
+    FIRST completion of the previous step. Every later step is one
+    user-keyed join + conditional min (exchange reused — same key), so
+    per-user state is three timestamps, never an event array. The oracle
+    replays each step's earliest-completion semantics exactly."""
+    from sql_data_warehouse_analytics_project_spark.operators.windows import (
+        funnel_analysis,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    return funnel_analysis(events, ["view", "click", "purchase"])

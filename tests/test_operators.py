@@ -598,3 +598,37 @@ def test_asof_join_validate_unique(spark):
             left, ok_right, ["user"], left_ts="ts", right_ts="ts",
             right_values=["price"], validate="bogus",
         )
+
+
+def test_funnel_analysis_order_and_horizon(spark):
+    """Steps must happen in order (a purchase BEFORE the first click does
+    not count) and within the optional horizon."""
+    from datetime import datetime as DT
+
+    from sql_data_warehouse_analytics_project_spark.operators.windows import (
+        funnel_analysis,
+    )
+
+    ev = spark.createDataFrame(
+        [
+            # u1: full ordered funnel
+            (1, "view", DT(2024, 1, 1, 9)), (1, "click", DT(2024, 1, 1, 10)),
+            (1, "purchase", DT(2024, 1, 1, 11)),
+            # u2: purchase BEFORE first click -> converts only to click
+            (2, "view", DT(2024, 1, 1, 9)), (2, "purchase", DT(2024, 1, 1, 9, 30)),
+            (2, "click", DT(2024, 1, 1, 10)),
+            # u3: view only
+            (3, "view", DT(2024, 1, 1, 9)),
+            # u4: clicks but never viewed -> not in funnel at all
+            (4, "click", DT(2024, 1, 1, 9)),
+        ],
+        "user_id int, event_type string, ts timestamp",
+    )
+    out = {r.step: r.n_users for r in funnel_analysis(
+        ev, ["view", "click", "purchase"]).collect()}
+    assert out == {"view": 3, "click": 2, "purchase": 1}
+
+    # 30-minute horizon: u1's click is 60min after the view -> drops out
+    tight = {r.step: r.n_users for r in funnel_analysis(
+        ev, ["view", "click", "purchase"], within_seconds=1800).collect()}
+    assert tight == {"view": 3, "click": 0, "purchase": 0}

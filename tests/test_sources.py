@@ -270,3 +270,31 @@ def test_incremental_hll_merge_equals_from_scratch_sketch(spark):
         for r in df.groupBy("k").agg(F.count_distinct("v").alias("n")).collect()
     }
     assert full_map == exact  # HLL is exact at this cardinality
+
+
+def test_incremental_stddev_merge_matches_full(spark, sales):
+    m = {"sd": ("stddev", "v"), "n": ("count", "v")}
+    full = incremental.finalize(
+        incremental.partial_aggs(sales, ["k"], m), ["k"], m
+    )
+    merged = incremental.finalize(
+        incremental.merge_partials(
+            ["k"],
+            incremental.partial_aggs(sales.filter(F.col("v") >= 10), ["k"], m),
+            incremental.partial_aggs(sales.filter(F.col("v") < 10), ["k"], m),
+        ),
+        ["k"],
+        m,
+    )
+    ref = {
+        r.k: r.sd
+        for r in sales.groupBy("k").agg(F.stddev("v").alias("sd")).collect()
+    }
+    for got in (full, merged):
+        gm = {r.k: r.sd for r in got.collect()}
+        assert set(gm) == set(ref)
+        for k in ref:
+            if ref[k] is None:
+                assert gm[k] is None  # single-row group -> NULL, like stddev_samp
+            else:
+                assert abs(gm[k] - ref[k]) < 1e-9
