@@ -233,30 +233,34 @@ def _kmeans_refine(base: DataFrame, cmat, n_iter: int):
     return cmat
 
 
-def ivf_ann_topk(
+def build_ivf_index(
     embeddings: DataFrame,
-    queries: DataFrame,
-    k: int = 5,
     n_centroids: int = 16,
-    n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     kmeans_iters: int = 2,
-) -> DataFrame:
-    """IVF (inverted-file) approximate nearest neighbors — the second
-    scale path alongside LSH bucketing: a coarse quantizer assigns every
-    corpus vector to its nearest centroid ONCE (one Arrow-batched pass
-    against a broadcast centroid matrix); a query probes only its
-    ``n_probe`` nearest centroids' buckets, so the exact-cosine rerank
-    touches ~n_probe/n_centroids of the corpus instead of all of it.
+) -> dict:
+    """Build the IVF index ONCE, search it many times — the production
+    ANN lifecycle (index construction is the expensive, corpus-sized
+    part; query batches arrive continuously and must not rebuild it).
+
+    Returns a plain dict index:
+    - ``"centroids"`` — the refined coarse-quantizer matrix (driver-side
+      list of lists; json-serializable, tiny)
+    - ``"assignments"`` — LAZY DataFrame ``(neighbor_id, nv, centroid_id)``:
+      every corpus vector with its nearest-centroid cell. Callers persist
+      this however they like (``localCheckpoint`` for a session,
+      ``write_dataset(partition_by=["centroid_id"])`` for reuse across
+      jobs — then each probe prunes to its cells' partition dirs).
+    - ``"id_type"`` — id column's Spark type (output schema of searches)
 
     The quantizer seeds deterministically (the ``n_centroids`` lowest-id
     vectors) and is refined with ``kmeans_iters`` spherical-Lloyd passes
     (:func:`_kmeans_refine` — one distributed partial-sum pass each), so
     cells track the data distribution instead of the seed draw; 0 turns
-    refinement off. Recall is gated in tests against brute force."""
+    refinement off. Recall is gated in tests against brute force.
+    """
     import numpy as np
-    import pandas as pd
 
     nonnull = embeddings.filter(F.col(vec_col).isNotNull())
     cent_rows = (
@@ -265,70 +269,101 @@ def ivf_ann_topk(
         .select(F.col(id_col), F.col(vec_col).cast("array<double>"))
         .collect()
     )
-    id_sql_early = embeddings.schema[id_col].dataType.simpleString()
-    if not cent_rows:  # empty/all-null corpus: no neighbors, not a crash
-        return embeddings.sparkSession.createDataFrame(
-            [],
-            f"query_id {id_sql_early}, neighbor_id {id_sql_early},"
-            " cosine double, rank int",
-        )
+    id_sql = embeddings.schema[id_col].dataType.simpleString()
+    spark = embeddings.sparkSession
+    if not cent_rows:  # empty/all-null corpus: searchable, zero results
+        return {
+            "centroids": [],
+            "assignments": spark.createDataFrame(
+                [], f"neighbor_id {id_sql}, nv array<float>, centroid_id int"
+            ),
+            "id_type": id_sql,
+        }
     cmat = np.array([r[1] for r in cent_rows], dtype=np.float64)
     if kmeans_iters and len(cent_rows) > 1:
         refine_base = nonnull.select(F.col(vec_col).cast("array<double>").alias("v"))
         cmat = _kmeans_refine(refine_base, cmat, kmeans_iters)
-    cnorm = np.linalg.norm(cmat, axis=1)
-    bc = embeddings.sparkSession.sparkContext.broadcast((cmat, cnorm))
-    # the kernel only repeats ids — no arithmetic on them — so any id type
-    # works; the output schema mirrors the input's
-    id_sql = embeddings.schema[id_col].dataType.simpleString()
-
-    def assign(n_nearest: int):
-        def kernel(batches):
-            cm, cn = bc.value
-            # fewer centroids than n_probe (tiny/empty corpus): clamp, or
-            # np.repeat(ids, n_nearest) mismatches order's row width
-            k_near = min(n_nearest, cm.shape[0])
-            for pdf in batches:
-                if pdf.empty or k_near == 0:
-                    continue
-                mat = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
-                norms = np.linalg.norm(mat, axis=1)
-                with np.errstate(divide="ignore", invalid="ignore"):
-                    sims = (mat @ cm.T) / (norms[:, None] * cn[None, :])
-                sims = np.nan_to_num(sims, nan=-2.0)
-                # deterministic: ties break toward the lower centroid index
-                order = np.argsort(-sims, axis=1, kind="stable")[:, :k_near]
-                out_ids = np.repeat(pdf["id"].to_numpy(), k_near)
-                yield pd.DataFrame(
-                    {"id": out_ids, "centroid_id": order.reshape(-1)}
-                )
-
-        return kernel
-
     base = nonnull.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
     )
     corpus_assign = base.mapInPandas(
-        assign(1), schema=f"id {id_sql}, centroid_id int"
+        _ivf_assign_kernel(spark, cmat, 1), schema=f"id {id_sql}, centroid_id int"
     )
-    corpus = embeddings.select(
+    assignments = embeddings.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv")
-    ).join(
-        corpus_assign.withColumnsRenamed({"id": "neighbor_id"}), "neighbor_id"
-    )
+    ).join(corpus_assign.withColumnsRenamed({"id": "neighbor_id"}), "neighbor_id")
+    return {
+        "centroids": cmat.tolist(),
+        "assignments": assignments,
+        "id_type": id_sql,
+    }
 
+
+def _ivf_assign_kernel(spark, cmat, n_nearest: int):
+    """Arrow-batched nearest-centroid assignment against a broadcast
+    centroid matrix; emits ``n_nearest`` (id, centroid_id) rows per
+    vector with deterministic low-index tie-breaks."""
+    import numpy as np
+    import pandas as pd
+
+    cn = np.linalg.norm(cmat, axis=1)
+    bc = spark.sparkContext.broadcast((cmat, cn))
+
+    def kernel(batches):
+        cm, cn_ = bc.value
+        # fewer centroids than n_probe (tiny/empty corpus): clamp, or
+        # np.repeat(ids, n_nearest) mismatches order's row width
+        k_near = min(n_nearest, cm.shape[0])
+        for pdf in batches:
+            if pdf.empty or k_near == 0:
+                continue
+            mat = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
+            norms = np.linalg.norm(mat, axis=1)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims = (mat @ cm.T) / (norms[:, None] * cn_[None, :])
+            sims = np.nan_to_num(sims, nan=-2.0)
+            # deterministic: ties break toward the lower centroid index
+            order = np.argsort(-sims, axis=1, kind="stable")[:, :k_near]
+            out_ids = np.repeat(pdf["id"].to_numpy(), k_near)
+            yield pd.DataFrame({"id": out_ids, "centroid_id": order.reshape(-1)})
+
+    return kernel
+
+
+def search_ivf_index(
+    index: dict,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k search against a prebuilt IVF index: each query probes its
+    ``n_probe`` nearest cells, exact cosine reranks only those cells'
+    vectors (~n_probe/n_centroids of the corpus). Query side is tiny and
+    broadcast; the corpus assignment table never reshuffles."""
+    import numpy as np
+
+    spark = queries.sparkSession
+    id_sql = index["id_type"]
+    cmat = np.array(index["centroids"], dtype=np.float64)
+    if cmat.size == 0:
+        return spark.createDataFrame(
+            [],
+            f"query_id {id_sql}, neighbor_id {id_sql}, cosine double, rank int",
+        )
     qbase = queries.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
     )
     qprobe = qbase.mapInPandas(
-        assign(n_probe), schema=f"id {id_sql}, centroid_id int"
+        _ivf_assign_kernel(spark, cmat, n_probe),
+        schema=f"id {id_sql}, centroid_id int",
     )
     qside = F.broadcast(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
         .join(qprobe.withColumnsRenamed({"id": "query_id"}), "query_id")
     )
-
-    cands = qside.join(corpus, "centroid_id").filter(
+    cands = qside.join(index["assignments"], "centroid_id").filter(
         F.col("query_id") != F.col("neighbor_id")
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
@@ -342,4 +377,31 @@ def ivf_ann_topk(
             F.round("cos", 6).alias("cosine"),
             F.col("rank").cast("int").alias("rank"),
         )
+    )
+
+
+def ivf_ann_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    kmeans_iters: int = 2,
+) -> DataFrame:
+    """IVF (inverted-file) approximate nearest neighbors — the second
+    scale path alongside LSH bucketing. One-shot convenience over
+    :func:`build_ivf_index` + :func:`search_ivf_index`; when several
+    query batches hit the same corpus, build the index once and search
+    it repeatedly instead."""
+    index = build_ivf_index(
+        embeddings,
+        n_centroids=n_centroids,
+        id_col=id_col,
+        vec_col=vec_col,
+        kmeans_iters=kmeans_iters,
+    )
+    return search_ivf_index(
+        index, queries, k=k, n_probe=n_probe, id_col=id_col, vec_col=vec_col
     )

@@ -648,3 +648,25 @@ def test_curate_corpus_stage_contracts(spark):
     assert funnel["exact_dedup"] == 4
     assert funnel["near_dedup"] == 3
     assert funnel["quality_filter"] == 2 and funnel["curated"] == 2
+
+
+def test_ivf_index_build_once_search_many(spark, sf_dir):
+    """The build/search split returns exactly what the one-shot API
+    returns, with the expensive index built once for both query batches."""
+    from sql_data_warehouse_analytics_project_spark.llm import similarity as S
+    from sql_data_warehouse_analytics_project_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    index = S.build_ivf_index(emb)
+    index["assignments"] = index["assignments"].localCheckpoint()  # persist choice
+    for lo, hi in ((0, 4), (4, 8)):
+        queries = emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi))
+        got = {
+            (r.query_id, r.rank): r.neighbor_id
+            for r in S.search_ivf_index(index, queries, k=3).collect()
+        }
+        ref = {
+            (r.query_id, r.rank): r.neighbor_id
+            for r in S.ivf_ann_topk(emb, queries, k=3).collect()
+        }
+        assert got == ref and got
