@@ -989,3 +989,52 @@ def q52_incremental_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.col("exact_distinct") * 0.05
         ).alias("estimate_ok"),
     )
+
+
+@register(
+    "q54_partitioned_dataset_roundtrip",
+    """
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+           o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+    FROM orders
+    GROUP BY order_year, o_orderstatus
+    """,
+)
+def q54_partitioned_dataset_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layout-aware dataset sink through the driver gate: orders written
+    with ``write_dataset`` (partitioned by year, sorted by order key
+    within files, records-per-file capped), read back from the partition
+    directories, aggregated — the oracle reads the ORIGINAL table, so any
+    row lost/duplicated/mangled by the partitioned write (incl. the
+    partition column's round trip through directory names) breaks the
+    hash compare."""
+    import os
+
+    from sql_data_warehouse_analytics_project_spark.sources.writers import (
+        write_dataset,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "order_year", F.year("o_orderdate")
+    )
+    path = os.path.join(
+        "/tmp", "spark_graft_roundtrip_ds", os.path.basename(os.path.normpath(sf_dir))
+    )
+    write_dataset(
+        orders,
+        path,
+        partition_by=["order_year"],
+        sort_by=["o_orderkey"],
+        max_records_per_file=50_000,
+    )
+    back = spark.read.parquet(path)
+    return back.groupBy(F.col("order_year").cast("int"), "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(money("o_totalprice")).cast("double").alias("revenue"),
+        F.min("o_orderkey").cast("bigint").alias("min_key"),
+        F.max("o_orderkey").cast("bigint").alias("max_key"),
+    )

@@ -241,3 +241,11 @@ def test_incremental_rollup_merges_without_join(plans):
     p = plans("q48_incremental_rollup")
     assert "Join" not in p
     assert "Union" in p
+
+
+def test_event_funnel_no_cartesian_and_bounded_shuffles(plans):
+    """Funnel steps join on the user key only — no cross products, no
+    nested loops, and no collect_list of per-user event arrays."""
+    p = plans("q53_event_funnel")
+    for bad in ("CartesianProduct", "BroadcastNestedLoopJoin", "collect_list"):
+        assert bad not in p, bad

@@ -305,3 +305,26 @@ def test_rollup_sink_incremental_and_replay_idempotent(spark, tmp_path):
         assert got == {r.k: (r.n, r.total) for r in full.collect()}
     finally:
         cat.drop_layers()
+
+
+def test_rollup_sink_with_hll_distinct_state(spark, tmp_path):
+    """Streaming rollup with approx-distinct state: the HLL sketch binary
+    survives the parquet state table across batches and keeps estimating
+    the union of everything delivered."""
+    from sql_data_warehouse_analytics_project_spark.catalog import Catalog
+    from sql_data_warehouse_analytics_project_spark.streaming.ingest import (
+        read_rollup,
+        rollup_batch_sink,
+    )
+
+    cat = Catalog(spark, prefix="rolluph_")
+    cat.create_layers()
+    try:
+        measures = {"du": ("approx_distinct", "u")}
+        sink = rollup_batch_sink(cat, "users", ["k"], measures)
+        sink(spark.createDataFrame([(1, 10), (1, 11), (2, 10)], "k int, u int"), 0)
+        sink(spark.createDataFrame([(1, 11), (1, 12), (2, 10)], "k int, u int"), 1)
+        got = {r.k: r.du for r in read_rollup(cat, "users", ["k"], measures).collect()}
+        assert got == {1: 3, 2: 1}  # 10,11,12 and 10 — replays merged, not summed
+    finally:
+        cat.drop_layers()
