@@ -319,3 +319,56 @@ def funnel_analysis(
         )
         rows = one if rows is None else rows.unionByName(one)
     return rows
+
+
+def interpolate_linear(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    cols: Sequence[str],
+    *,
+    suffix: str = "_interp",
+) -> DataFrame:
+    """Linear interpolation across NULL gaps along each key's timeline —
+    forward_fill's smooth sibling (sensor/metric series where holding the
+    last value misrepresents a trend). Each NULL gets
+    ``prev + (next - prev) * elapsed_fraction`` between its neighboring
+    known points; leading/trailing runs (no neighbor on one side) fall
+    back to the nearest known value.
+
+    Same one-shuffle shape as forward_fill: two frames over one window
+    partitioning (unbounded-preceding ``last`` + unbounded-following
+    ``first``), all codegen'd — no per-key collect, no UDF. ``order_col``
+    may be numeric or DATE (dates interpolate on day offsets)."""
+    from pyspark.sql import types as T
+
+    is_date = isinstance(df.schema[order_col].dataType, T.DateType)
+    ord_num = (
+        F.unix_date(F.col(order_col)) if is_date else F.col(order_col).cast("double")
+    )
+    wp = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(order_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(order_col))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    out = df
+    for c in cols:
+        known_ord = F.when(F.col(c).isNotNull(), ord_num)
+        prev_v = F.last(c, ignorenulls=True).over(wp)
+        next_v = F.first(c, ignorenulls=True).over(wn)
+        prev_o = F.last(known_ord, ignorenulls=True).over(wp)
+        next_o = F.first(known_ord, ignorenulls=True).over(wn)
+        frac = (ord_num - prev_o).cast("double") / (next_o - prev_o)
+        interp = F.when(
+            prev_v.isNotNull() & next_v.isNotNull() & (next_o != prev_o),
+            prev_v + (next_v - prev_v) * frac,
+        )
+        out = out.withColumn(
+            f"{c}{suffix}", F.coalesce(interp, prev_v, next_v)
+        )
+    return out

@@ -1038,3 +1038,65 @@ def q54_partitioned_dataset_roundtrip(spark: SparkSession, sf_dir: str) -> DataF
         F.min("o_orderkey").cast("bigint").alias("min_key"),
         F.max("o_orderkey").cast("bigint").alias("max_key"),
     )
+
+
+@register(
+    "q55_linear_interpolation",
+    """
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, round(sum(value), 6) AS day_value
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    ), rng AS (
+      SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1
+    ), spine AS (
+      SELECT user_id,
+             unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+      FROM rng
+    ), j AS (
+      SELECT s.user_id, s.day, d.day_value
+      FROM spine s LEFT JOIN daily d USING (user_id, day)
+    ), w AS (
+      SELECT user_id, day, day_value,
+             last_value(day_value IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             first_value(day_value IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY day
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             last_value(CASE WHEN day_value IS NOT NULL THEN day END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS po,
+             first_value(CASE WHEN day_value IS NOT NULL THEN day END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY day
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS no_
+      FROM j
+    )
+    SELECT user_id, day,
+           round(COALESCE(
+             CASE WHEN pv IS NOT NULL AND nv IS NOT NULL AND no_ <> po
+                  THEN pv + (nv - pv) * (CAST(day - po AS DOUBLE) / (no_ - po))
+             END, pv, nv), 6) AS value_interp
+    FROM w
+    """,
+)
+def q55_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation over the densified purchase series
+    (``windows.interpolate_linear``): every empty day gets the
+    straight-line value between its neighboring observed days (edges
+    fall back to nearest-known). Same one-shuffle two-frame window shape
+    as forward_fill; the oracle replays neighbors, day fractions, and
+    edge fallbacks for every (user, day)."""
+    from sql_data_warehouse_analytics_project_spark.operators import windows as W
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(F.round(F.sum("value"), 6).alias("day_value"))
+    )
+    spine = W.date_spine(daily, ["user_id"], "day")
+    j = spine.join(daily, ["user_id", "day"], "left")
+    filled = W.interpolate_linear(j, ["user_id"], "day", ["day_value"])
+    return filled.select(
+        "user_id", "day", F.round("day_value_interp", 6).alias("value_interp")
+    )

@@ -632,3 +632,27 @@ def test_funnel_analysis_order_and_horizon(spark):
     tight = {r.step: r.n_users for r in funnel_analysis(
         ev, ["view", "click", "purchase"], within_seconds=1800).collect()}
     assert tight == {"view": 3, "click": 0, "purchase": 0}
+
+
+def test_interpolate_linear_gaps_and_edges(spark):
+    from sql_data_warehouse_analytics_project_spark.operators.windows import (
+        interpolate_linear,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, 0, None), (1, 1, 10.0), (1, 2, None), (1, 3, None),
+            (1, 4, 40.0), (1, 5, None),
+            (2, 0, 7.0),  # isolated single point
+        ],
+        "k int, t int, v double",
+    )
+    out = {(r.k, r.t): r.v_interp for r in interpolate_linear(
+        df, ["k"], "t", ["v"]).collect()}
+    assert out[(1, 0)] == 10.0   # leading edge -> backfill nearest
+    assert out[(1, 1)] == 10.0   # known stays exact
+    assert out[(1, 2)] == 20.0   # 1/3 of the way 10 -> 40
+    assert out[(1, 3)] == 30.0
+    assert out[(1, 4)] == 40.0
+    assert out[(1, 5)] == 40.0   # trailing edge -> ffill
+    assert out[(2, 0)] == 7.0
