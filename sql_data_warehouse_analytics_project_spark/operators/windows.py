@@ -372,3 +372,78 @@ def interpolate_linear(
             f"{c}{suffix}", F.coalesce(interp, prev_v, next_v)
         )
     return out
+
+
+def sessionize(
+    events: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    *,
+    gap_seconds: float = 1800,
+    session_col: str = "session_id",
+) -> DataFrame:
+    """Assign an inactivity-gap session id to EVERY event (the row-level
+    twin of the session-window aggregate, q27): a new session starts when
+    the gap since the key's previous event exceeds ``gap_seconds``;
+    ``session_id`` is the running count of session starts along the
+    key's timeline (1-based, deterministic).
+
+    One shuffle on the keys, two stacked frames over the same window
+    partitioning (lag + running sum) — never a per-key collect or loop.
+    """
+    w = Window.partitionBy(*keys).orderBy(F.col(ts_col))
+    prev_ts = F.lag(F.col(ts_col)).over(w)
+    is_start = (
+        prev_ts.isNull()
+        | (
+            F.col(ts_col).cast("double") - prev_ts.cast("double")
+            > gap_seconds
+        )
+    ).cast("long")
+    run = Window.partitionBy(*keys).orderBy(F.col(ts_col)).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return events.withColumn(session_col, F.sum(is_start).over(run))
+
+
+def rolling_zscore(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str,
+    value_col: str,
+    *,
+    window_rows: int = 30,
+    threshold: float = 3.0,
+    suffix: str = "_zscore",
+) -> DataFrame:
+    """Trailing-window anomaly score: each value's z-score against the
+    PRECEDING ``window_rows`` observations of its key (current row
+    excluded — an outlier must not dilute its own baseline), plus an
+    ``is_anomaly`` flag at ``threshold``. NULL until the baseline has 2+
+    points or while its stddev is 0.
+
+    One shuffle on the keys; the baseline rides MOMENTS (count, sum,
+    sum-of-squares) over a single ROWS frame — with a DECIMAL value
+    column the moments are exact and order-insensitive, so the score is
+    reproducible bit-for-bit across engines and partitionings (a
+    floating stddev buffer varies with accumulation order). The
+    metric-stream watchdog (reference L12/L13 perf monitoring,
+    ``logs/performance_monitor.py:589-593``) as a scalable window op.
+    ``order_col`` may be a column name or a list for a composite
+    (tie-broken, deterministic) ordering."""
+    order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*[F.col(c) for c in order_cols])
+        .rowsBetween(-window_rows, -1)
+    )
+    v = F.col(value_col)
+    n = F.count(v).over(w)
+    s1 = F.sum(v).over(w).cast("double")
+    s2 = F.sum(v * v).over(w).cast("double")
+    nd = n.cast("double")
+    var = (s2 - s1 * s1 / nd) / (nd - 1)
+    z = F.when((n >= 2) & (var > 0), (v.cast("double") - s1 / nd) / F.sqrt(var))
+    return df.withColumn(f"{value_col}{suffix}", z).withColumn(
+        "is_anomaly", F.coalesce(F.abs(z) > threshold, F.lit(False))
+    )

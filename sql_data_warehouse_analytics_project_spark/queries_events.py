@@ -238,3 +238,92 @@ def q53_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = load_table(spark, sf_dir, "events")
     return funnel_analysis(events, ["view", "click", "purchase"])
+
+
+@register(
+    "q56_sessionize",
+    """
+    WITH s AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                       OR epoch(ts) - epoch(lag(ts) OVER (
+                            PARTITION BY user_id ORDER BY ts)) > 1800
+                  THEN 1 ELSE 0 END AS is_start
+      FROM events
+    )
+    SELECT user_id, event_id,
+           CAST(SUM(is_start) OVER (
+                 PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS session_id
+    FROM s
+    """,
+)
+def q56_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level sessionization (``windows.sessionize``): every event
+    tagged with its 30-minute-inactivity-gap session number — the
+    per-event twin of the q27 session-window aggregate. lag + running sum
+    over one window partitioning; the oracle replays gap detection and
+    the running session count for every event."""
+    from sql_data_warehouse_analytics_project_spark.operators.windows import (
+        sessionize,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    return sessionize(events, ["user_id"], "ts", gap_seconds=1800).select(
+        "user_id", "event_id", F.col("session_id").cast("bigint")
+    )
+
+
+@register(
+    "q57_rolling_zscore",
+    """
+    WITH v AS (
+      SELECT user_id, event_id, ts,
+             CAST(value AS DECIMAL(18,2)) AS vd
+      FROM events WHERE event_type = 'purchase'
+    ), m AS (
+      SELECT user_id, event_id, vd,
+             count(vd) OVER w AS n,
+             CAST(sum(vd) OVER w AS DOUBLE) AS s1,
+             CAST(sum(vd * vd) OVER w AS DOUBLE) AS s2
+      FROM v
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 30 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT user_id, event_id,
+           CASE WHEN n >= 2 AND (s2 - s1 * s1 / n) / (n - 1) > 0
+                THEN (CAST(vd AS DOUBLE) - s1 / n)
+                     / sqrt((s2 - s1 * s1 / n) / (n - 1))
+           END AS zscore,
+           COALESCE(abs(CASE WHEN n >= 2 AND (s2 - s1 * s1 / n) / (n - 1) > 0
+                             THEN (CAST(vd AS DOUBLE) - s1 / n)
+                                  / sqrt((s2 - s1 * s1 / n) / (n - 1))
+                        END) > 3.0, FALSE) AS is_anomaly
+    FROM m
+    """,
+)
+def q57_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window anomaly scores (``windows.rolling_zscore``): each
+    purchase scored against its user's previous 30 purchase values
+    (current row excluded from its own baseline). The value rides as
+    DECIMAL so the window moments are EXACT and order-insensitive — the
+    oracle's replay is bit-identical, z-scores included, not just flags."""
+    from sql_data_warehouse_analytics_project_spark.operators.windows import (
+        rolling_zscore,
+    )
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id", "event_id", "ts",
+            F.col("value").cast("decimal(18,2)").alias("vd"),
+        )
+    )
+    out = rolling_zscore(
+        ev, ["user_id"], ["ts", "event_id"], "vd", window_rows=30, threshold=3.0
+    )
+    return out.select(
+        "user_id", "event_id", F.col("vd_zscore").alias("zscore"), "is_anomaly"
+    )

@@ -656,3 +656,47 @@ def test_interpolate_linear_gaps_and_edges(spark):
     assert out[(1, 4)] == 40.0
     assert out[(1, 5)] == 40.0   # trailing edge -> ffill
     assert out[(2, 0)] == 7.0
+
+
+def test_sessionize_gap_semantics(spark):
+    from datetime import datetime as DT
+
+    from sql_data_warehouse_analytics_project_spark.operators.windows import (
+        sessionize,
+    )
+
+    ev = spark.createDataFrame(
+        [
+            (1, DT(2024, 1, 1, 9, 0)), (1, DT(2024, 1, 1, 9, 20)),  # same session
+            (1, DT(2024, 1, 1, 10, 0)),  # 40min gap -> new session
+            (2, DT(2024, 1, 1, 9, 0)),   # other key independent
+        ],
+        "user_id int, ts timestamp",
+    )
+    out = {(r.user_id, r.ts.hour, r.ts.minute): r.session_id
+           for r in sessionize(ev, ["user_id"], "ts", gap_seconds=1800).collect()}
+    assert out[(1, 9, 0)] == 1 and out[(1, 9, 20)] == 1
+    assert out[(1, 10, 0)] == 2
+    assert out[(2, 9, 0)] == 1
+
+
+def test_rolling_zscore_baseline_excludes_current(spark):
+    from sql_data_warehouse_analytics_project_spark.operators.windows import (
+        rolling_zscore,
+    )
+
+    rows = [(1, i, 10.0) for i in range(10)] + [(1, 10, 1000.0)]
+    df = spark.createDataFrame(rows, "k int, t int, v double")
+    out = {r.t: r for r in rolling_zscore(
+        df, ["k"], "t", "v", window_rows=10, threshold=3.0).collect()}
+    # constant baseline -> var 0 -> no score for the steady rows
+    assert all(out[t].v_zscore is None and not out[t].is_anomaly for t in range(10))
+    # the spike is scored against the 10 steady points (which exclude it);
+    # var would be 0 if the spike diluted its own baseline
+    assert out[10].v_zscore is None or out[10].is_anomaly is False
+    # make baseline non-constant so the spike actually scores
+    rows2 = [(1, i, 10.0 + (i % 2)) for i in range(10)] + [(1, 10, 1000.0)]
+    df2 = spark.createDataFrame(rows2, "k int, t int, v double")
+    out2 = {r.t: r for r in rolling_zscore(
+        df2, ["k"], "t", "v", window_rows=10, threshold=3.0).collect()}
+    assert out2[10].is_anomaly and out2[10].v_zscore > 100
