@@ -307,3 +307,37 @@ def classify_changes(
         "operation",
         F.when(F.col("_matched").isNull(), F.lit("INSERT")).otherwise(F.lit("UPDATE")),
     ).drop("_matched")
+
+
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    block_keys: Sequence[str],
+    left_col: str,
+    right_col: str,
+    *,
+    max_distance: int = 2,
+    distance_col: str = "edit_distance",
+) -> DataFrame:
+    """Approximate string match (entity resolution): candidate pairs come
+    from an EQUI join on ``block_keys``, then Levenshtein prunes to
+    ``max_distance`` — never an all-pairs cross product. Blocking is the
+    caller's contract (same as every production ER system): pick keys
+    coarse enough to catch true matches (phonetic code, prefix, length
+    band, sorted-token key) and fine enough to bound block sizes; recall
+    is bounded by the blocking, exactness within a block is total.
+
+    Scale shape: one shuffle per side on the block keys; Levenshtein
+    runs codegen'd on JVM rows, only within blocks. Watch block-size skew
+    with ``aggregates.key_skew_stats`` on the block keys first."""
+    keys = list(block_keys)
+    lcols = [c for c in left.columns if c not in keys]
+    l = left.select(*keys, *[F.col(c).alias(f"l_{c}") for c in lcols])
+    rcols = [c for c in right.columns if c not in keys]
+    r = right.select(*keys, *[F.col(c).alias(f"r_{c}") for c in rcols])
+    dist = F.levenshtein(F.col(f"l_{left_col}"), F.col(f"r_{right_col}"))
+    return (
+        l.join(r, keys)
+        .withColumn(distance_col, dist)
+        .filter(F.col(distance_col) <= max_distance)
+    )

@@ -1100,3 +1100,39 @@ def q55_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return filled.select(
         "user_id", "day", F.round("day_value_interp", 6).alias("value_interp")
     )
+
+
+@register(
+    "q58_fuzzy_match",
+    """
+    WITH c AS (
+      SELECT c_custkey, c_name, substr(c_name, 1, length(c_name) - 2) AS blk
+      FROM customer
+    )
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS edit_distance
+    FROM c a JOIN c b ON a.blk = b.blk AND a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 2
+    """,
+)
+def q58_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy matching (``joins.fuzzy_join``): candidate pairs from
+    an equi join on a blocking key (here: name minus its last two chars),
+    Levenshtein-pruned within blocks — the entity-resolution shape that
+    never goes all-pairs. Every surviving pair's edit distance is
+    value-checked (Spark and DuckDB implement the same Levenshtein)."""
+    from sql_data_warehouse_analytics_project_spark.operators.joins import fuzzy_join
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        F.expr("substr(c_name, 1, length(c_name) - 2)").alias("blk"),
+    )
+    out = fuzzy_join(
+        cust, cust, ["blk"], "c_name", "c_name", max_distance=2
+    ).filter(F.col("l_c_custkey") < F.col("r_c_custkey"))
+    return out.select(
+        F.col("l_c_custkey").alias("id_a"),
+        F.col("r_c_custkey").alias("id_b"),
+        F.col("edit_distance").cast("int"),
+    )

@@ -700,3 +700,21 @@ def test_rolling_zscore_baseline_excludes_current(spark):
     out2 = {r.t: r for r in rolling_zscore(
         df2, ["k"], "t", "v", window_rows=10, threshold=3.0).collect()}
     assert out2[10].is_anomaly and out2[10].v_zscore > 100
+
+
+def test_fuzzy_join_blocks_and_threshold(spark):
+    from sql_data_warehouse_analytics_project_spark.operators.joins import fuzzy_join
+
+    left = spark.createDataFrame(
+        [(1, "b1", "kitten"), (2, "b1", "sitting"), (3, "b2", "kitten")],
+        "id int, blk string, name string",
+    )
+    right = spark.createDataFrame(
+        [(10, "b1", "kitten"), (11, "b1", "mitten"), (12, "b3", "kitten")],
+        "id int, blk string, name string",
+    )
+    out = fuzzy_join(left, right, ["blk"], "name", "name", max_distance=1).collect()
+    got = {(r.l_id, r.r_id): r.edit_distance for r in out}
+    # kitten-kitten (0) and kitten-mitten (1) inside block b1;
+    # sitting-kitten is distance 3 -> pruned; b2/b3 never meet (blocking)
+    assert got == {(1, 10): 0, (1, 11): 1}
