@@ -210,3 +210,73 @@ def key_skew_stats(
         .orderBy(F.col("n_rows").desc(), *[F.col(k) for k in keys])
         .limit(top_n)
     )
+
+
+def histogram(
+    df: DataFrame,
+    col: str,
+    *,
+    lo: float,
+    hi: float,
+    n_bins: int = 20,
+) -> DataFrame:
+    """Fixed-width histogram: ``(bin, bin_lo, bin_hi, n_rows)`` with
+    under/overflow clamped into the edge bins (bin 0 / n_bins-1) so the
+    row count is conserved — a profile that silently drops outliers lies
+    about the distribution. One map-side-combined shuffle keyed on the
+    bin id (≤ n_bins rows move); bins with no rows are absent (join the
+    spine of expected bins if a dense axis is needed)."""
+    if not hi > lo:
+        raise ValueError("histogram needs hi > lo")
+    width = (hi - lo) / n_bins
+    raw = F.floor((F.col(col) - lo) / width).cast("int")
+    b = F.least(F.greatest(raw, F.lit(0)), F.lit(n_bins - 1))
+    return (
+        df.filter(F.col(col).isNotNull())
+        .groupBy(b.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select(
+            "bin",
+            (F.lit(lo) + F.col("bin") * width).alias("bin_lo"),
+            (F.lit(lo) + (F.col("bin") + 1) * width).alias("bin_hi"),
+            "n_rows",
+        )
+    )
+
+
+def grouped_corr(
+    df: DataFrame,
+    group_by: Sequence[str],
+    x: Column | str,
+    y: Column | str,
+    *,
+    alias: str = "corr",
+) -> DataFrame:
+    """Per-group Pearson correlation from MOMENTS (n, Σx, Σy, Σxy, Σx²,
+    Σy²) instead of a floating corr buffer: feed DECIMAL columns and the
+    sums are exact and order-insensitive, so the coefficient is
+    bit-reproducible across engines and partitionings (the same trick as
+    ``windows.rolling_zscore``; a float corr aggregate varies with
+    accumulation order at scale). NULL when either variance is 0 or
+    n < 2, like ``corr``."""
+    cx = F.col(x) if isinstance(x, str) else x
+    cy = F.col(y) if isinstance(y, str) else y
+    m = df.groupBy(*group_by).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(cx).alias("_sx"),
+        F.sum(cy).alias("_sy"),
+        F.sum(cx * cy).alias("_sxy"),
+        F.sum(cx * cx).alias("_sxx"),
+        F.sum(cy * cy).alias("_syy"),
+    )
+    n = F.col("_n").cast("double")
+    sx = F.col("_sx").cast("double")
+    sy = F.col("_sy").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    sxx = F.col("_sxx").cast("double")
+    syy = F.col("_syy").cast("double")
+    cov = sxy - sx * sy / n
+    vx = sxx - sx * sx / n
+    vy = syy - sy * sy / n
+    r = F.when((F.col("_n") >= 2) & (vx > 0) & (vy > 0), cov / F.sqrt(vx * vy))
+    return m.select(*group_by, r.alias(alias))

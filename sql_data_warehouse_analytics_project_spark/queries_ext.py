@@ -1136,3 +1136,72 @@ def q58_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r_c_custkey").alias("id_b"),
         F.col("edit_distance").cast("int"),
     )
+
+
+@register(
+    "q59_histogram",
+    """
+    WITH b AS (
+      SELECT least(greatest(CAST(floor((o_totalprice - 0.0) / 25000.0) AS INTEGER), 0), 23) AS bin
+      FROM orders WHERE o_totalprice IS NOT NULL
+    )
+    SELECT bin,
+           0.0 + bin * 25000.0 AS bin_lo,
+           0.0 + (bin + 1) * 25000.0 AS bin_hi,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM b GROUP BY bin
+    """,
+)
+def q59_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram (``aggregates.histogram``) of order values:
+    24 bins over [0, 600k) with under/overflow clamped into the edge bins
+    so the row count is conserved. One bin-keyed map-side-combined
+    shuffle; bin edges and counts value-checked per bin."""
+    from sql_data_warehouse_analytics_project_spark.operators.aggregates import (
+        histogram,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    return histogram(orders, "o_totalprice", lo=0.0, hi=600_000.0, n_bins=24)
+
+
+@register(
+    "q60_grouped_correlation",
+    """
+    WITH m AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           CASE WHEN n >= 2 AND (sxx - sx * sx / n) > 0 AND (syy - sy * sy / n) > 0
+                THEN (sxy - sx * sy / n)
+                     / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n))
+           END AS corr
+    FROM m
+    """,
+)
+def q60_grouped_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group Pearson correlation (``aggregates.grouped_corr``) between
+    quantity and extended price, computed from EXACT decimal moments —
+    order-insensitive sums make the coefficient bit-reproducible, so the
+    oracle compares the raw double, no rounding tolerance needed (a float
+    corr buffer would drift with accumulation order at scale)."""
+    from sql_data_warehouse_analytics_project_spark.operators.aggregates import (
+        grouped_corr,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").cast("decimal(18,2)").alias("x"),
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("y"),
+    )
+    return grouped_corr(li, ["l_returnflag"], "x", "y", alias="corr")

@@ -718,3 +718,38 @@ def test_fuzzy_join_blocks_and_threshold(spark):
     # kitten-kitten (0) and kitten-mitten (1) inside block b1;
     # sitting-kitten is distance 3 -> pruned; b2/b3 never meet (blocking)
     assert got == {(1, 10): 0, (1, 11): 1}
+
+
+def test_histogram_clamps_and_conserves_rows(spark):
+    from sql_data_warehouse_analytics_project_spark.operators.aggregates import (
+        histogram,
+    )
+
+    df = spark.createDataFrame(
+        [(-5.0,), (0.0,), (5.0,), (9.9,), (10.0,), (25.0,), (None,)], "v double"
+    )
+    out = {r.bin: r for r in histogram(df, "v", lo=0.0, hi=20.0, n_bins=4).collect()}
+    # -5 clamps into bin 0; 25 clamps into bin 3; 5.0 and 10.0 open their bins
+    assert out[0].n_rows == 2 and out[0].bin_lo == 0.0 and out[0].bin_hi == 5.0
+    assert out[1].n_rows == 2
+    assert out[2].n_rows == 1
+    assert out[3].n_rows == 1
+    assert sum(r.n_rows for r in out.values()) == 6  # nulls excluded, rest conserved
+
+
+def test_grouped_corr_matches_known_values(spark):
+    from sql_data_warehouse_analytics_project_spark.operators.aggregates import (
+        grouped_corr,
+    )
+
+    rows = (
+        [(1, float(i), float(2 * i + 3)) for i in range(5)]       # perfect +1
+        + [(2, float(i), float(-i)) for i in range(5)]            # perfect -1
+        + [(3, 1.0, 1.0), (3, 1.0, 2.0)]                          # zero x-variance
+        + [(4, 1.0, 5.0)]                                         # n < 2
+    )
+    df = spark.createDataFrame(rows, "k int, x double, y double")
+    got = {r.k: r.corr for r in grouped_corr(df, ["k"], "x", "y").collect()}
+    assert abs(got[1] - 1.0) < 1e-12
+    assert abs(got[2] + 1.0) < 1e-12
+    assert got[3] is None and got[4] is None
