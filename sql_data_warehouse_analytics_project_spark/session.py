@@ -31,8 +31,9 @@ def get_spark(
     """Build (or reuse) the engine's SparkSession.
 
     Tuned for local[N] testing but every setting is cluster-valid: AQE,
-    Arrow, UTC, broadcast threshold left at default (10 MB) so small dims
-    (region/nation/part at test SF) broadcast automatically.
+    Arrow, UTC, and a 64 MB broadcast threshold (vs the 10 MB default) so
+    genuinely small dims (region/nation/part at test SF) broadcast
+    automatically while anything fact-sized still shuffles.
     """
     master = master or f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
     builder = (
