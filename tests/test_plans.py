@@ -249,3 +249,13 @@ def test_event_funnel_no_cartesian_and_bounded_shuffles(plans):
     p = plans("q53_event_funnel")
     for bad in ("CartesianProduct", "BroadcastNestedLoopJoin", "collect_list"):
         assert bad not in p, bad
+
+
+def test_histogram_and_corr_single_shuffle(plans):
+    """Histogram and moment-based correlation are each ONE map-side-
+    combined aggregation — no second shuffle, no Expand rewrite."""
+    for name in ("q59_histogram", "q60_grouped_correlation"):
+        p = plans(name)
+        assert "partial_" in p, name  # map-side combine present
+        assert "Expand" not in p, name
+        assert p.count("Exchange hashpartitioning") == 1, name
