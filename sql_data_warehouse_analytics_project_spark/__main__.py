@@ -24,7 +24,18 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--crm-dir", default=None)
     ap.add_argument("--erp-dir", default=None)
     ap.add_argument("--prefix", default="", help="layer database prefix (isolation)")
+    ap.add_argument(
+        "--curate", action="store_true",
+        help="run the corpus curation pipeline (dedup -> filter -> split)",
+    )
+    ap.add_argument("--docs", default=None, help="--curate: documents parquet path")
+    ap.add_argument("--out", default=None, help="--curate: output directory")
     args = ap.parse_args(argv)
+
+    if args.curate:
+        if not (args.docs and args.out):
+            ap.error("--curate requires --docs and --out")
+        return _run_curate(args.docs, args.out)
 
     if not any((args.setup, args.bronze, args.silver, args.gold, args.all)):
         ap.print_help()
@@ -54,6 +65,41 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"status": "FAILED", "error": str(e)}), file=sys.stderr)
         return 1
     print(json.dumps({"status": "SUCCESS", "results": results}, default=str))
+    return 0
+
+
+def _run_curate(docs_path: str, out_dir: str) -> int:
+    """Curation pipeline CLI: documents parquet in, curated corpus out.
+
+    Writes ``<out>/curated`` (split-partitioned parquet — each of
+    train/val/test is its own pruning-friendly directory) and
+    ``<out>/decisions`` (per-doc keep/drop + reasons, the audit trail),
+    and prints the stage funnel as JSON."""
+    import os
+
+    from sql_data_warehouse_analytics_project_spark.llm import curate
+    from sql_data_warehouse_analytics_project_spark.session import get_spark
+    from sql_data_warehouse_analytics_project_spark.sources.writers import (
+        write_dataset,
+    )
+
+    spark = get_spark("curate-cli")
+    try:
+        docs = spark.read.parquet(docs_path)
+        stages = curate.curate_corpus(docs, materialize=True)
+        write_dataset(
+            stages["curated"], os.path.join(out_dir, "curated"),
+            partition_by=["split"],
+        )
+        write_dataset(stages["decisions"], os.path.join(out_dir, "decisions"))
+        funnel = {
+            r["stage"]: r["n_docs"]
+            for r in curate.curation_report(stages).collect()
+        }
+    except Exception as e:  # noqa: BLE001 — CLI boundary: report + exit code
+        print(json.dumps({"status": "FAILED", "error": str(e)}), file=sys.stderr)
+        return 1
+    print(json.dumps({"status": "SUCCESS", "funnel": funnel}, default=str))
     return 0
 
 

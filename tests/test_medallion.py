@@ -201,3 +201,24 @@ def test_create_table_comment_with_quotes(cat):
     )
     assert cat.table_exists("bronze", "quoted_comment_t")
     cat.drop_table("bronze", "quoted_comment_t")
+
+
+def test_curate_cli_writes_split_partitioned_corpus(spark, sf_dir, tmp_path, capsys):
+    import json as _json
+    import os
+
+    from sql_data_warehouse_analytics_project_spark.__main__ import main
+
+    out = str(tmp_path / "curated_out")
+    rc = main(["--curate", "--docs", os.path.join(sf_dir, "documents.parquet"),
+               "--out", out])
+    assert rc == 0
+    payload = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert payload["status"] == "SUCCESS"
+    f = payload["funnel"]
+    assert f["exact_dedup"] >= f["near_dedup"] >= f["quality_filter"] == f["curated"]
+    splits = {d for d in os.listdir(os.path.join(out, "curated"))
+              if d.startswith("split=")}
+    assert splits == {"split=train", "split=val", "split=test"}
+    back = spark.read.parquet(os.path.join(out, "curated"))
+    assert back.count() == f["curated"]
