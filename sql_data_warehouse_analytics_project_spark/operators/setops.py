@@ -37,6 +37,12 @@ def except_all(a: DataFrame, b: DataFrame) -> DataFrame:
     return a.exceptAll(b)
 
 
+def intersect_all(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Bag INTERSECT ALL — keeps min(multiplicity) copies per row, the
+    multiset semantics ``intersect`` (distinct) loses."""
+    return a.intersectAll(b)
+
+
 def with_ctes(
     spark: SparkSession, ctes: Mapping[str, DataFrame], sql: str
 ) -> DataFrame:

@@ -1205,3 +1205,38 @@ def q60_grouped_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_extendedprice").cast("decimal(18,2)").alias("y"),
     )
     return grouped_corr(li, ["l_returnflag"], "x", "y", alias="corr")
+
+
+@register(
+    "q61_bag_setops",
+    """
+    WITH a AS (
+      SELECT o_custkey FROM orders WHERE o_totalprice < 100000
+    ), b AS (
+      SELECT o_custkey FROM orders WHERE year(o_orderdate) >= 1997
+    )
+    SELECT 'except_all' AS op, o_custkey
+    FROM (SELECT o_custkey FROM a EXCEPT ALL SELECT o_custkey FROM b)
+    UNION ALL
+    SELECT 'intersect_all' AS op, o_custkey
+    FROM (SELECT o_custkey FROM a INTERSECT ALL SELECT o_custkey FROM b)
+    """,
+)
+def q61_bag_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 multiset set ops — EXCEPT ALL / INTERSECT ALL keep per-row
+    MULTIPLICITY (n minus m copies / min(n, m) copies), which the
+    distinct variants (q22/q23) collapse. Spark plans both as
+    count-tagged aggregations + a generate — no join blowup; every
+    surviving copy's count is hash-compared against the oracle's bag
+    semantics."""
+    from sql_data_warehouse_analytics_project_spark.operators.setops import (
+        except_all,
+        intersect_all,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_totalprice") < 100_000).select("o_custkey")
+    b = orders.filter(F.year("o_orderdate") >= 1997).select("o_custkey")
+    ex = except_all(a, b).select(F.lit("except_all").alias("op"), "o_custkey")
+    ia = intersect_all(a, b).select(F.lit("intersect_all").alias("op"), "o_custkey")
+    return ex.unionByName(ia)
