@@ -126,16 +126,18 @@ def dedup_by_pairs(
     id_col: str = "doc_id",
     src: str = "id_a",
     dst: str = "id_b",
+    *,
+    clusters: DataFrame | None = None,
 ) -> DataFrame:
     """Corpus minus non-canonical cluster members: transitively-correct
     dedup (never drops both sides of a chain, never keeps two members of
     the same cluster). One anti-join on the id — docs never shuffle on
-    content."""
-    drop = (
-        dup_clusters(pairs, src, dst)
-        .filter(~F.col("is_canonical"))
-        .select(F.col("node").alias(id_col))
-    )
+    content. ``clusters`` accepts a pre-computed (ideally checkpointed)
+    :func:`dup_clusters` table over the same pairs so pipelines that also
+    split on the clusters (``curate.curate_corpus``) resolve the
+    components ONCE."""
+    cc = clusters if clusters is not None else dup_clusters(pairs, src, dst)
+    drop = cc.filter(~F.col("is_canonical")).select(F.col("node").alias(id_col))
     return docs.join(drop, id_col, "left_anti")
 
 
@@ -149,6 +151,7 @@ def leakage_safe_split(
     dst: str = "id_b",
     salt: str = "split",
     split_col: str = "split",
+    clusters: DataFrame | None = None,
 ) -> DataFrame:
     """Train/val/test assignment where near-duplicates NEVER straddle a
     split boundary — the eval-leakage guard: hashing each doc
@@ -162,14 +165,16 @@ def leakage_safe_split(
     left join of docs against the (tiny relative to corpus) cluster
     table; membership stays a pure function of (salt, cluster), so the
     holdout is recomputable forever, exactly like a per-doc hash split.
+    ``clusters`` accepts a pre-computed :func:`dup_clusters` table (same
+    sharing contract as :func:`dedup_by_pairs`).
     """
     from sql_data_warehouse_analytics_project_spark.llm.sampling import hash_split
 
     if splits is None:
         splits = {"train": 0.8, "val": 0.1, "test": 0.1}
-    cc = dup_clusters(pairs, src, dst).select(
-        F.col("node").alias(id_col), F.col("cluster_id")
-    )
+    cc = (
+        clusters if clusters is not None else dup_clusters(pairs, src, dst)
+    ).select(F.col("node").alias(id_col), F.col("cluster_id"))
     keyed = docs.join(cc, id_col, "left").withColumn(
         "split_key",
         F.coalesce(F.col("cluster_id"), F.col(id_col)).cast("long"),

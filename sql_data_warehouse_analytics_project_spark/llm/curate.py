@@ -25,8 +25,9 @@ from pyspark.sql import functions as F
 
 from sql_data_warehouse_analytics_project_spark.llm import dedup as D
 from sql_data_warehouse_analytics_project_spark.llm import text as T
-from sql_data_warehouse_analytics_project_spark.llm.clustering import dedup_by_pairs
 from sql_data_warehouse_analytics_project_spark.llm.clustering import (
+    dedup_by_pairs,
+    dup_clusters,
     leakage_safe_split,
 )
 
@@ -66,26 +67,51 @@ def curate_corpus(
     4x on the funnel). Leave False for the normal single-write path —
     the lazy graph lets Catalyst fuse stages, and at full scale
     persisting intermediates is a caller-owned budget decision.
+
+    The chain pays the tokenizer regex — the CPU hot spot of every
+    text-derived stage — exactly ONCE: the exact-dedup survivors carry a
+    materialized token-array column, the shingle index for MinHash
+    derives from it, and the quality filter reuses it instead of
+    re-tokenizing. Likewise the near-dup graph is resolved to clusters
+    ONCE and shared by the near-dedup anti-join and the leakage-safe
+    split keys (both previously re-ran connected components).
     """
 
     def _mat(df: DataFrame) -> DataFrame:
         return df.localCheckpoint() if materialize else df
 
-    exact = _mat(D.exact_dedup(docs, id_col, text_col))
+    # one tokenizer pass over the survivors; the checkpoint materializes
+    # the arrays so every downstream stage reads them instead of re-running
+    # the regex split (three passes before this sharing, one after)
+    exact_tok = _mat(
+        D.exact_dedup(docs, id_col, text_col).withColumn(
+            "_toks", T.tokens(text_col)
+        )
+    )
+    exact = exact_tok.drop("_toks")
+    sh = D.shingle_index(
+        exact_tok, id_col, text_col, tokens_col="_toks"
+    ).localCheckpoint(eager=True)
     # pairs are tiny (near-dup density, not corpus size) and feed BOTH the
     # near-dedup anti-join and the split keys — materialize once so the
     # 64-hash MinHash pipeline never re-executes downstream
     pairs = D.minhash_dedup_pairs(
-        exact, id_col, threshold=near_dup_threshold
+        exact, id_col, threshold=near_dup_threshold, index=sh
     ).localCheckpoint()
-    near = _mat(dedup_by_pairs(exact, pairs, id_col))
+    # one connected-components resolution serves the anti-join AND the
+    # split keys (clusters table is pairs-sized: checkpoint is cheap)
+    clusters = dup_clusters(pairs, "id_a", "id_b").localCheckpoint()
+    near_tok = _mat(dedup_by_pairs(exact_tok, pairs, id_col, clusters=clusters))
+    near = near_tok.drop("_toks")
     decisions = _mat(
-        T.corpus_filter(near, id_col, text_col, **(filter_kwargs or {}))
+        T.corpus_filter(
+            near_tok, id_col, text_col, tokens_col="_toks", **(filter_kwargs or {})
+        )
     )
     kept = near.join(
         decisions.filter(F.col("keep")).select(id_col), id_col, "left_semi"
     )
-    curated = leakage_safe_split(kept, pairs, id_col, splits)
+    curated = leakage_safe_split(kept, pairs, id_col, splits, clusters=clusters)
     return {
         "exact": exact,
         "pairs": pairs,

@@ -63,7 +63,12 @@ def exact_dup_groups(df: DataFrame, id_col: str, text_col: str = "text") -> Data
 
 
 def shingle_index(
-    df: DataFrame, id_col: str, text_col: str = "text", n: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+    *,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Inverted shingle index (doc, shingle:int64). Shingles are hashed to
     64-bit ints immediately after explode so every downstream shuffle and
@@ -78,12 +83,22 @@ def shingle_index(
     cores; repartitioning the raw text is a tiny shuffle, and because
     explode preserves the partitioning, every downstream
     ``groupBy("doc")`` (sizes, minhash signatures) then aggregates
-    shuffle-free."""
+    shuffle-free.
+
+    ``tokens_col`` names a pre-tokenized array column (see
+    ``curate.curate_corpus``): the shingle expression then derives from
+    the materialized token arrays instead of re-running the tokenizer
+    regex — the dominant CPU of the pass."""
+    from sql_data_warehouse_analytics_project_spark.llm.text import shingles_of
+
     spark = df.sparkSession
     nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    sh = (
+        shingles_of(F.col(tokens_col), n) if tokens_col else shingles(text_col, n)
+    )
     return (
         df.repartition(nparts, F.col(id_col))
-        .select(F.col(id_col).alias("doc"), F.explode(shingles(text_col, n)).alias("s"))
+        .select(F.col(id_col).alias("doc"), F.explode(sh).alias("s"))
         .select("doc", F.xxhash64("s").alias("shingle"))
     )
 
@@ -385,12 +400,22 @@ def minhash_dedup_pairs(
     num_hashes: int = 64,
     num_bands: int = 16,
     n: int = 3,
+    *,
+    index: DataFrame | None = None,
 ) -> DataFrame:
     """Full MinHash+LSH pipeline: signatures → banding candidates → exact
     Jaccard verification of candidates only. Returns (id_a, id_b, jaccard).
     One materialized shingle index feeds sizes, signatures, and the
-    verify join (single tokenize pass, int64 join keys throughout)."""
-    sh = shingle_index(df, id_col, text_col, n).localCheckpoint(eager=True)
+    verify join (single tokenize pass, int64 join keys throughout).
+
+    ``index`` accepts a pre-built (ideally checkpointed) ``shingle_index``
+    over the SAME docs and n — pipelines that already materialized one
+    (``curate.curate_corpus``) then never re-tokenize here."""
+    sh = (
+        index
+        if index is not None
+        else shingle_index(df, id_col, text_col, n).localCheckpoint(eager=True)
+    )
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, n, index=sh)
     cands = lsh_candidate_pairs(sigs, id_col, num_bands)

@@ -73,15 +73,19 @@ def _member_of(words: tuple[str, ...]):
     return lambda t: t.isin(list(words))
 
 
-def lang_scores(text: str | Column) -> dict[str, Column]:
+def lang_scores(
+    text: str | Column, *, toks: Column | None = None
+) -> dict[str, Column]:
     """Occurrence count of each language's marker words (duplicates count).
 
     Latin-script languages score on tokens; zh scores by counting marker
     CHARACTERS in the raw text — the ASCII tokenizer treats CJK codepoints
     as separators, so token-based zh markers could never match (a defect
-    surfaced by the unicode edge-case tests)."""
+    surfaced by the unicode edge-case tests). ``toks`` accepts a
+    pre-tokenized array column to skip re-tokenizing."""
     c = F.col(text) if isinstance(text, str) else text
-    toks = tokens(c)
+    if toks is None:
+        toks = tokens(c)
     scores: dict[str, Column] = {}
     for lang, words in LANG_MARKERS.items():
         if lang == "zh":
@@ -97,10 +101,10 @@ def lang_scores(text: str | Column) -> dict[str, Column]:
     return scores
 
 
-def detect_language(text: str | Column) -> Column:
+def detect_language(text: str | Column, *, toks: Column | None = None) -> Column:
     """Argmax language with deterministic tie-break (language key order);
     'und' (undetermined) when no marker hits at all."""
-    scores = lang_scores(text)
+    scores = lang_scores(text, toks=toks)
     langs = list(LANG_MARKERS)
     best = F.greatest(*[scores[lang] for lang in langs])
     expr = F.when(best <= 0, F.lit("und"))
@@ -253,16 +257,23 @@ def pii_counts(text: str | Column) -> dict[str, Column]:
     return {name: F.regexp_count(c, F.lit(pat)) for name, pat in PII_PATTERNS}
 
 
-def shingles(text: str | Column, n: int = 3) -> Column:
-    """Word n-gram shingles → array<string> (distinct). The unit of
-    near-duplicate detection for Jaccard/MinHash."""
-    toks = tokens(text)
+def shingles_of(toks: Column, n: int = 3) -> Column:
+    """Word n-gram shingles from an ALREADY-TOKENIZED array column —
+    lets a pipeline that materialized one token pass (see
+    ``curate.curate_corpus``) derive shingles without re-running the
+    tokenizer regex, the CPU hot spot of every dedup stage."""
     k = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(k - n, F.lit(0)))
     grams = F.transform(
         idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
     )
     return F.array_distinct(F.when(k >= n, grams).otherwise(F.array()))
+
+
+def shingles(text: str | Column, n: int = 3) -> Column:
+    """Word n-gram shingles → array<string> (distinct). The unit of
+    near-duplicate detection for Jaccard/MinHash."""
+    return shingles_of(tokens(text), n)
 
 
 def repetition_features(
@@ -395,6 +406,7 @@ def corpus_filter(
     max_top_ngram_frac: float = 0.2,
     allowed_langs: "tuple[str, ...] | None" = None,
     ngram: int = 2,
+    tokens_col: "str | None" = None,
 ) -> DataFrame:
     """Gopher-style corpus filter: composes the length/token/punctuation
     signals with the repetition signals (and optionally language ID) into
@@ -403,30 +415,64 @@ def corpus_filter(
     so the filter's yield per reason is one groupBy away (the knob every
     data-curation run tunes first).
 
-    All signals are column expressions; the only shuffle is the word
-    n-gram aggregate inside :func:`repetition_features` (doc-id keyed, no
-    hot keys at 100 TB). Thresholds compare the same doubles the
-    qd04/qd31 oracles hash-check, so engine-portable replays agree even
-    at threshold boundaries.
+    All per-document signals (length, token stats, punctuation, language,
+    duplicate-line fraction) come from ONE projection over the corpus;
+    the only shuffle is the word n-gram aggregate (doc-id keyed, no hot
+    keys at 100 TB), left-joined back. ``tokens_col`` accepts a
+    pre-tokenized array column (see ``curate.curate_corpus``) so a
+    pipeline that already paid the tokenizer pass never re-runs it.
+    Thresholds compare the same doubles the qd04/qd31 oracles hash-check,
+    so engine-portable replays agree even at threshold boundaries.
     """
-    toks = tokens(text_col)
+    toks = F.col(tokens_col) if tokens_col else tokens(text_col)
     n_chars = F.length(F.col(text_col))
     n_toks = F.size(toks)
     mean_tok_len = F.when(n_toks == 0, F.lit(0.0)).otherwise(
         F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t)).cast("double")
         / n_toks
     )
+    # duplicate-line fraction is a pure per-row array expression — same
+    # formula as repetition_features, fused into the signal projection
+    lines = F.filter(
+        F.transform(F.split(F.col(text_col), "\n"), lambda x: F.trim(x)),
+        lambda x: x != "",
+    )
+    n_lines = F.size(lines)
+    d_lines = F.size(F.array_distinct(lines))
+    dup_line_frac = F.round(
+        F.when(n_lines == 0, F.lit(0.0)).otherwise((n_lines - d_lines) / n_lines), 6
+    )
     base = df.select(
         F.col(id_col),
         n_chars.alias("_nc"),
         mean_tok_len.alias("_mtl"),
         punct_ratio(text_col).alias("_pr"),
-        detect_language(text_col).alias("lang"),
+        detect_language(text_col, toks=toks).alias("lang"),
+        dup_line_frac.alias("dup_line_frac"),
     )
-    rep = repetition_features(
-        df.select(id_col, text_col), id_col, text_col, ngram=ngram
-    ).select(id_col, "dup_line_frac", "top_ngram_frac")
-    j = base.join(rep, id_col)
+    # word-ngram repetition: the one distributed signal (explode + doc-id
+    # keyed aggregate, map-side combined), same formula as
+    # repetition_features' top_ngram_frac
+    k = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(k - ngram, F.lit(0)))
+    grams = F.when(
+        k >= ngram,
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, ngram))),
+    ).otherwise(F.array())
+    ng = (
+        df.select(F.col(id_col), F.explode(grams).alias("g"))
+        .groupBy(id_col, "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(
+            F.round(
+                F.coalesce(F.max("c") / F.sum("c"), F.lit(0.0)), 6
+            ).alias("top_ngram_frac")
+        )
+    )
+    j = base.join(ng, id_col, "left").withColumn(
+        "top_ngram_frac", F.coalesce(F.col("top_ngram_frac"), F.lit(0.0))
+    )
     reasons = [
         F.when(F.col("_nc") < min_chars, F.lit("too_short")),
         F.when(F.col("_nc") > max_chars, F.lit("too_long")),

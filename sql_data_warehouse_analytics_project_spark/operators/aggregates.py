@@ -229,8 +229,13 @@ def histogram(
     if not hi > lo:
         raise ValueError("histogram needs hi > lo")
     width = (hi - lo) / n_bins
-    raw = F.floor((F.col(col) - lo) / width).cast("int")
-    b = F.least(F.greatest(raw, F.lit(0)), F.lit(n_bins - 1))
+    # F.floor yields LongType; clamp BEFORE any narrowing cast — a non-ANSI
+    # long→int cast of an extreme outlier's bin would wrap (a huge positive
+    # value landing in bin 0), breaking row-conserving clamping exactly in
+    # the outlier case it exists for. Bin ids are bounded by n_bins after
+    # the clamp, so the int cast is then always safe.
+    raw = F.floor((F.col(col) - lo) / width)
+    b = F.least(F.greatest(raw, F.lit(0)), F.lit(n_bins - 1)).cast("int")
     return (
         df.filter(F.col(col).isNotNull())
         .groupBy(b.alias("bin"))
@@ -258,16 +263,22 @@ def grouped_corr(
     bit-reproducible across engines and partitionings (the same trick as
     ``windows.rolling_zscore``; a float corr aggregate varies with
     accumulation order at scale). NULL when either variance is 0 or
-    n < 2, like ``corr``."""
+    n < 2, like ``corr``.
+
+    Like ``corr``, only PAIRWISE-COMPLETE rows (both x and y non-null)
+    feed every moment INCLUDING the count — conditional aggregates rather
+    than a pre-filter so groups whose rows are all incomplete still
+    appear (with a NULL coefficient), matching ``corr`` exactly."""
     cx = F.col(x) if isinstance(x, str) else x
     cy = F.col(y) if isinstance(y, str) else y
+    both = cx.isNotNull() & cy.isNotNull()
     m = df.groupBy(*group_by).agg(
-        F.count(F.lit(1)).alias("_n"),
-        F.sum(cx).alias("_sx"),
-        F.sum(cy).alias("_sy"),
-        F.sum(cx * cy).alias("_sxy"),
-        F.sum(cx * cx).alias("_sxx"),
-        F.sum(cy * cy).alias("_syy"),
+        F.count(F.when(both, 1)).alias("_n"),
+        F.sum(F.when(both, cx)).alias("_sx"),
+        F.sum(F.when(both, cy)).alias("_sy"),
+        F.sum(F.when(both, cx * cy)).alias("_sxy"),
+        F.sum(F.when(both, cx * cx)).alias("_sxx"),
+        F.sum(F.when(both, cy * cy)).alias("_syy"),
     )
     n = F.col("_n").cast("double")
     sx = F.col("_sx").cast("double")

@@ -331,9 +331,23 @@ def fuzzy_join(
     runs codegen'd on JVM rows, only within blocks. Watch block-size skew
     with ``aggregates.key_skew_stats`` on the block keys first."""
     keys = list(block_keys)
+    if left_col in keys or right_col in keys:
+        raise ValueError(
+            "fuzzy_join match columns must not be block keys "
+            f"(left_col={left_col!r}, right_col={right_col!r}, "
+            f"block_keys={keys}): a block key is equal within the block, "
+            "so its edit distance is always 0 — pick a separate match column"
+        )
     lcols = [c for c in left.columns if c not in keys]
-    l = left.select(*keys, *[F.col(c).alias(f"l_{c}") for c in lcols])
     rcols = [c for c in right.columns if c not in keys]
+    for side, cols, prefix in (("left", lcols, "l_"), ("right", rcols, "r_")):
+        clash = sorted({prefix + c for c in cols} & set(keys))
+        if clash:
+            raise ValueError(
+                f"fuzzy_join block key(s) {clash} collide with the {prefix}* "
+                f"prefixed payload of the {side} input — rename one of them"
+            )
+    l = left.select(*keys, *[F.col(c).alias(f"l_{c}") for c in lcols])
     r = right.select(*keys, *[F.col(c).alias(f"r_{c}") for c in rcols])
     dist = F.levenshtein(F.col(f"l_{left_col}"), F.col(f"r_{right_col}"))
     return (

@@ -189,6 +189,7 @@ def rollup_batch_sink(
     measures,
     *,
     layer: str = "gold",
+    checkpoint_id: "str | None" = None,
 ):
     """foreachBatch sink maintaining a MATERIALIZED ROLLUP incrementally
     (``plans/incremental``): each micro-batch is aggregated alone into
@@ -200,7 +201,17 @@ def rollup_batch_sink(
     atomic swap of :meth:`Catalog.overwrite` commits data + marker in one
     step — a replayed batch sees its own id recorded and skips, and there
     is no window where the data is applied but the marker is not (the
-    separate-marker-table design would have exactly that window)."""
+    separate-marker-table design would have exactly that window).
+
+    Batch ids are only comparable WITHIN one checkpoint: ``foreachBatch``
+    ids restart at 0 under a fresh checkpoint directory, and a fresh
+    checkpoint also replays the source from the beginning. The state rows
+    therefore also carry ``_checkpoint_id`` (pass ``checkpoint_id``, as
+    :func:`streaming_rollup` does with its checkpoint dir): a marker from
+    a DIFFERENT checkpoint is neither skipped (silent data loss until the
+    new counter passes the old high-water mark) nor merged (the replayed
+    source would double-count) — the sink raises and tells the operator
+    to drop the state table together with the old checkpoint."""
     from sql_data_warehouse_analytics_project_spark.plans import incremental
 
     keys = list(keys)
@@ -211,19 +222,42 @@ def rollup_batch_sink(
         delta = incremental.partial_aggs(batch_df, keys, measures)
         if spark.catalog.tableExists(qstate):
             state = spark.table(qstate)
-            applied = state.agg(F.max("_last_batch_id")).collect()[0][0]
+            marker_cols = [F.max("_last_batch_id").alias("_b")]
+            has_cp = "_checkpoint_id" in state.columns
+            if has_cp:
+                marker_cols.append(F.max("_checkpoint_id").alias("_cp"))
+            marker = state.agg(*marker_cols).collect()[0]
+            applied = marker["_b"]
+            applied_cp = marker["_cp"] if has_cp else None
+            if (
+                checkpoint_id is not None
+                and applied_cp is not None
+                and applied_cp != checkpoint_id
+            ):
+                raise RuntimeError(
+                    f"rollup state {qstate} was written by checkpoint "
+                    f"{applied_cp!r} but this stream runs from "
+                    f"{checkpoint_id!r}: a fresh checkpoint replays the "
+                    "source from the start, so merging would double-count "
+                    "— drop the state table together with the old "
+                    "checkpoint directory"
+                )
             if applied is not None and applied >= batch_id:
                 return  # replay of a committed batch — idempotent skip
             merged = incremental.merge_partials(
-                keys, state.drop("_last_batch_id"), delta
+                keys,
+                state.drop("_last_batch_id", "_checkpoint_id"),
+                delta,
             )
-            catalog.overwrite(
-                merged.withColumn("_last_batch_id", F.lit(batch_id)), layer, table
-            )
+            out = merged.withColumn("_last_batch_id", F.lit(batch_id))
+            if checkpoint_id is not None:
+                out = out.withColumn("_checkpoint_id", F.lit(checkpoint_id))
+            catalog.overwrite(out, layer, table)
         else:
-            catalog.append(
-                delta.withColumn("_last_batch_id", F.lit(batch_id)), layer, table
-            )
+            out = delta.withColumn("_last_batch_id", F.lit(batch_id))
+            if checkpoint_id is not None:
+                out = out.withColumn("_checkpoint_id", F.lit(checkpoint_id))
+            catalog.append(out, layer, table)
         catalog.spark.catalog.refreshTable(qstate)
 
     return sink
@@ -242,7 +276,9 @@ def streaming_rollup(
 ) -> StreamingQuery:
     """Attach :func:`rollup_batch_sink` to a stream. Read the result with
     :func:`read_rollup` (finalizes partial state to measure values)."""
-    sink = rollup_batch_sink(catalog, table, keys, measures, layer=layer)
+    sink = rollup_batch_sink(
+        catalog, table, keys, measures, layer=layer, checkpoint_id=checkpoint_dir
+    )
     writer = stream.writeStream.foreachBatch(sink).option(
         "checkpointLocation", checkpoint_dir
     )
@@ -256,4 +292,6 @@ def read_rollup(catalog: Catalog, table: str, keys, measures, *, layer: str = "g
     from sql_data_warehouse_analytics_project_spark.plans import incremental
 
     state = catalog.spark.table(catalog.qualified(layer, table))
-    return incremental.finalize(state.drop("_last_batch_id"), list(keys), measures)
+    return incremental.finalize(
+        state.drop("_last_batch_id", "_checkpoint_id"), list(keys), measures
+    )

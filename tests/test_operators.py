@@ -753,3 +753,59 @@ def test_grouped_corr_matches_known_values(spark):
     assert abs(got[1] - 1.0) < 1e-12
     assert abs(got[2] + 1.0) < 1e-12
     assert got[3] is None and got[4] is None
+
+
+def test_grouped_corr_pairwise_complete_like_corr(spark):
+    """NULL in x or y drops the whole row from every moment INCLUDING the
+    count — matching Spark's corr (pairwise-complete) instead of silently
+    mixing inconsistent n and sums. Groups with no complete pair still
+    appear, with a NULL coefficient."""
+    from sql_data_warehouse_analytics_project_spark.operators.aggregates import (
+        grouped_corr,
+    )
+
+    rows = [
+        (1, 1.0, 2.0), (1, 2.0, 5.0), (1, 3.0, 4.0),
+        (1, None, 99.0), (1, 42.0, None),          # must not perturb group 1
+        (2, None, 1.0), (2, 2.0, None),            # no complete pair at all
+    ]
+    df = spark.createDataFrame(rows, "k int, x double, y double")
+    got = {r.k: r.corr for r in grouped_corr(df, ["k"], "x", "y").collect()}
+    want = {
+        r.k: r.c
+        for r in df.groupBy("k").agg(F.corr("x", "y").alias("c")).collect()
+    }
+    assert abs(got[1] - want[1]) < 1e-12
+    assert 2 in got and got[2] is None and want[2] is None
+
+
+def test_histogram_extreme_outlier_clamps_not_wraps(spark):
+    """An outlier whose raw bin exceeds int32 must clamp into the edge bin
+    (clamp happens on the long bin id BEFORE any narrowing cast), never
+    wrap negative into bin 0 or an arbitrary middle bin."""
+    from sql_data_warehouse_analytics_project_spark.operators.aggregates import (
+        histogram,
+    )
+
+    df = spark.createDataFrame(
+        [(5.0,), (1.0e16,), (-1.0e16,)], "v double"
+    )
+    out = {r.bin: r.n_rows for r in histogram(df, "v", lo=0.0, hi=10.0, n_bins=4).collect()}
+    assert out == {0: 1, 2: 1, 3: 1}  # -1e16 -> bin 0, 5.0 -> bin 2, 1e16 -> bin 3
+
+
+def test_fuzzy_join_rejects_ambiguous_columns(spark):
+    import pytest
+
+    from sql_data_warehouse_analytics_project_spark.operators.joins import fuzzy_join
+
+    left = spark.createDataFrame([(1, "b1", "kitten")], "id int, blk string, name string")
+    right = spark.createDataFrame([(2, "b1", "mitten")], "id int, blk string, name string")
+    # match column that is itself a block key: edit distance would always be 0
+    with pytest.raises(ValueError, match="must not be block keys"):
+        fuzzy_join(left, right, ["blk"], "blk", "name")
+    # block key "l_name" collides with the l_-prefixed "name" payload column
+    l2 = left.withColumnRenamed("blk", "l_name")
+    r2 = right.withColumnRenamed("blk", "l_name")
+    with pytest.raises(ValueError, match="collide"):
+        fuzzy_join(l2, r2, ["l_name"], "name", "name")

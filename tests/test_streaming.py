@@ -307,6 +307,36 @@ def test_rollup_sink_incremental_and_replay_idempotent(spark, tmp_path):
         cat.drop_layers()
 
 
+def test_rollup_sink_rejects_foreign_checkpoint_state(spark, tmp_path):
+    """Batch ids are only comparable within one checkpoint: a sink running
+    from a DIFFERENT checkpoint against existing state must raise (fresh
+    checkpoints replay the source — skipping loses data, merging
+    double-counts), while the same checkpoint keeps replay-skip."""
+    import pytest
+
+    from sql_data_warehouse_analytics_project_spark.catalog import Catalog
+    from sql_data_warehouse_analytics_project_spark.streaming.ingest import (
+        read_rollup,
+        rollup_batch_sink,
+    )
+
+    cat = Catalog(spark, prefix="rollupcp_")
+    cat.create_layers()
+    try:
+        measures = {"total": ("sum", "v")}
+        sink_a = rollup_batch_sink(cat, "m", ["k"], measures, checkpoint_id="cp-a")
+        b0 = spark.createDataFrame([(1, 10.0)], "k int, v double")
+        sink_a(b0, 0)
+        sink_a(b0, 0)  # same checkpoint: replay skip still works
+        got = {r.k: r.total for r in read_rollup(cat, "m", ["k"], measures).collect()}
+        assert got == {1: 10.0}
+        sink_b = rollup_batch_sink(cat, "m", ["k"], measures, checkpoint_id="cp-b")
+        with pytest.raises(RuntimeError, match="checkpoint"):
+            sink_b(b0, 0)
+    finally:
+        cat.drop_layers()
+
+
 def test_rollup_sink_with_hll_distinct_state(spark, tmp_path):
     """Streaming rollup with approx-distinct state: the HLL sketch binary
     survives the parquet state table across batches and keeps estimating
