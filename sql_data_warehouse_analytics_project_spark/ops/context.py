@@ -8,9 +8,21 @@ record_metric → end_process(SUCCESS) / on exception log_exception +
 end_process(FAILED).
 
 Implementation notes:
-- Log rows are driver-side single-row appends to parquet ``logs.*``
-  tables — low volume (one per job, not per record), so the per-append
-  Spark job overhead is irrelevant.
+- Log rows are BUFFERED in driver memory and appended per table in
+  batches: one parquet file per (table, flush) instead of one file per
+  event. A per-event append is fine at one-job granularity, but at 100×
+  job counts the logs tables become a small-file swamp that every
+  history/analysis read then pays for. Flush points: ``end_process``
+  (the reference's job boundary), any read through :meth:`table`
+  (read-your-writes), ``error_log`` events (immediately — error
+  durability must not wait for a flush that a crashing job may never
+  reach), and :meth:`flush`/:meth:`close` for callers logging outside a
+  process lifecycle. Trade-off: a hard-killed driver loses buffered
+  RUNNING rows — call ``flush()`` after ``start_process`` if a
+  monitoring system needs in-flight visibility.
+- ``end_process`` carries the start row in memory (no read-back query);
+  ids not started by this context fall back to reading the table —
+  append-only cross-process semantics unchanged.
 - IDs: the reference uses BIGSERIAL; a distributed engine has no cheap
   global sequence, so ids are microsecond-timestamp longs with a
   process-local counter tiebreak — monotonic per driver, collision-safe
@@ -52,6 +64,11 @@ class RunContext:
         # staging dir, so same-table writes must not interleave — but
         # different log tables are independent, so the lock is per table
         self._write_locks: dict[str, threading.Lock] = defaultdict(threading.Lock)
+        self._buf_lock = threading.Lock()
+        self._buffers: dict[str, list[dict]] = defaultdict(list)
+        # start rows of processes opened by THIS context, so end_process
+        # never issues a read-back query for the common same-driver case
+        self._open_starts: dict[int, dict] = {}
         self._ensure_tables()
 
     def _ensure_tables(self) -> None:
@@ -59,12 +76,34 @@ class RunContext:
             self.catalog.create_table("logs", name, schema, medallion_metadata=False)
 
     def _append(self, table: str, row: dict) -> None:
-        schema = schemas.LOGS_TABLES[table]
-        df = self.spark.createDataFrame([row], schema)
-        with self._write_locks[table]:
-            self.catalog.append(df, "logs", table)
+        with self._buf_lock:
+            self._buffers[table].append(row)
+        if table == "error_log":
+            self.flush("error_log")
+
+    def flush(self, table: str | None = None) -> None:
+        """Write buffered rows for ``table`` (or all tables) as ONE
+        columnar append each."""
+        names = [table] if table is not None else list(schemas.LOGS_TABLES)
+        for name in names:
+            with self._buf_lock:
+                rows = self._buffers.pop(name, [])
+            if not rows:
+                continue
+            # driver-side row batch: force one output file per flush —
+            # createDataFrame would otherwise slice a handful of rows
+            # across defaultParallelism partitions
+            df = self.spark.createDataFrame(rows, schemas.LOGS_TABLES[name]).coalesce(1)
+            with self._write_locks[name]:
+                self.catalog.append(df, "logs", name)
+
+    def close(self) -> None:
+        """Flush everything still buffered (call when done logging
+        outside a ``run``/``end_process`` lifecycle)."""
+        self.flush()
 
     def table(self, name: str) -> DataFrame:
+        self.flush(name)  # read-your-writes
         return self.spark.table(self.catalog.qualified("logs", name))
 
     # -- L1: process lifecycle (audit_logger.py:188-399) --------------------
@@ -79,26 +118,26 @@ class RunContext:
         metadata: dict[str, str] | None = None,
     ) -> int:
         log_id = _new_id()
-        self._append(
-            "process_log",
-            {
-                "log_id": log_id,
-                "process_name": process_name,
-                "process_description": description,
-                "start_time": _now(),
-                "end_time": None,
-                "status": "RUNNING",
-                "rows_processed": None,
-                "rows_inserted": None,
-                "rows_updated": None,
-                "rows_deleted": None,
-                "source_system": source_system,
-                "target_layer": target_layer,
-                "error_message": None,
-                "process_metadata": metadata,
-                "created_by": self.created_by,
-            },
-        )
+        row = {
+            "log_id": log_id,
+            "process_name": process_name,
+            "process_description": description,
+            "start_time": _now(),
+            "end_time": None,
+            "status": "RUNNING",
+            "rows_processed": None,
+            "rows_inserted": None,
+            "rows_updated": None,
+            "rows_deleted": None,
+            "source_system": source_system,
+            "target_layer": target_layer,
+            "error_message": None,
+            "process_metadata": metadata,
+            "created_by": self.created_by,
+        }
+        with self._buf_lock:
+            self._open_starts[log_id] = row
+        self._append("process_log", row)
         return log_id
 
     def end_process(
@@ -114,19 +153,32 @@ class RunContext:
     ) -> None:
         """The reference UPDATEs the row in place; append-friendly columnar
         logs instead append a terminal row with the same ``log_id`` —
-        ``process_history`` reads the latest row per id (window dedup)."""
-        start = (
-            self.table("process_log")
-            .filter(F.col("log_id") == log_id)
-            .select("process_name", "start_time", "source_system", "target_layer")
-            .limit(1)
-            .collect()
-        )
-        name, start_time, src, layer = (
-            (start[0][0], start[0][1], start[0][2], start[0][3])
-            if start
-            else (None, None, None, None)
-        )
+        ``process_history`` reads the latest row per id (window dedup).
+
+        The start row is carried in driver memory for processes this
+        context opened (the common case — no read-back query); an unknown
+        ``log_id`` (cross-process/driver handoff) falls back to reading
+        the append-only table."""
+        with self._buf_lock:
+            start_row = self._open_starts.pop(log_id, None)
+        if start_row is not None:
+            name = start_row["process_name"]
+            start_time = start_row["start_time"]
+            src = start_row["source_system"]
+            layer = start_row["target_layer"]
+        else:
+            start = (
+                self.table("process_log")
+                .filter(F.col("log_id") == log_id)
+                .select("process_name", "start_time", "source_system", "target_layer")
+                .limit(1)
+                .collect()
+            )
+            name, start_time, src, layer = (
+                (start[0][0], start[0][1], start[0][2], start[0][3])
+                if start
+                else (None, None, None, None)
+            )
         self._append(
             "process_log",
             {
@@ -147,6 +199,10 @@ class RunContext:
                 "created_by": self.created_by,
             },
         )
+        # the job boundary: everything this process buffered (its start
+        # row, lineage edges, metrics, this terminal row) lands as one
+        # columnar append per table
+        self.flush()
 
     def process_history(
         self,

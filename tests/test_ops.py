@@ -79,6 +79,54 @@ def test_error_pattern_analysis(ctx):
     assert rate.total_errors >= 2 and rate.resolved_errors >= 1
 
 
+def test_buffered_log_writer_one_file_per_run(spark):
+    """A full run lifecycle (start + lineage + metrics + end) lands as ONE
+    parquet file per touched logs table — not one file per event — so log
+    tables don't become a small-file swamp at 100x job counts."""
+    import os
+
+    cat = Catalog(spark, prefix="opsbuf_")
+    cat.create_layers()
+    try:
+        c = RunContext(cat, created_by="buftest")
+
+        def n_files(tbl):
+            loc = (
+                spark.sql(f"DESC FORMATTED {cat.qualified('logs', tbl)}")
+                .filter(F.col("col_name") == "Location")
+                .collect()[0]["data_type"]
+            ).removeprefix("file:")
+            return sum(1 for f in os.listdir(loc) if f.startswith("part-"))
+
+        # table creation may seed an empty part file — count the delta
+        base = {t: n_files(t) for t in ("process_log", "data_lineage", "performance_metrics")}
+        with c.run("batched_job") as log_id:
+            c.log_lineage(
+                source_schema="bronze", source_table="a",
+                target_schema="silver", target_table="b",
+                process_log_id=log_id,
+            )
+            c.log_lineage(
+                source_schema="silver", source_table="b",
+                target_schema="gold", target_table="c",
+                process_log_id=log_id,
+            )
+            c.record_metric("batched_job.rows", 42, "rows", process_log_id=log_id)
+            c.record_metric("batched_job.mb", 1.5, "MB", process_log_id=log_id)
+
+        # start+end rows flushed together at end_process -> 1 file; both
+        # lineage edges -> 1 file; both metrics -> 1 file
+        assert n_files("process_log") - base["process_log"] == 1
+        assert n_files("data_lineage") - base["data_lineage"] == 1
+        assert n_files("performance_metrics") - base["performance_metrics"] == 1
+        # read-your-writes: buffered rows visible through the accessors
+        hist = c.process_history(process_name="batched_job").collect()
+        assert len(hist) == 1 and hist[0].status == "SUCCESS"
+        assert c.table("data_lineage").count() == 2
+    finally:
+        cat.drop_layers()
+
+
 def test_retry_with_backoff():
     calls = []
 
