@@ -595,6 +595,7 @@ def embedding_dup_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     method: str = "matmul",
+    max_broadcast_bytes: int = 2 * 1024**3,
 ) -> DataFrame:
     """Brute-force O(n²/2) cosine pairs ≥ threshold — the exact baseline.
 
@@ -610,7 +611,13 @@ def embedding_dup_pairs(
     ``method='expr'``: pure Column-expression cross join (no Python, no
     broadcast-size ceiling on either side) — the fallback when the corpus
     out-sizes a broadcast; at that scale prefer similarity.lsh_ann to cut
-    candidates first."""
+    candidates first.
+
+    The fits-in-memory contract is ENFORCED, not assumed:
+    ``max_broadcast_bytes`` (default 2 GiB) caps the estimated matrix
+    size (rows × dim × 8 bytes, probed with one tiny aggregate before
+    any collect) and the matmul path raises a clear error instead of
+    OOMing the driver when the corpus exceeds it."""
     from pyspark.sql import types as T
 
     id_type = embeddings.schema[id_col].dataType
@@ -639,6 +646,19 @@ def embedding_dup_pairs(
     base = embeddings.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
     )
+    probe = base.agg(
+        F.count(F.lit(1)).alias("n"), F.max(F.size("v")).alias("dim")
+    ).collect()[0]
+    est_bytes = int(probe["n"] or 0) * int(probe["dim"] or 0) * 8
+    if est_bytes > max_broadcast_bytes:
+        raise ValueError(
+            f"embedding corpus ≈{est_bytes / 1024**3:.1f} GiB "
+            f"({probe['n']} vectors × {probe['dim']} dims × 8 B) exceeds the "
+            f"matmul broadcast cap of {max_broadcast_bytes / 1024**3:.1f} GiB "
+            "— use method='expr' (no broadcast ceiling) or "
+            "similarity.lsh_ann (the scale path), or raise "
+            "max_broadcast_bytes if the driver really has the memory"
+        )
     corpus = base.collect()
     ids_b = np.array([r["id"] for r in corpus], dtype=np.int64)
     mat_b = np.array([r["v"] for r in corpus], dtype=np.float64)

@@ -2,13 +2,15 @@
 columns with typed metadata structs, processed batch-wise via
 ``mapInPandas`` (Arrow-batched — the only sanctioned Python hot path).
 
-The actual decode libraries (PIL/ffmpeg/librosa) are NOT in this
-container, so the decode kernels are STUBBED: ``decode="fake"`` runs a
+The decode libraries (PIL/ffmpeg/librosa) are typically NOT in this
+container, so the kernels are capability-probed: ``decode="fake"`` runs a
 deterministic pure-Python fake (parses our own fake header format) so the
 Spark-side plumbing — schema, batching, partitioning, UDF signatures — is
-real and tested end-to-end; ``decode="real"`` raises NotImplementedError
-at the exact integration point where PIL/ffmpeg would slot in.
-"""
+real and tested end-to-end; ``decode="real"`` probes for PIL at call
+time and runs a real Pillow kernel when the environment has it, raising
+NotImplementedError (on the driver, before any job launches) when it
+does not. Video frame sampling keeps its ffmpeg integration point
+stubbed."""
 
 from __future__ import annotations
 
@@ -43,6 +45,22 @@ MEDIA_SCHEMA = T.StructType(
 
 #: Fake on-disk format for tests: b"FAKE" + <u32 width> + <u32 height> + payload
 FAKE_MAGIC = b"FAKE"
+
+
+def _require_pil():
+    """Capability probe for the real decode path: returns ``PIL.Image``
+    when Pillow is importable, raises NotImplementedError otherwise —
+    called on the DRIVER before any job launches, so a missing codec
+    fails fast instead of as a mid-job executor error."""
+    try:
+        from PIL import Image  # noqa: PLC0415 — probed at call time
+
+        return Image
+    except ImportError as e:
+        raise NotImplementedError(
+            "decode='real' requires Pillow (PIL), which this environment "
+            "does not provide — use decode='fake' to exercise the plumbing"
+        ) from e
 
 
 def pack_fake_image(width: int, height: int, payload: bytes = b"") -> bytes:
@@ -103,21 +121,32 @@ def extract_image_features(df: DataFrame, *, decode: str = "fake") -> DataFrame:
     Batch shape: the kernel sees pandas DataFrames of whole rows; output
     rows are independent of batching (pure per-row kernel), so the operator
     is partition-count invariant — safe to repartition freely at scale.
+
+    ``decode="real"`` probes for Pillow on the driver and decodes actual
+    image bytes (PNG/JPEG/…) executor-side; corrupt media flags the row
+    like the fake path.
     """
     if decode not in ("fake", "real"):
         raise ValueError(decode)
+    if decode == "real":
+        _require_pil()  # fail fast on the driver if the codec is absent
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if decode == "real":
+            import io
+
+            from PIL import Image  # probed on the driver; import per worker
+
+            def dims(content: bytes) -> tuple[int, int]:
+                with Image.open(io.BytesIO(content)) as img:
+                    return img.width, img.height
+        else:
+            dims = _decode_fake
         for pdf in batches:
             out = []
             for media_id, content in zip(pdf["media_id"], pdf["content"]):
-                if decode == "real":
-                    # integration point for PIL.Image.open(io.BytesIO(content))
-                    raise NotImplementedError(
-                        "real image decoding requires PIL/opencv, not in container"
-                    )
                 try:
-                    w, h = _decode_fake(content)
+                    w, h = dims(content)
                     out.append((media_id, w, h, w / h if h else None,
                                 len(content), True))
                 except Exception:  # noqa: BLE001 — corrupt media → flagged row
@@ -133,8 +162,13 @@ def extract_image_features(df: DataFrame, *, decode: str = "fake") -> DataFrame:
 
 def resize_images(df: DataFrame, max_side: int, *, decode: str = "fake") -> DataFrame:
     """Resize plumbing: recompute target dims (aspect-preserving clamp to
-    ``max_side``) and re-encode. Fake path rewrites the fake header; real
-    path is the PIL/cv2 integration point."""
+    ``max_side``) and re-encode. Fake path rewrites the fake header; the
+    real path runs Pillow's resize when the capability probe finds it
+    (re-encoded as PNG — lossless, format-independent)."""
+    if decode not in ("fake", "real"):
+        raise ValueError(decode)
+    if decode == "real":
+        _require_pil()
 
     out_schema = T.StructType(
         [
@@ -146,16 +180,32 @@ def resize_images(df: DataFrame, max_side: int, *, decode: str = "fake") -> Data
     )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if decode == "real":
+            import io
+
+            from PIL import Image
+
+            def shrink(content: bytes) -> tuple[bytes, int, int]:
+                with Image.open(io.BytesIO(content)) as img:
+                    w, h = img.width, img.height
+                    scale = min(1.0, max_side / max(w, h)) if max(w, h) else 1.0
+                    nw, nh = max(int(w * scale), 1), max(int(h * scale), 1)
+                    buf = io.BytesIO()
+                    img.resize((nw, nh)).save(buf, format="PNG")
+                    return buf.getvalue(), nw, nh
+        else:
+
+            def shrink(content: bytes) -> tuple[bytes, int, int]:
+                w, h = _decode_fake(content)
+                scale = min(1.0, max_side / max(w, h)) if max(w, h) else 1.0
+                nw, nh = max(int(w * scale), 1), max(int(h * scale), 1)
+                return pack_fake_image(nw, nh), nw, nh
+
         for pdf in batches:
             rows = []
             for media_id, content in zip(pdf["media_id"], pdf["content"]):
-                if decode == "real":
-                    raise NotImplementedError("real resize requires PIL/opencv")
                 try:
-                    w, h = _decode_fake(content)
-                    scale = min(1.0, max_side / max(w, h)) if max(w, h) else 1.0
-                    nw, nh = max(int(w * scale), 1), max(int(h * scale), 1)
-                    rows.append((media_id, pack_fake_image(nw, nh), nw, nh))
+                    rows.append((media_id, *shrink(content)))
                 except Exception:  # noqa: BLE001
                     rows.append((media_id, None, None, None))
             yield pd.DataFrame(rows, columns=["media_id", "content", "width", "height"])

@@ -157,12 +157,66 @@ def test_resize_images(media):
     assert out[3].content is None  # corrupt in → null out
 
 
-def test_real_decode_is_stubbed(media):
-    with pytest.raises(Exception) as exc_info:
-        multimodal.extract_image_features(media, decode="real").collect()
-    assert "NotImplementedError" in str(exc_info.value) or isinstance(
-        exc_info.value, NotImplementedError
+def _has_pil() -> bool:
+    try:
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(_has_pil(), reason="environment has PIL; probe won't raise")
+def test_real_decode_fails_fast_without_pil(media):
+    """Without Pillow, decode='real' raises NotImplementedError on the
+    DRIVER (capability probe), before any Spark job launches."""
+    with pytest.raises(NotImplementedError, match="Pillow"):
+        multimodal.extract_image_features(media, decode="real")
+    with pytest.raises(NotImplementedError, match="Pillow"):
+        multimodal.resize_images(media, 320, decode="real")
+
+
+@pytest.mark.skipif(not _has_pil(), reason="real decode kernel needs PIL")
+def test_real_decode_with_pil(spark):
+    """With Pillow present the real kernel decodes actual PNG bytes and
+    the resize path re-encodes at clamped dimensions."""
+    import io
+
+    from PIL import Image
+
+    def png(w, h):
+        buf = io.BytesIO()
+        Image.new("RGB", (w, h)).save(buf, format="PNG")
+        return buf.getvalue()
+
+    rows = [
+        (1, "image", png(640, 480), (None, None, None, "png")),
+        (2, "image", b"CORRUPT", (None, None, None, None)),
+    ]
+    df = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    out = {r.media_id: r for r in
+           multimodal.extract_image_features(df, decode="real").collect()}
+    assert (out[1].width, out[1].height, out[1].decode_ok) == (640, 480, True)
+    assert out[2].decode_ok is False
+    rz = {r.media_id: r for r in
+          multimodal.resize_images(df, 320, decode="real").collect()}
+    assert (rz[1].width, rz[1].height) == (320, 240)
+    with Image.open(io.BytesIO(rz[1].content)) as img:
+        assert (img.width, img.height) == (320, 240)
+    assert rz[2].content is None
+
+
+def test_embedding_dup_pairs_broadcast_cap_guard(spark):
+    """The matmul path must refuse (clear error, no driver collect) when
+    the estimated corpus matrix exceeds the broadcast cap."""
+    df = spark.createDataFrame(
+        [(i, [float(i), 0.0, 1.0]) for i in range(10)],
+        "vec_id long, embedding array<double>",
     )
+    with pytest.raises(ValueError, match="broadcast cap"):
+        dedup.embedding_dup_pairs(df, max_broadcast_bytes=100)
+    # under the cap the same corpus resolves normally
+    assert dedup.embedding_dup_pairs(df, threshold=0.999).count() >= 0
 
 
 def test_video_frame_sampling(media):
