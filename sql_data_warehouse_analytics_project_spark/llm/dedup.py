@@ -111,6 +111,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
     *,
     max_docs_per_shingle: int = 1000,
+    index: DataFrame | None = None,
 ) -> DataFrame:
     """Pairs (id_a < id_b, jaccard) with shingle-set Jaccard ≥ threshold.
 
@@ -127,8 +128,16 @@ def ngram_jaccard_pairs(
     registers the (large) plan with the CacheManager, and EVERY later
     query in the session then pays plan-canonicalization matching against
     it; a checkpoint gives the same reuse with no session-wide residue.
+
+    ``index`` accepts a pre-built (ideally checkpointed) ``shingle_index``
+    so pipelines running both dedup paths over one corpus (e.g. the
+    exact-vs-LSH recall gate) don't re-tokenize.
     """
-    sh = shingle_index(df, id_col, text_col, n).localCheckpoint(eager=True)
+    sh = (
+        index
+        if index is not None
+        else shingle_index(df, id_col, text_col, n).localCheckpoint(eager=True)
+    )
     hot = (
         sh.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df_"))

@@ -349,9 +349,16 @@ def fuzzy_join(
             )
     l = left.select(*keys, *[F.col(c).alias(f"l_{c}") for c in lcols])
     r = right.select(*keys, *[F.col(c).alias(f"r_{c}") for c in rcols])
-    dist = F.levenshtein(F.col(f"l_{left_col}"), F.col(f"r_{right_col}"))
+    lc, rc = F.col(f"l_{left_col}"), F.col(f"r_{right_col}")
+    # Two-tier prune inside the block: (1) |len(a)-len(b)| <= max_distance
+    # is a lower bound on edit distance and costs O(1) per pair — the
+    # conjunct short-circuits before any DP table is built; (2) the
+    # thresholded levenshtein bails out of the DP early (O(d·min(m,n))
+    # band instead of O(m·n) full table) returning -1 above the bound.
+    dist = F.levenshtein(lc, rc, max_distance)
     return (
         l.join(r, keys)
+        .filter(F.abs(F.length(lc) - F.length(rc)) <= max_distance)
         .withColumn(distance_col, dist)
-        .filter(F.col(distance_col) <= max_distance)
+        .filter(F.col(distance_col) >= 0)
     )

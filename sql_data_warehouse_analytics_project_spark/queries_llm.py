@@ -1156,15 +1156,18 @@ def qd25_minhash_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Materialize each pair set ONCE (they are tiny — dozens of rows), then
     # derive all three counts from a single full-outer join + aggregation.
     # Without this, the three separate counts re-execute both expensive
-    # pipelines (inverted index, 64-hash signatures) twice each.
+    # pipelines (inverted index, 64-hash signatures) twice each. Both
+    # pipelines share ONE checkpointed shingle index — the tokenize/shingle
+    # pass over the corpus is the dominant linear cost and runs once.
+    idx = dedup.shingle_index(docs, "doc_id").localCheckpoint(eager=True)
     exact = (
-        dedup.ngram_jaccard_pairs(docs, "doc_id", threshold=0.8)
+        dedup.ngram_jaccard_pairs(docs, "doc_id", threshold=0.8, index=idx)
         .select("id_a", "id_b")
         .localCheckpoint()
         .withColumn("_e", F.lit(1))
     )
     lsh = (
-        dedup.minhash_dedup_pairs(docs, "doc_id", threshold=0.8)
+        dedup.minhash_dedup_pairs(docs, "doc_id", threshold=0.8, index=idx)
         .select("id_a", "id_b")
         .localCheckpoint()
         .withColumn("_l", F.lit(1))
