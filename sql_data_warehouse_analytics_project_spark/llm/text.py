@@ -276,6 +276,68 @@ def shingles(text: str | Column, n: int = 3) -> Column:
     return shingles_of(tokens(text), n)
 
 
+def sorted_gram_hashes(grams: Column) -> Column:
+    """int64-hash each gram and sort — the materialization companion of
+    :func:`ngram_run_stats` (see its usage contract)."""
+    return F.array_sort(F.transform(grams, lambda g: F.xxhash64(g)))
+
+
+def ngram_run_stats(grams: Column) -> Column:
+    """``struct(top_c, rep_c)`` — count of the most frequent element and
+    total count of elements occurring more than once — as a PURE per-row
+    expression: hash each gram to int64, sort, and read group sizes off
+    the run-start positions (a group's count == its run length once
+    sorted).
+
+    This replaces the explode → groupBy(doc, gram) → groupBy(doc) shape:
+    same integer answer (modulo a ~n²/2⁶⁴ xxhash64 collision, the same
+    contract every hash-dedup path in this engine already accepts), but
+    zero shuffle — repetition scoring becomes map-side-only, which at
+    100 TB removes the largest exchange in the quality-filter stage. The
+    per-row pipeline is all primitive-long array ops (hash → sort →
+    boundary scan), the cheapest higher-order-function path Spark has;
+    a struct-state fold over sorted strings measured ~3× slower.
+
+    CRITICAL usage contract: ``grams`` must be an already-materialized
+    column (project ``sorted_gram_hashes(...)`` in a PRECEDING select and
+    pass ``F.col(...)`` here). Expression trees are inlined per
+    reference, and this function references its input O(n) times inside
+    lambda bodies — handing it a raw hash+sort expression makes every
+    element access re-sort the array: O(n² log n) per row (measured 70×
+    slower at sf0.01).
+    """
+    s = grams
+    n = F.size(s)
+    # 0-based indices where a new run starts: i == 0 or s[i] != s[i-1]
+    starts = F.filter(
+        F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0))),
+        lambda i: (i == 0) | (F.element_at(s, i + 1) != F.element_at(s, i)),
+    )
+    # run ends = next run's start (append n for the final run)
+    ends = F.concat(
+        F.slice(starts, 2, F.greatest(F.size(starts) - 1, F.lit(0))),
+        F.array(n),
+    )
+    lens = F.zip_with(starts, ends, lambda a, b: (b - a).cast("long"))
+    top_c = F.coalesce(F.array_max(lens), F.lit(0).cast("long"))
+    rep_c = (n - F.size(F.filter(lens, lambda x: x == 1))).cast("long")
+    return F.when(n == 0, F.struct(F.lit(0).cast("long").alias("top_c"),
+                                   F.lit(0).cast("long").alias("rep_c"))).otherwise(
+        F.struct(top_c.alias("top_c"), rep_c.alias("rep_c"))
+    )
+
+
+def word_ngrams(toks: Column, ngram: int) -> Column:
+    """All word n-grams (WITH duplicates — repetition counting needs
+    multiplicity; contrast :func:`shingles_of` which dedups)."""
+    k = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(k - ngram, F.lit(0)))
+    return F.when(
+        k >= ngram,
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, ngram))),
+    ).otherwise(F.array())
+
+
 def repetition_features(
     df: DataFrame, id_col: str, text_col: str = "text", *, ngram: int = 2
 ) -> DataFrame:
@@ -294,13 +356,13 @@ def repetition_features(
     - ``rep_ngram_frac`` — share of word ``ngram``-grams that occur
       more than once
 
-    Line signals are per-row array expressions (codegen, zero shuffle).
-    The n-gram signals explode to (doc, gram) and aggregate — one
-    map-side-combined shuffle keyed by doc id, never a per-document
-    quadratic scan, so book-length documents cost O(tokens), and the
-    doc-id key means no global hot key at 100 TB. Documents with no
-    lines / fewer than ``ngram`` tokens score 0.0 on the respective
-    fractions.
+    EVERY signal — line and n-gram alike — is a per-row array expression
+    (codegen, zero shuffle): the n-gram counts come from a sorted-run
+    fold (:func:`ngram_run_stats`), never a per-document quadratic scan
+    and never an exchange, so book-length documents cost
+    O(tokens·log tokens) map-side and the whole feature pass is one
+    projection at 100 TB. Documents with no lines / fewer than ``ngram``
+    tokens score 0.0 on the respective fractions.
     """
     c = F.col(text_col)
     lines = F.filter(
@@ -312,7 +374,8 @@ def repetition_features(
     dis_chars = F.aggregate(
         F.array_distinct(lines), F.lit(0), lambda a, x: a + F.length(x)
     )
-    base = df.select(
+    grams = word_ngrams(tokens(text_col), ngram)
+    pre = df.select(
         F.col(id_col),
         n_lines.cast("long").alias("n_lines"),
         F.round(
@@ -324,35 +387,22 @@ def repetition_features(
             ),
             6,
         ).alias("dup_line_char_frac"),
+        # materialized ONCE per row — ngram_run_stats' usage contract
+        sorted_gram_hashes(grams).alias("_sh"),
     )
-    toks = tokens(text_col)
-    k = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(k - ngram, F.lit(0)))
-    grams = F.when(
-        k >= ngram,
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, ngram))),
-    ).otherwise(F.array())
-    counts = (
-        df.select(F.col(id_col), F.explode(grams).alias("g"))
-        .groupBy(id_col, "g")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    agg = counts.groupBy(id_col).agg(
-        F.max("c").alias("top_c"),
-        F.sum("c").alias("tot_c"),
-        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0))).alias("rep_c"),
-    )
-    return base.join(agg, id_col, "left").select(
+    stats = ngram_run_stats(F.col("_sh"))
+    tot_c = F.size(F.col("_sh")).cast("long")
+    return pre.select(
         id_col,
         "n_lines",
         "dup_line_frac",
         "dup_line_char_frac",
-        F.round(F.coalesce(F.col("top_c") / F.col("tot_c"), F.lit(0.0)), 6).alias(
-            "top_ngram_frac"
-        ),
-        F.round(F.coalesce(F.col("rep_c") / F.col("tot_c"), F.lit(0.0)), 6).alias(
-            "rep_ngram_frac"
-        ),
+        F.round(
+            F.when(tot_c == 0, F.lit(0.0)).otherwise(stats["top_c"] / tot_c), 6
+        ).alias("top_ngram_frac"),
+        F.round(
+            F.when(tot_c == 0, F.lit(0.0)).otherwise(stats["rep_c"] / tot_c), 6
+        ).alias("rep_ngram_frac"),
     )
 
 
@@ -442,37 +492,28 @@ def corpus_filter(
     dup_line_frac = F.round(
         F.when(n_lines == 0, F.lit(0.0)).otherwise((n_lines - d_lines) / n_lines), 6
     )
-    base = df.select(
+    # word-ngram repetition: sorted-run scan (ngram_run_stats) — same
+    # integer counts as the grouped aggregate, but a pure per-row
+    # expression, so the WHOLE filter is two chained map-side projections
+    # with no exchange anywhere (the first materializes the sorted gram
+    # hashes once per row — ngram_run_stats' usage contract)
+    pre = df.select(
         F.col(id_col),
         n_chars.alias("_nc"),
         mean_tok_len.alias("_mtl"),
         punct_ratio(text_col).alias("_pr"),
         detect_language(text_col, toks=toks).alias("lang"),
         dup_line_frac.alias("dup_line_frac"),
+        sorted_gram_hashes(word_ngrams(toks, ngram)).alias("_sh"),
     )
-    # word-ngram repetition: the one distributed signal (explode + doc-id
-    # keyed aggregate, map-side combined), same formula as
-    # repetition_features' top_ngram_frac
-    k = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(k - ngram, F.lit(0)))
-    grams = F.when(
-        k >= ngram,
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, ngram))),
-    ).otherwise(F.array())
-    ng = (
-        df.select(F.col(id_col), F.explode(grams).alias("g"))
-        .groupBy(id_col, "g")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy(id_col)
-        .agg(
-            F.round(
-                F.coalesce(F.max("c") / F.sum("c"), F.lit(0.0)), 6
-            ).alias("top_ngram_frac")
-        )
+    tot_c = F.size(F.col("_sh")).cast("long")
+    top_ngram_frac = F.round(
+        F.when(tot_c == 0, F.lit(0.0)).otherwise(
+            ngram_run_stats(F.col("_sh"))["top_c"] / tot_c
+        ),
+        6,
     )
-    j = base.join(ng, id_col, "left").withColumn(
-        "top_ngram_frac", F.coalesce(F.col("top_ngram_frac"), F.lit(0.0))
-    )
+    j = pre.withColumn("top_ngram_frac", top_ngram_frac).drop("_sh")
     reasons = [
         F.when(F.col("_nc") < min_chars, F.lit("too_short")),
         F.when(F.col("_nc") > max_chars, F.lit("too_long")),

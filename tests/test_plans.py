@@ -259,3 +259,15 @@ def test_histogram_and_corr_single_shuffle(plans):
         assert "partial_" in p, name  # map-side combine present
         assert "Expand" not in p, name
         assert p.count("Exchange hashpartitioning") == 1, name
+
+
+def test_repetition_and_corpus_filter_map_side_only(plans):
+    """The Gopher-style quality signals (qd31/qd36) are ONE map-side
+    projection: the n-gram repetition counts come from a sorted-run fold
+    over the grams array (ngram_run_stats), not an explode + grouped
+    count — zero hash shuffles, no join back, no Generate."""
+    for name in ("qd31_repetition_signals", "qd36_corpus_filter"):
+        p = plans(name)
+        assert "Exchange hashpartitioning" not in p, name
+        assert "Join" not in p, name
+        assert "Generate" not in p, name
