@@ -495,6 +495,47 @@ def decontaminate(
     return df.join(flagged.select(id_col), id_col, "left_anti")
 
 
+def contamination_score(
+    df: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Graded leakage score per training doc — the measured companion of
+    the binary :func:`contaminated_ids` flag: ``overlap_frac`` is the
+    fraction of the doc's DISTINCT word ``n``-gram shingles present
+    anywhere in the eval corpus (1.0 ⇒ verbatim inclusion; small values
+    ⇒ shared idioms). Lets a curation run set a threshold instead of
+    dropping on a single shared shingle.
+
+    Same plan shape as ``contaminated_ids`` (training text never
+    shuffles, eval side distinct + broadcast-sized) plus the per-doc
+    shingle sizes the Jaccard path already computes. All integer counts
+    until one final division — oracle hash-matches exactly (modulo the
+    xxhash64 collision class every hashed-shingle path accepts).
+    """
+    train = shingle_index(df, id_col, text_col, n)
+    sizes = train.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
+    evals = shingle_index(eval_df, id_col, text_col, n).select("shingle").distinct()
+    hits = (
+        train.join(evals, "shingle")
+        .groupBy("doc")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        sizes.join(hits, "doc", "left")
+        .select(
+            F.col("doc").alias(id_col),
+            F.col("n_shingles").cast("long").alias("n_shingles"),
+            F.coalesce(F.col("n_common"), F.lit(0)).cast("long").alias("n_common"),
+            F.round(
+                F.coalesce(F.col("n_common"), F.lit(0)) / F.col("n_shingles"), 6
+            ).alias("overlap_frac"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

@@ -406,6 +406,57 @@ def repetition_features(
     )
 
 
+def token_rarity(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    *,
+    rare_max_count: int = 2,
+) -> DataFrame:
+    """Corpus-relative token-rarity quality signals per document:
+
+    - ``mean_token_freq`` — mean corpus frequency of the doc's tokens
+      (Σ count(tok) / (N · n_doc_tokens)). High ⇒ stopword/boilerplate
+      soup; low ⇒ OCR noise, gibberish, or id-dense logs. The standard
+      cheap stand-in for an LM quality score whose log-prob math would
+      not replay bit-exactly across engines — every quantity here is an
+      INTEGER until one final double division, so the DuckDB oracle
+      hash-matches exactly.
+    - ``rare_token_frac`` — fraction of the doc's tokens occurring
+      ≤ ``rare_max_count`` times corpus-wide (hapax-ish share).
+
+    Plan: one explode → token-keyed count (map-side combined) builds the
+    vocab; the exploded stream then joins the vocab and re-aggregates by
+    doc id. At test SF AQE broadcasts the vocab so the doc side never
+    shuffles on the (stopword-skewed) token key; at 100 TB either hint
+    the broadcast (vocab ≪ corpus) or let AQE's skew-join split the hot
+    stopword partitions. Docs with zero tokens are absent (no rows to
+    score), matching the oracle.
+    """
+    ex = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("t"))
+    vocab = ex.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    total = vocab.agg(F.sum("c").cast("long").alias("_n_total"))
+    per = (
+        ex.join(vocab, "t")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            F.sum("c").cast("long").alias("_sum_c"),
+            F.sum((F.col("c") <= rare_max_count).cast("long")).alias("_n_rare"),
+        )
+    )
+    return per.crossJoin(F.broadcast(total)).select(
+        F.col(id_col),
+        F.col("n_toks").cast("long").alias("n_toks"),
+        F.round(
+            F.col("_sum_c")
+            / (F.col("_n_total").cast("double") * F.col("n_toks")),
+            9,
+        ).alias("mean_token_freq"),
+        F.round(F.col("_n_rare") / F.col("n_toks"), 6).alias("rare_token_frac"),
+    )
+
+
 def chunk_text(
     df: DataFrame,
     id_col: str,

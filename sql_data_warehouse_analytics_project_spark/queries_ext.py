@@ -1240,3 +1240,42 @@ def q61_bag_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = except_all(a, b).select(F.lit("except_all").alias("op"), "o_custkey")
     ia = intersect_all(a, b).select(F.lit("intersect_all").alias("op"), "o_custkey")
     return ex.unionByName(ia)
+
+
+@register(
+    "q62_scd2_intervals",
+    """
+    WITH v AS (SELECT DISTINCT o_custkey, CAST(o_orderdate AS DATE) AS d
+               FROM orders)
+    SELECT o_custkey,
+           d AS valid_from,
+           lead(d) OVER w - 1 AS valid_to,
+           (lead(d) OVER w) IS NULL AS is_current
+    FROM v
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY d)
+    """,
+)
+def q62_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 validity-window repair (`cleansing.scd2_end_dates` —
+    the reference's prd_info silver rule: end date := day before the next
+    version's start, NULL ⇒ current; reference
+    ``setup_orchestrator.py:484-516`` product dim + SURVEY §1.4),
+    exercised over testdata: distinct (customer, order date) pairs as
+    version starts. One key-partitioned window — single shuffle. The
+    DISTINCT pre-pass makes the lead() pairing deterministic (ties in
+    the order column would otherwise make the windows engine-dependent)."""
+    from sql_data_warehouse_analytics_project_spark.operators.cleansing import (
+        scd2_end_dates,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    v = orders.select(
+        "o_custkey", F.col("o_orderdate").cast("date").alias("d")
+    ).distinct()
+    out = scd2_end_dates(v, ["o_custkey"], "d", "valid_to")
+    return out.select(
+        "o_custkey",
+        F.col("d").alias("valid_from"),
+        "valid_to",
+        F.col("valid_to").isNull().alias("is_current"),
+    )

@@ -1432,3 +1432,76 @@ def qd37_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     stages = curate.curate_corpus(docs, materialize=True)
     return curate.curation_report(stages)
+
+
+@register(
+    "qd38_token_rarity",
+    f"""
+    WITH ex AS (
+      SELECT doc_id, unnest({_TOKS}) AS t FROM documents
+    ), vocab AS (
+      SELECT t, count(*) AS c FROM ex GROUP BY t
+    ), tot AS (
+      SELECT sum(c) AS n FROM vocab
+    ), per AS (
+      SELECT e.doc_id, count(*) AS n_toks, sum(v.c) AS sum_c,
+             sum(CASE WHEN v.c <= 2 THEN 1 ELSE 0 END) AS n_rare
+      FROM ex e JOIN vocab v USING (t) GROUP BY e.doc_id
+    )
+    SELECT per.doc_id,
+           CAST(n_toks AS BIGINT) AS n_toks,
+           round(CAST(sum_c AS DOUBLE) / (CAST(tot.n AS DOUBLE) * n_toks), 9)
+               AS mean_token_freq,
+           round(CAST(n_rare AS DOUBLE) / n_toks, 6) AS rare_token_frac
+    FROM per, tot
+    """,
+)
+def qd38_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-relative token-rarity quality signals (`text.token_rarity`):
+    mean corpus frequency of each doc's tokens plus hapax-ish share —
+    the integer-exact stand-in for an LM quality score (log-prob sums
+    would not replay bit-exactly across engines; these do: every
+    quantity is an integer until one final double division)."""
+    docs = _docs(spark, sf_dir)
+    return text.token_rarity(docs, "doc_id")
+
+
+@register(
+    "qd39_contamination_score",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS t FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(t[i:i+3], ' ') FOR i IN range(1, len(t)-2)]) AS shingles
+      FROM toks WHERE len(t) >= 4
+    ), sizes AS (
+      SELECT doc_id, len(shingles) AS n_shingles FROM sh WHERE doc_id % 50 <> 0
+    ), train AS (
+      SELECT doc_id, unnest(shingles) AS s FROM sh WHERE doc_id % 50 <> 0
+    ), eval_sh AS (
+      SELECT DISTINCT unnest(shingles) AS s FROM sh WHERE doc_id % 50 = 0
+    ), hits AS (
+      SELECT t.doc_id, count(*) AS n_common
+      FROM train t JOIN eval_sh e ON t.s = e.s GROUP BY t.doc_id
+    )
+    SELECT s.doc_id,
+           CAST(s.n_shingles AS BIGINT) AS n_shingles,
+           CAST(COALESCE(h.n_common, 0) AS BIGINT) AS n_common,
+           round(CAST(COALESCE(h.n_common, 0) AS DOUBLE) / s.n_shingles, 6)
+               AS overlap_frac
+    FROM sizes s LEFT JOIN hits h USING (doc_id)
+    """,
+)
+def qd39_contamination_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded eval-leakage score (`dedup.contamination_score`): fraction
+    of each training doc's distinct 4-gram shingles present in the
+    held-out eval slice (doc_id % 50 = 0) — the measured companion of
+    qd22's binary contamination flag, so curation can threshold instead
+    of dropping on one shared shingle. Production joins int64-hashed
+    shingles; the oracle joins strings (same xxhash64-collision
+    tolerance class as qd22)."""
+    docs = _docs(spark, sf_dir)
+    train = docs.filter(F.col("doc_id") % 50 != 0)
+    evals = docs.filter(F.col("doc_id") % 50 == 0)
+    return dedup.contamination_score(train, evals, "doc_id", n=4)

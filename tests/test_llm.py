@@ -724,3 +724,40 @@ def test_ivf_index_build_once_search_many(spark, sf_dir):
             for r in S.ivf_ann_topk(emb, queries, k=3).collect()
         }
         assert got == ref and got
+
+
+def test_token_rarity_hand_checked(spark):
+    # corpus: "a a b" + "a c" → counts: a=3, b=1, c=1; N=5
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="a a b"), Row(doc_id=2, text="a c"), Row(doc_id=3, text="")]
+    )
+    rows = {
+        r.doc_id: r
+        for r in text.token_rarity(df, "doc_id", rare_max_count=1).collect()
+    }
+    assert set(rows) == {1, 2}  # empty doc absent
+    # doc 1: toks a,a,b → sum_c = 3+3+1 = 7; mean = 7/(5*3); rare = b → 1/3
+    assert rows[1].n_toks == 3
+    assert rows[1].mean_token_freq == round(7 / 15, 9)
+    assert rows[1].rare_token_frac == round(1 / 3, 6)
+    # doc 2: toks a,c → sum_c = 4; mean = 4/(5*2); rare = c → 1/2
+    assert rows[2].mean_token_freq == round(4 / 10, 9)
+    assert rows[2].rare_token_frac == 0.5
+
+
+def test_contamination_score_full_and_partial_overlap(spark):
+    train = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the quick brown fox jumps"),   # shares all
+            Row(doc_id=2, text="the quick brown cat sleeps"),  # shares 1 of 3
+            Row(doc_id=3, text="totally different words here"),
+        ]
+    )
+    evals = spark.createDataFrame([Row(doc_id=100, text="the quick brown fox jumps")])
+    rows = {
+        r.doc_id: r
+        for r in dedup.contamination_score(train, evals, "doc_id", n=3).collect()
+    }
+    assert rows[1].overlap_frac == 1.0 and rows[1].n_common == rows[1].n_shingles
+    assert rows[2].n_common == 1 and 0 < rows[2].overlap_frac < 1
+    assert rows[3].n_common == 0 and rows[3].overlap_frac == 0.0
