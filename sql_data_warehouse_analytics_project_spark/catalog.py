@@ -304,6 +304,34 @@ class Catalog:
         props = {r.col_name: r.data_type for r in detail}
         return {"table": q, "row_count": n, "location": props.get("Location")}
 
+    def analyze(
+        self, layer: str, table: str, columns: "Sequence[str] | None" = None
+    ) -> dict:
+        """ANALYZE TABLE — collect table (and optionally per-column)
+        statistics into the metastore so Catalyst's cost-based optimizer
+        has real cardinalities: with column stats, join reordering and
+        broadcast decisions stop guessing from file sizes. The Postgres
+        reference leans on autovacuum/ANALYZE implicitly; a Spark
+        warehouse must run this explicitly after large loads — call it
+        from ingest jobs the way ``table_stats`` is called from audits.
+
+        Returns the recorded stats (rowCount/sizeInBytes, plus distinct/
+        null counts per analyzed column) read back via DESCRIBE.
+        """
+        q = self.qualified(layer, table)
+        stmt = f"ANALYZE TABLE {q} COMPUTE STATISTICS"
+        if columns:
+            cols = ", ".join(f"`{c}`" for c in columns)
+            stmt += f" FOR COLUMNS {cols}"
+        self.spark.sql(stmt)
+        detail = self.spark.sql(f"DESCRIBE EXTENDED {q}").collect()
+        props = {r.col_name: r.data_type for r in detail}
+        out: dict = {"table": q, "statistics": props.get("Statistics")}
+        for c in columns or []:
+            rows = self.spark.sql(f"DESCRIBE EXTENDED {q} `{c}`").collect()
+            out[c] = {r.info_name: r.info_value for r in rows}
+        return out
+
     def column_info(self, layer: str, table: str) -> list[dict]:
         """Per-column metadata (maps ``get_column_info_sql``,
         ``sql/query_builder.py:437-489``: name/type/nullable/position plus

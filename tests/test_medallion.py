@@ -190,6 +190,24 @@ def test_catalog_introspection(cat, loaded):
     assert si["bronze"]["table_count"] == len(si["bronze"]["tables"])
 
 
+def test_catalog_analyze_collects_cbo_stats(cat, loaded):
+    """ANALYZE TABLE records row counts + per-column distinct/null stats
+    for Catalyst's cost-based optimizer."""
+    stats = cat.analyze("bronze", "crm_customers_raw", columns=["cst_id"])
+    assert stats["statistics"] and "rows" in stats["statistics"]
+    col = stats["cst_id"]
+    assert int(col["distinct_count"]) > 0
+    # stats visible to the planner: with CBO on, the optimized relation
+    # carries the collected rowCount (without CBO only sizeInBytes flows)
+    q = cat.qualified("bronze", "crm_customers_raw")
+    cat.spark.conf.set("spark.sql.cbo.enabled", "true")
+    try:
+        st = cat.spark.table(q)._jdf.queryExecution().optimizedPlan().stats()
+        assert st.rowCount().isDefined() and int(str(st.rowCount().get())) > 0
+    finally:
+        cat.spark.conf.set("spark.sql.cbo.enabled", "false")
+
+
 def test_create_table_comment_with_quotes(cat):
     from pyspark.sql import types as T
 

@@ -271,3 +271,19 @@ def test_repetition_and_corpus_filter_map_side_only(plans):
         assert "Exchange hashpartitioning" not in p, name
         assert "Join" not in p, name
         assert "Generate" not in p, name
+
+
+def test_token_rarity_vocab_broadcasts(plans):
+    """qd38: the vocab (token→count) side must broadcast at test SF so
+    the stopword-skewed exploded stream never shuffles on the token key
+    (the doc-id aggregate is the only hash exchange of the big side)."""
+    p = plans("qd38_token_rarity")
+    assert "BroadcastHashJoin" in p, p
+
+
+def test_contamination_score_eval_side_broadcasts(plans):
+    """qd39: training text never shuffles — the eval shingle set is
+    distinct + broadcast, and the only hash exchanges key on doc id /
+    shingle aggregation, never on raw text."""
+    p = plans("qd39_contamination_score")
+    assert "BroadcastHashJoin" in p, p
