@@ -269,12 +269,19 @@ def changed_rows(
 def recompute_is_current(
     df: DataFrame,
     key_columns: Sequence[str],
-    ts_column: str = "_ingestion_timestamp",
+    ts_column: "str | Sequence[str]" = "_ingestion_timestamp",
     flag_column: str = "_is_current",
 ) -> DataFrame:
     """CDC-style ``_is_current``: latest row per key wins
-    (``row_number()==1`` over desc-timestamp window — SURVEY.md §1.1)."""
-    w = Window.partitionBy(*key_columns).orderBy(F.col(ts_column).desc())
+    (``row_number()==1`` over desc-timestamp window — SURVEY.md §1.1).
+
+    ``ts_column`` accepts a list for a composite order — pass a unique
+    tiebreaker (e.g. ``["updated_at", "id"]``) when the timestamp alone
+    can tie, or the winner is engine/partitioning-dependent."""
+    ts_cols = [ts_column] if isinstance(ts_column, str) else list(ts_column)
+    w = Window.partitionBy(*key_columns).orderBy(
+        *[F.col(c).desc() for c in ts_cols]
+    )
     return (
         df.withColumn("_rn", F.row_number().over(w))
         .withColumn(flag_column, F.col("_rn") == 1)

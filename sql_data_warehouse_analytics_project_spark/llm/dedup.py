@@ -170,6 +170,58 @@ def ngram_jaccard_pairs(
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    *,
+    max_docs_per_shingle: int = 1000,
+    index: DataFrame | None = None,
+) -> DataFrame:
+    """Pairs (id_a < id_b) where the SMALLER shingle set is ≥``threshold``
+    contained in the other: C = |A∩B| / min(|A|,|B|).
+
+    Jaccard misses asymmetric duplication — a tweet quoted inside a long
+    article has tiny |A∩B|/|A∪B| but containment ≈ 1. This is the
+    detector for subset/quote/boilerplate-envelope duplication (the same
+    inverted-index plan as :func:`ngram_jaccard_pairs`: shingle self-join
+    → per-pair intersection → per-doc sizes → filter; identical hot-
+    shingle cap so numerator and denominator count one universe).
+    """
+    sh = (
+        index
+        if index is not None
+        else shingle_index(df, id_col, text_col, n).localCheckpoint(eager=True)
+    )
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df_"))
+        .filter(F.col("df_") > max_docs_per_shingle)
+        .select("shingle")
+    )
+    sh = sh.join(hot, "shingle", "left_anti")
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.select(F.col("doc").alias("id_a"), "shingle")
+    b = sh.select(F.col("doc").alias("id_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    out = (
+        common.join(sizes.withColumnsRenamed({"doc": "id_a", "n_shingles": "n_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"doc": "id_b", "n_shingles": "n_b"}), "id_b")
+        .withColumn(
+            "containment", F.col("n_common") / F.least("n_a", "n_b")
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+    return out.select("id_a", "id_b", F.round("containment", 6).alias("containment"))
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH banding
 # ---------------------------------------------------------------------------

@@ -1279,3 +1279,40 @@ def q62_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         "valid_to",
         F.col("valid_to").isNull().alias("is_current"),
     )
+
+
+@register(
+    "q63_cdc_keep_latest",
+    """
+    WITH r AS (
+      SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS od,
+             CAST(o_totalprice AS DOUBLE) AS tp,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      FROM orders
+    )
+    SELECT o_custkey, o_orderkey,
+           od AS latest_order_date,
+           tp AS latest_totalprice
+    FROM r WHERE rn = 1
+    """,
+)
+def q63_cdc_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The append-only CDC ``_is_current`` semantic (M6,
+    `dml.recompute_is_current` — reference ``bronze.py:112`` /
+    BRONZE_LAYER_PLAN.md:38,83) verified standalone through the driver
+    gate: latest row per key via row_number()==1 over a desc composite
+    order (orderkey tiebreak keeps same-day winners deterministic).
+    Single key-partitioned window shuffle."""
+    from sql_data_warehouse_analytics_project_spark.dml import recompute_is_current
+
+    orders = load_table(spark, sf_dir, "orders")
+    flagged = recompute_is_current(
+        orders, ["o_custkey"], ["o_orderdate", "o_orderkey"], "_cur"
+    )
+    return flagged.filter(F.col("_cur")).select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("latest_order_date"),
+        F.col("o_totalprice").cast("double").alias("latest_totalprice"),
+    )

@@ -1505,3 +1505,38 @@ def qd39_contamination_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = docs.filter(F.col("doc_id") % 50 != 0)
     evals = docs.filter(F.col("doc_id") % 50 == 0)
     return dedup.contamination_score(train, evals, "doc_id", n=4)
+
+
+@register(
+    "qd40_containment_pairs",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS t FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t)-1)]) AS shingles
+      FROM toks WHERE len(t) >= 3
+    ), ex AS (
+      SELECT doc_id, unnest(shingles) AS s FROM sh
+    ), sizes AS (
+      SELECT doc_id, len(shingles) AS n FROM sh
+    ), common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT c.id_a, c.id_b,
+           round(CAST(c AS DOUBLE) / least(sa.n, sb.n), 6) AS containment
+    FROM common c
+    JOIN sizes sa ON c.id_a = sa.doc_id
+    JOIN sizes sb ON c.id_b = sb.doc_id
+    WHERE CAST(c AS DOUBLE) / least(sa.n, sb.n) >= 0.5
+    """,
+)
+def qd40_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup detection (`dedup.containment_pairs`):
+    C = |A∩B| / min(|A|,|B|) ≥ 0.5 — catches a small doc quoted inside a
+    large one, which Jaccard's union denominator hides. Same inverted
+    shingle index plan as qd02; only the verify formula differs."""
+    docs = _docs(spark, sf_dir)
+    return dedup.containment_pairs(docs, "doc_id", threshold=0.5)

@@ -761,3 +761,13 @@ def test_contamination_score_full_and_partial_overlap(spark):
     assert rows[1].overlap_frac == 1.0 and rows[1].n_common == rows[1].n_shingles
     assert rows[2].n_common == 1 and 0 < rows[2].overlap_frac < 1
     assert rows[3].n_common == 0 and rows[3].overlap_frac == 0.0
+
+
+def test_containment_catches_subset_jaccard_misses(spark):
+    small = "alpha beta gamma delta"                       # 2 shingles (n=3)
+    big = small + " " + " ".join(f"w{i}" for i in range(40))
+    df = spark.createDataFrame([Row(doc_id=1, text=big), Row(doc_id=2, text=small)])
+    jac = dedup.ngram_jaccard_pairs(df, "doc_id", threshold=0.5).collect()
+    con = dedup.containment_pairs(df, "doc_id", threshold=0.9).collect()
+    assert jac == []                      # union dominated by the big doc
+    assert len(con) == 1 and con[0].containment == 1.0
