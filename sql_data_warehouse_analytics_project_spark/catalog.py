@@ -179,6 +179,23 @@ class Catalog:
         self.spark.sql(f"DROP TABLE IF EXISTS {target}")
         self.spark.sql(f"ALTER TABLE {staging} RENAME TO {target}")
 
+    def vacuum_staging(self, layer: str) -> list[str]:
+        """Drop abandoned ``__staging`` tables whose target exists — the
+        leftover of a crash AFTER the overwrite swap (or an aborted
+        rewrite). Safe: :meth:`overwrite` always rewrites staging from
+        scratch. A staging table whose target is MISSING is the crash-
+        between-swap-steps state and is deliberately left for
+        :meth:`recover_staging` to promote. Returns the dropped names."""
+        dropped: list[str] = []
+        db = self.db(layer)
+        for t in self.spark.catalog.listTables(db):
+            if t.name.endswith("__staging"):
+                target = t.name[: -len("__staging")]
+                if self.spark.catalog.tableExists(f"{db}.{target}"):
+                    self.spark.sql(f"DROP TABLE {db}.{t.name}")
+                    dropped.append(t.name)
+        return dropped
+
     def recover_staging(self, layer: str, table: str) -> bool:
         """Finish an overwrite interrupted between its two swap steps:
         if the target is gone but its fully-written staging table exists,

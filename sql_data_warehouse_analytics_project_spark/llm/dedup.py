@@ -133,6 +133,30 @@ def ngram_jaccard_pairs(
     so pipelines running both dedup paths over one corpus (e.g. the
     exact-vs-LSH recall gate) don't re-tokenize.
     """
+    paired = _pair_intersections(
+        df, id_col, text_col, n, max_docs_per_shingle, index
+    )
+    out = paired.withColumn(
+        "jaccard",
+        F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+    ).filter(F.col("jaccard") >= threshold)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def _pair_intersections(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    max_docs_per_shingle: int,
+    index: DataFrame | None,
+) -> DataFrame:
+    """Shared candidate stage of the set-overlap detectors: inverted
+    shingle index → self-join → per-pair ``n_common`` with per-doc sizes
+    ``n_a``/``n_b`` attached. Hot shingles are dropped BEFORE sizes are
+    computed so every verify formula's numerator and denominator count
+    one universe (a cap applied to the join only would systematically
+    underestimate overlap for docs sharing a hot shingle)."""
     sh = (
         index
         if index is not None
@@ -144,10 +168,6 @@ def ngram_jaccard_pairs(
         .filter(F.col("df_") > max_docs_per_shingle)
         .select("shingle")
     )
-    # Filter hot shingles BEFORE computing per-doc sizes: numerator
-    # (n_common) and denominator (n_a + n_b - n_common) must count over
-    # the same shingle universe, or Jaccard is systematically
-    # underestimated for docs sharing a hot shingle once the cap fires.
     sh = sh.join(hot, "shingle", "left_anti")
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = sh.select(F.col("doc").alias("id_a"), "shingle")
@@ -158,16 +178,9 @@ def ngram_jaccard_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    out = (
-        common.join(sizes.withColumnsRenamed({"doc": "id_a", "n_shingles": "n_a"}), "id_a")
-        .join(sizes.withColumnsRenamed({"doc": "id_b", "n_shingles": "n_b"}), "id_b")
-        .withColumn(
-            "jaccard",
-            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
-        )
-        .filter(F.col("jaccard") >= threshold)
-    )
-    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    return common.join(
+        sizes.withColumnsRenamed({"doc": "id_a", "n_shingles": "n_a"}), "id_a"
+    ).join(sizes.withColumnsRenamed({"doc": "id_b", "n_shingles": "n_b"}), "id_b")
 
 
 def containment_pairs(
@@ -190,35 +203,12 @@ def containment_pairs(
     → per-pair intersection → per-doc sizes → filter; identical hot-
     shingle cap so numerator and denominator count one universe).
     """
-    sh = (
-        index
-        if index is not None
-        else shingle_index(df, id_col, text_col, n).localCheckpoint(eager=True)
+    paired = _pair_intersections(
+        df, id_col, text_col, n, max_docs_per_shingle, index
     )
-    hot = (
-        sh.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df_"))
-        .filter(F.col("df_") > max_docs_per_shingle)
-        .select("shingle")
-    )
-    sh = sh.join(hot, "shingle", "left_anti")
-    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
-    a = sh.select(F.col("doc").alias("id_a"), "shingle")
-    b = sh.select(F.col("doc").alias("id_b"), "shingle")
-    common = (
-        a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    out = (
-        common.join(sizes.withColumnsRenamed({"doc": "id_a", "n_shingles": "n_a"}), "id_a")
-        .join(sizes.withColumnsRenamed({"doc": "id_b", "n_shingles": "n_b"}), "id_b")
-        .withColumn(
-            "containment", F.col("n_common") / F.least("n_a", "n_b")
-        )
-        .filter(F.col("containment") >= threshold)
-    )
+    out = paired.withColumn(
+        "containment", F.col("n_common") / F.least("n_a", "n_b")
+    ).filter(F.col("containment") >= threshold)
     return out.select("id_a", "id_b", F.round("containment", 6).alias("containment"))
 
 

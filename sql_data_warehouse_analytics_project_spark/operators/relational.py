@@ -209,6 +209,45 @@ def paginate(
     )
 
 
+def keyset_paginate(
+    df: DataFrame,
+    keys: Sequence[str],
+    page_size: int,
+    after: "Sequence | None" = None,
+) -> DataFrame:
+    """Keyset ("seek") pagination — the scale-correct alternative to
+    OFFSET: resume from the last row's key tuple instead of skipping
+    ``offset`` rows. OFFSET pagination costs O(offset) per page (the
+    window must still rank everything before the page); the keyset
+    predicate is sargable — the tuple comparison expands to
+    ``k1 > a1 OR (k1 = a1 AND k2 > a2) OR ...``, pushes toward the scan,
+    and the page itself plans as TakeOrderedAndProject (per-partition
+    heap, no global sort). Page N costs the same as page 1.
+
+    ``keys`` must form a unique total order (add a unique id as the last
+    key); ``after`` is the previous page's last key tuple (None ⇒ first
+    page). NULL key values are not supported (NULL > x is never true —
+    filter them or coalesce first).
+    """
+    if not keys:
+        raise ValueError("keyset_paginate() requires at least one key column")
+    if page_size < 1:
+        raise ValueError("page_size must be >= 1")
+    out = df
+    if after is not None:
+        if len(after) != len(keys):
+            raise ValueError(
+                f"after tuple has {len(after)} values for {len(keys)} keys"
+            )
+        cond = F.lit(False)
+        eqs = F.lit(True)
+        for k, v in zip(keys, after):
+            cond = cond | (eqs & (F.col(k) > F.lit(v)))
+            eqs = eqs & (F.col(k) == F.lit(v))
+        out = out.filter(cond)
+    return out.orderBy(*[F.col(k) for k in keys]).limit(page_size)
+
+
 def top_k(df: DataFrame, order_by: Sequence[Column], k: int) -> DataFrame:
     """O4 top-k — ``orderBy(...).limit(k)``; Spark plans
     TakeOrderedAndProject (per-partition heap + driver merge: no full sort,

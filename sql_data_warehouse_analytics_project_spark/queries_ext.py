@@ -1316,3 +1316,41 @@ def q63_cdc_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderdate").cast("date").alias("latest_order_date"),
         F.col("o_totalprice").cast("double").alias("latest_totalprice"),
     )
+
+
+@register(
+    "q64_keyset_pagination",
+    """
+    SELECT o_orderkey,
+           CAST(o_orderdate AS DATE) AS order_date,
+           CAST(o_totalprice AS DOUBLE) AS totalprice
+    FROM orders
+    WHERE CAST(o_orderdate AS DATE) > DATE '1995-06-15'
+       OR (CAST(o_orderdate AS DATE) = DATE '1995-06-15' AND o_orderkey > 0)
+    ORDER BY order_date, o_orderkey
+    LIMIT 25
+    """,
+)
+def q64_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset ("seek") pagination (`relational.keyset_paginate`) — the
+    scale-correct O2/O3 companion: q17's OFFSET pagination ranks the
+    whole relation per page (O(offset)); the keyset predicate is
+    sargable and the page plans as TakeOrderedAndProject, so page N
+    costs page 1. Resumes after the key tuple (1995-06-15, 0)."""
+    import datetime
+
+    from sql_data_warehouse_analytics_project_spark.operators.relational import (
+        keyset_paginate,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("order_date"),
+        F.col("o_totalprice").cast("double").alias("totalprice"),
+    )
+    return keyset_paginate(
+        orders,
+        ["order_date", "o_orderkey"],
+        25,
+        after=(datetime.date(1995, 6, 15), 0),
+    ).select("o_orderkey", "order_date", "totalprice")

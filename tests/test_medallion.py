@@ -240,3 +240,25 @@ def test_curate_cli_writes_split_partitioned_corpus(spark, sf_dir, tmp_path, cap
     assert splits == {"split=train", "split=val", "split=test"}
     back = spark.read.parquet(os.path.join(out, "curated"))
     assert back.count() == f["curated"]
+
+
+def test_vacuum_staging_drops_only_abandoned(cat, spark):
+    from pyspark.sql import types as T
+
+    sch = T.StructType([T.StructField("v", T.LongType())])
+    cat.create_table("bronze", "vac_t", sch, medallion_metadata=False)
+    # abandoned staging WITH target → vacuum drops it
+    spark.createDataFrame([(1,)], sch).write.mode("overwrite").saveAsTable(
+        cat.qualified("bronze", "vac_t__staging")
+    )
+    # staging WITHOUT target → crash-between-swap state, must be kept
+    spark.createDataFrame([(2,)], sch).write.mode("overwrite").saveAsTable(
+        cat.qualified("bronze", "vac_orphan__staging")
+    )
+    dropped = cat.vacuum_staging("bronze")
+    assert dropped == ["vac_t__staging"]
+    assert not cat.table_exists("bronze", "vac_t__staging")
+    assert cat.table_exists("bronze", "vac_orphan__staging")
+    # and recover_staging can still promote the kept one
+    assert cat.recover_staging("bronze", "vac_orphan")
+    assert cat.table_exists("bronze", "vac_orphan")

@@ -809,3 +809,24 @@ def test_fuzzy_join_rejects_ambiguous_columns(spark):
     r2 = right.withColumnRenamed("blk", "l_name")
     with pytest.raises(ValueError, match="collide"):
         fuzzy_join(l2, r2, ["l_name"], "name", "name")
+
+
+def test_keyset_paginate_chains_like_offset(people):
+    # chaining pages by last key tuple == OFFSET pagination over the same
+    # total order
+    p1 = relational.keyset_paginate(people, ["id"], 2).collect()
+    assert [r.id for r in p1] == [1, 2]
+    p2 = relational.keyset_paginate(people, ["id"], 2, after=(p1[-1].id,)).collect()
+    off2 = relational.paginate(people, [F.col("id")], 2, 2).collect()
+    assert [r.id for r in p2] == [r.id for r in off2]
+    # composite keys: resume mid-tie on the first key
+    p = relational.keyset_paginate(
+        people, ["dept", "id"], 10, after=("x", 1)
+    ).collect()
+    assert [r.id for r in p] and all(
+        (r.dept, r.id) > ("x", 1) for r in p
+    )
+    with pytest.raises(ValueError):
+        relational.keyset_paginate(people, [], 2)
+    with pytest.raises(ValueError):
+        relational.keyset_paginate(people, ["id"], 2, after=(1, 2))

@@ -287,3 +287,14 @@ def test_contamination_score_eval_side_broadcasts(plans):
     shingle aggregation, never on raw text."""
     p = plans("qd39_contamination_score")
     assert "BroadcastHashJoin" in p, p
+
+
+def test_keyset_pagination_is_take_ordered_with_pushed_filter(plans):
+    """q64: the seek predicate reaches the scan (PushedFilters non-empty)
+    and the page plans as TakeOrderedAndProject — page N costs page 1,
+    unlike OFFSET's global row_number rank."""
+    p = plans("q64_keyset_pagination")
+    assert "TakeOrderedAndProject" in p, p
+    assert "PushedFilters: [" in p and "PushedFilters: []" not in p.split(
+        "PushedFilters"
+    )[1][:3], p
