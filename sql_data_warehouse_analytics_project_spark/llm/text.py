@@ -133,27 +133,43 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     mean token length) + a composite 0-1 score. The score is a transparent
     heuristic: long-enough docs with natural word lengths and some
     stopwords rank high; symbol soup ranks low."""
-    toks = tokens(text_col)
-    n_chars = F.length(F.col(text_col))
+    # Tokens, then every raw signal, each materialized ONCE in its own
+    # projection layer — the score formula references each signal
+    # multiple times, and inline expressions are re-evaluated per
+    # reference (the tokenizer regex being the expensive one).
+    d = df.select("*", tokens(text_col).alias("__qf_toks"))
+    toks = F.col("__qf_toks")
     n_toks = F.size(toks)
     mean_tok_len = F.when(n_toks == 0, F.lit(0.0)).otherwise(
         F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t)).cast("double") / n_toks
     )
-    length_ok = (n_chars >= 50) & (n_chars <= 100_000)
-    tok_len_ok = (mean_tok_len >= 2.0) & (mean_tok_len <= 12.0)
+    sw_hits = F.size(F.filter(toks, _member_of(EN_STOPWORDS)))
+    stopword = F.when(n_toks == 0, F.lit(0.0)).otherwise(
+        sw_hits.cast("double") / n_toks
+    )
+    pre = d.select(
+        "*",
+        F.length(F.col(text_col)).alias("q_n_chars"),
+        n_toks.alias("q_n_tokens"),
+        mean_tok_len.alias("__mtl"),
+        punct_ratio(text_col).alias("__pr"),
+        stopword.alias("__sw"),
+    )
+    length_ok = (F.col("q_n_chars") >= 50) & (F.col("q_n_chars") <= 100_000)
+    tok_len_ok = (F.col("__mtl") >= 2.0) & (F.col("__mtl") <= 12.0)
     score = (
         length_ok.cast("double") * 0.4
         + tok_len_ok.cast("double") * 0.2
-        + (1.0 - F.least(punct_ratio(text_col) * F.lit(4.0), F.lit(1.0))) * 0.2
-        + F.least(stopword_ratio(text_col) * F.lit(4.0), F.lit(1.0)) * 0.2
+        + (1.0 - F.least(F.col("__pr") * F.lit(4.0), F.lit(1.0))) * 0.2
+        + F.least(F.col("__sw") * F.lit(4.0), F.lit(1.0)) * 0.2
     )
-    return df.select(
-        "*",
-        n_chars.alias("q_n_chars"),
-        n_toks.alias("q_n_tokens"),
-        F.round(mean_tok_len, 4).alias("q_mean_token_len"),
-        F.round(punct_ratio(text_col), 4).alias("q_punct_ratio"),
-        F.round(stopword_ratio(text_col), 4).alias("q_stopword_ratio"),
+    return pre.select(
+        *[c for c in df.columns],
+        "q_n_chars",
+        "q_n_tokens",
+        F.round(F.col("__mtl"), 4).alias("q_mean_token_len"),
+        F.round(F.col("__pr"), 4).alias("q_punct_ratio"),
+        F.round(F.col("__sw"), 4).alias("q_stopword_ratio"),
         F.round(score, 4).alias("q_score"),
     )
 
@@ -374,7 +390,10 @@ def repetition_features(
     dis_chars = F.aggregate(
         F.array_distinct(lines), F.lit(0), lambda a, x: a + F.length(x)
     )
-    grams = word_ngrams(tokens(text_col), ngram)
+    # tokens materialized in their own projection — the n-gram build
+    # references them repeatedly (see corpus_filter note)
+    df = df.select("*", tokens(text_col).alias("__rf_toks"))
+    grams = word_ngrams(F.col("__rf_toks"), ngram)
     pre = df.select(
         F.col(id_col),
         n_lines.cast("long").alias("n_lines"),
@@ -525,7 +544,14 @@ def corpus_filter(
     Thresholds compare the same doubles the qd04/qd31 oracles hash-check,
     so engine-portable replays agree even at threshold boundaries.
     """
-    toks = F.col(tokens_col) if tokens_col else tokens(text_col)
+    if tokens_col is None:
+        # Materialize the token arrays in their OWN projection first: the
+        # signal expressions below reference the tokens many times (mean
+        # length, per-language filters, n-gram build), and an inline
+        # tokenizer expression is re-evaluated per reference.
+        df = df.select("*", tokens(text_col).alias("__cf_toks"))
+        tokens_col = "__cf_toks"
+    toks = F.col(tokens_col)
     n_chars = F.length(F.col(text_col))
     n_toks = F.size(toks)
     mean_tok_len = F.when(n_toks == 0, F.lit(0.0)).otherwise(
