@@ -362,3 +362,66 @@ def fuzzy_join(
         .withColumn(distance_col, dist)
         .filter(F.col(distance_col) >= 0)
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    *,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    bucket: int,
+) -> DataFrame:
+    """Interval×interval overlap join (half-open: ``ls < re AND rs < le``)
+    — the two-sided companion of :func:`range_join`'s point-in-interval.
+    A raw inequality join plans as a per-key cross product; instead both
+    sides explode their intervals into fixed-width cells
+    (``floor(t / bucket)``), candidates come from an EQUI join on
+    (keys, cell), and the exact predicate refilters.
+
+    De-dup without a shuffle: a pair overlapping several cells is kept
+    only where ``cell == floor(greatest(ls, rs) / bucket)`` — the first
+    cell of the overlap — so each qualifying pair appears EXACTLY once
+    and no distinct pass is needed.
+
+    Start/end must be numeric (cast dates to a day index first). Pick
+    ``bucket`` near the typical interval length: cells-per-interval is
+    ``len/bucket + 1`` (blow-up factor of the explode), while candidates
+    per cell grow as bucket widens — the classic space/selectivity
+    trade. Column naming mirrors :func:`fuzzy_join`: join keys keep
+    their names, payloads get ``l_``/``r_`` prefixes.
+    """
+    ks = list(keys)
+    if bucket < 1:
+        raise ValueError("bucket must be >= 1")
+    lcols = [c for c in left.columns if c not in ks]
+    rcols = [c for c in right.columns if c not in ks]
+    for side, cols, prefix in (("left", lcols, "l_"), ("right", rcols, "r_")):
+        clash = sorted({prefix + c for c in cols} & set(ks))
+        if clash:
+            raise ValueError(
+                f"interval_overlap_join key(s) {clash} collide with the "
+                f"{prefix}* prefixed payload of the {side} input"
+            )
+
+    def cells(df: DataFrame, cols: Sequence[str], prefix: str, s: str, e: str):
+        d = df.select(*ks, *[F.col(c).alias(prefix + c) for c in cols])
+        lo = F.floor(F.col(prefix + s) / bucket).cast("long")
+        hi = F.floor(F.col(prefix + e) / bucket).cast("long")
+        return d.withColumn("_cell", F.explode(F.sequence(lo, hi)))
+
+    l = cells(left, lcols, "l_", left_start, left_end)
+    r = cells(right, rcols, "r_", right_start, right_end)
+    ls, le = F.col("l_" + left_start), F.col("l_" + left_end)
+    rs, re_ = F.col("r_" + right_start), F.col("r_" + right_end)
+    return (
+        l.join(r, [*ks, "_cell"])
+        .filter((ls < re_) & (rs < le))
+        .filter(
+            F.col("_cell") == F.floor(F.greatest(ls, rs) / bucket).cast("long")
+        )
+        .drop("_cell")
+    )

@@ -447,3 +447,39 @@ def rolling_zscore(
     return df.withColumn(f"{value_col}{suffix}", z).withColumn(
         "is_anomaly", F.coalesce(F.abs(z) > threshold, F.lit(False))
     )
+
+
+def cumulative_distinct(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order_by: Sequence[str],
+    value_col: str,
+    out_col: str = "n_distinct_cum",
+) -> DataFrame:
+    """Cumulative COUNT(DISTINCT value) per partition in ``order_by``
+    order — the windowed distinct aggregate Spark does not support
+    directly (``count_distinct`` is rejected in window frames, and the
+    ``size(collect_set(...))`` workaround materializes a per-row SET —
+    O(distinct) memory per row, a driver-killer on high-cardinality
+    keys at 100 TB).
+
+    Scale-correct formulation: flag each (partition, value)'s FIRST
+    occurrence with one window (``row_number()==1`` over the composite
+    key), then running-sum the flags with a second window over the
+    partition alone. Two key-partitioned windows, bounded state, exact.
+
+    ``order_by`` must be a deterministic total order within each
+    partition (include a unique id): with ties, which duplicate counts
+    as "first" — and therefore the cumulative value ON the tied rows —
+    would otherwise be engine-dependent.
+    """
+    keys = list(partition_by)
+    order = [F.col(c) for c in order_by]
+    w_first = Window.partitionBy(*keys, value_col).orderBy(*order)
+    w_cum = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flag = (F.row_number().over(w_first) == 1).cast("long")
+    return df.withColumn(out_col, F.sum(flag).over(w_cum))

@@ -1354,3 +1354,122 @@ def q64_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
         25,
         after=(datetime.date(1995, 6, 15), 0),
     ).select("o_orderkey", "order_date", "totalprice")
+
+
+@register(
+    "q65_cumulative_distinct",
+    """
+    WITH flagged AS (
+      SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS od,
+             o_orderpriority,
+             CASE WHEN row_number() OVER (
+                    PARTITION BY o_custkey, o_orderpriority
+                    ORDER BY o_orderdate, o_orderkey) = 1
+                  THEN 1 ELSE 0 END AS f
+      FROM orders
+    )
+    SELECT o_custkey, o_orderkey, od AS order_date,
+           CAST(SUM(f) OVER (PARTITION BY o_custkey ORDER BY od, o_orderkey
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS n_distinct_cum
+    FROM flagged
+    """,
+)
+def q65_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative windowed COUNT(DISTINCT) (`windows.cumulative_distinct`)
+    — distinct order priorities each customer has used up to each order.
+    Spark rejects count_distinct in window frames and the collect_set
+    workaround is O(distinct) memory per row; the first-occurrence-flag +
+    running-sum formulation is exact with bounded state. The oracle
+    replays the same two-window formulation (engine-portable)."""
+    from sql_data_warehouse_analytics_project_spark.operators.windows import (
+        cumulative_distinct,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("order_date"),
+        "o_orderpriority",
+    )
+    out = cumulative_distinct(
+        orders, ["o_custkey"], ["order_date", "o_orderkey"], "o_orderpriority"
+    )
+    return out.select(
+        "o_custkey", "o_orderkey", "order_date", "n_distinct_cum"
+    )
+
+
+@register(
+    "q66_interval_overlap_join",
+    """
+    WITH li AS (
+      SELECT l_orderkey, l_linenumber, l_suppkey,
+             date_diff('day', DATE '1990-01-01', CAST(l_shipdate AS DATE)) AS s,
+             date_diff('day', DATE '1990-01-01', CAST(l_shipdate AS DATE))
+               + CAST(l_quantity AS INTEGER) % 20 + 1 AS e
+      FROM lineitem WHERE l_suppkey <= 3
+    )
+    SELECT a.l_suppkey,
+           a.l_orderkey AS a_orderkey, a.l_linenumber AS a_linenumber,
+           b.l_orderkey AS b_orderkey, b.l_linenumber AS b_linenumber,
+           CAST(least(a.e, b.e) - greatest(a.s, b.s) AS BIGINT) AS overlap_days
+    FROM li a JOIN li b
+      ON a.l_suppkey = b.l_suppkey
+     AND (a.l_orderkey, a.l_linenumber) < (b.l_orderkey, b.l_linenumber)
+     AND a.s < b.e AND b.s < a.e
+    """,
+)
+def q66_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval×interval overlap join (`joins.interval_overlap_join`) —
+    shipment transit windows of the same supplier that overlap in time
+    (end synthesized as ship + quantity%20+1 days). The operator
+    bucketizes both interval sets into fixed cells and equi-joins on
+    (key, cell) with a canonical-cell dedup, so Catalyst never plans the
+    per-key cross product the oracle's inequality join expresses; every
+    pair's overlap length is value-checked."""
+    from sql_data_warehouse_analytics_project_spark.operators.joins import (
+        interval_overlap_join,
+    )
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_suppkey") <= 3)
+        .select(
+            "l_suppkey",
+            "l_orderkey",
+            "l_linenumber",
+            F.datediff(F.col("l_shipdate").cast("date"), F.lit("1990-01-01")).alias("s"),
+            (
+                F.datediff(F.col("l_shipdate").cast("date"), F.lit("1990-01-01"))
+                + F.col("l_quantity").cast("int") % 20
+                + 1
+            ).alias("e"),
+        )
+    )
+    out = interval_overlap_join(
+        li,
+        li,
+        ["l_suppkey"],
+        left_start="s",
+        left_end="e",
+        right_start="s",
+        right_end="e",
+        bucket=16,
+    ).filter(
+        (F.col("l_l_orderkey") < F.col("r_l_orderkey"))
+        | (
+            (F.col("l_l_orderkey") == F.col("r_l_orderkey"))
+            & (F.col("l_l_linenumber") < F.col("r_l_linenumber"))
+        )
+    )
+    return out.select(
+        "l_suppkey",
+        F.col("l_l_orderkey").alias("a_orderkey"),
+        F.col("l_l_linenumber").alias("a_linenumber"),
+        F.col("r_l_orderkey").alias("b_orderkey"),
+        F.col("r_l_linenumber").alias("b_linenumber"),
+        (F.least("l_e", "r_e") - F.greatest("l_s", "r_s"))
+        .cast("bigint")
+        .alias("overlap_days"),
+    )

@@ -830,3 +830,39 @@ def test_keyset_paginate_chains_like_offset(people):
         relational.keyset_paginate(people, [], 2)
     with pytest.raises(ValueError):
         relational.keyset_paginate(people, ["id"], 2, after=(1, 2))
+
+
+def test_cumulative_distinct_hand_checked(spark):
+    df = spark.createDataFrame(
+        [
+            Row(k="a", i=1, v="x"),
+            Row(k="a", i=2, v="y"),
+            Row(k="a", i=3, v="x"),
+            Row(k="a", i=4, v="z"),
+            Row(k="b", i=1, v="x"),
+        ]
+    )
+    out = {
+        (r.k, r.i): r.n_distinct_cum
+        for r in windows.cumulative_distinct(df, ["k"], ["i"], "v").collect()
+    }
+    assert out == {("a", 1): 1, ("a", 2): 2, ("a", 3): 2, ("a", 4): 3, ("b", 1): 1}
+
+
+def test_interval_overlap_join_semantics(spark):
+    iv = spark.createDataFrame(
+        [
+            Row(g=1, id=1, s=0, e=10),
+            Row(g=1, id=2, s=5, e=15),    # overlaps 1
+            Row(g=1, id=3, s=10, e=20),   # touches 1 (half-open: no), overlaps 2
+            Row(g=1, id=4, s=100, e=200), # disjoint, spans many cells vs itself
+            Row(g=2, id=5, s=0, e=10),    # other key: never pairs with g=1
+        ]
+    )
+    out = joins.interval_overlap_join(
+        iv, iv, ["g"], left_start="s", left_end="e",
+        right_start="s", right_end="e", bucket=3,
+    ).filter(F.col("l_id") < F.col("r_id"))
+    pairs = sorted((r.l_id, r.r_id) for r in out.collect())
+    # exactly once per overlapping pair, half-open endpoints excluded
+    assert pairs == [(1, 2), (2, 3)]

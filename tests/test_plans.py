@@ -298,3 +298,12 @@ def test_keyset_pagination_is_take_ordered_with_pushed_filter(plans):
     assert "PushedFilters: [" in p and "PushedFilters: []" not in p.split(
         "PushedFilters"
     )[1][:3], p
+
+
+def test_interval_overlap_join_is_equi_join(plans):
+    """q66: the overlap join must plan as an EQUI join on (key, cell) —
+    never the per-key cross product / nested loop the raw inequality
+    predicate would produce."""
+    p = plans("q66_interval_overlap_join")
+    for bad in ("BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert bad not in p, bad
