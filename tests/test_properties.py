@@ -114,3 +114,57 @@ def test_running_totals_matches_cumsum(spark, vals):
             model[(p, d)] = acc
     for r in out:
         assert r["running_total"] == model[(r["p"], r["d"])]
+
+
+INTERVALS = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 40), st.integers(1, 15)),
+    min_size=0,
+    max_size=10,
+)
+
+
+@SET
+@given(iv=INTERVALS, bucket=st.integers(1, 10))
+def test_interval_overlap_matches_bruteforce(spark, iv, bucket):
+    from sql_data_warehouse_analytics_project_spark.operators.joins import (
+        interval_overlap_join,
+    )
+
+    rows = [
+        Row(g=g, id=i, s=s, e=s + ln) for i, (g, s, ln) in enumerate(iv)
+    ] or [Row(g=0, id=0, s=0, e=1)]
+    df = spark.createDataFrame(rows, "g int, id int, s int, e int")
+    if not iv:
+        df = df.limit(0)
+    out = interval_overlap_join(
+        df, df, ["g"], left_start="s", left_end="e",
+        right_start="s", right_end="e", bucket=bucket,
+    ).filter(F.col("l_id") < F.col("r_id"))
+    got = sorted((r.l_id, r.r_id) for r in out.collect())
+    data = [(g, i, s, s + ln) for i, (g, s, ln) in enumerate(iv)]
+    model = sorted(
+        (a[1], b[1])
+        for a in data
+        for b in data
+        if a[1] < b[1] and a[0] == b[0] and a[2] < b[3] and b[2] < a[3]
+    )
+    assert got == model
+
+
+@SET
+@given(
+    vals=st.lists(st.integers(0, 4), min_size=0, max_size=15),
+)
+def test_cumulative_distinct_matches_running_set(spark, vals):
+    rows = [Row(k=0, i=i, v=v) for i, v in enumerate(vals)] or [Row(k=0, i=0, v=0)]
+    df = spark.createDataFrame(rows, "k int, i int, v int")
+    if not vals:
+        df = df.limit(0)
+    out = {
+        r.i: r.n_distinct_cum
+        for r in windows.cumulative_distinct(df, ["k"], ["i"], "v").collect()
+    }
+    seen: set = set()
+    for i, v in enumerate(vals):
+        seen.add(v)
+        assert out[i] == len(seen), (i, vals)
