@@ -472,6 +472,15 @@ def test_connected_components_transitive_chains(spark):
     )
     cc = {r.node: r.comp for r in clustering.connected_components(pairs).collect()}
     assert cc == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+    # the distributed label-propagation path (driver_max_edges=0 forces
+    # it) must produce identical labels to the union-find fast path
+    cc_dist = {
+        r.node: r.comp
+        for r in clustering.connected_components(
+            pairs, driver_max_edges=0
+        ).collect()
+    }
+    assert cc_dist == cc
 
     clusters = {
         r.node: (r.cluster_id, r.cluster_size, r.is_canonical)
@@ -604,7 +613,14 @@ def test_connected_components_long_chain_converges(spark):
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(1, 7)], "id_a long, id_b long"
     )
-    comp = {r.node: r.comp for r in clustering.connected_components(pairs).collect()}
+    # force the distributed path: a path graph is the worst case for
+    # label propagation (needs several rounds beyond the folded-in one)
+    comp = {
+        r.node: r.comp
+        for r in clustering.connected_components(
+            pairs, driver_max_edges=0
+        ).collect()
+    }
     assert comp == {i: 1 for i in range(1, 8)}
 
 
