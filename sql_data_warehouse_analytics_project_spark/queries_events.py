@@ -327,3 +327,74 @@ def q57_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "user_id", "event_id", F.col("vd_zscore").alias("zscore"), "is_anomaly"
     )
+
+
+@register(
+    "q67_user_feature_pipeline",
+    """
+    WITH s AS (
+      SELECT user_id, ts, event_type, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                  THEN 1 ELSE 0 END AS is_start
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sess AS (
+      SELECT user_id, ts, event_type, value,
+             SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM s
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MAX(session_id) AS BIGINT) AS n_sessions,
+           CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_active_days,
+           CAST(SUM(CASE WHEN event_type = 'purchase'
+                         THEN CAST(value AS DECIMAL(18,2))
+                         ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+               AS total_purchase_value,
+           CAST(MIN(CAST(ts AS DATE)) AS DATE) AS first_day,
+           CAST(MAX(CAST(ts AS DATE)) AS DATE) AS last_day,
+           COALESCE(MIN(CASE WHEN event_type = 'view' THEN ts END)
+                    < MAX(CASE WHEN event_type = 'purchase' THEN ts END),
+                    FALSE) AS converted
+    FROM sess
+    GROUP BY user_id
+    """,
+)
+def q67_user_feature_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed per-user feature-engineering pipeline — the
+    training-data shape a feature store materializes: sessionization
+    (`windows.sessionize`, 30-min gap) feeding one grouped aggregate of
+    activity, spend (exact DECIMAL sum — order-independent, so the
+    distributed sum hash-matches the oracle), calendar span, and an
+    ordered view→purchase conversion flag. Two key-partitioned window
+    frames + one aggregate: two shuffles total on user_id, all
+    map-side-combinable."""
+    from sql_data_warehouse_analytics_project_spark.operators.windows import (
+        sessionize,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    sess = sessionize(ev, ["user_id"], "ts", gap_seconds=1800)
+    money0 = F.lit(0).cast("decimal(18,2)")
+    return sess.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max("session_id").cast("bigint").alias("n_sessions"),
+        F.count_distinct(F.to_date("ts")).alias("n_active_days"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.col("value").cast("decimal(18,2)"),
+            ).otherwise(money0)
+        )
+        .cast("double")
+        .alias("total_purchase_value"),
+        F.min(F.to_date("ts")).alias("first_day"),
+        F.max(F.to_date("ts")).alias("last_day"),
+        F.coalesce(
+            F.min(F.when(F.col("event_type") == "view", F.col("ts")))
+            < F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))),
+            F.lit(False),
+        ).alias("converted"),
+    )
