@@ -409,6 +409,11 @@ def interval_overlap_join(
 
     def cells(df: DataFrame, cols: Sequence[str], prefix: str, s: str, e: str):
         d = df.select(*ks, *[F.col(c).alias(prefix + c) for c in cols])
+        # empty/inverted intervals (s >= e) are empty sets under half-open
+        # semantics: they match nothing. Without this filter, sequence()
+        # would happily count DOWN from lo to hi for an inverted interval
+        # and emit garbage candidate cells.
+        d = d.filter(F.col(prefix + s) < F.col(prefix + e))
         lo = F.floor(F.col(prefix + s) / bucket).cast("long")
         hi = F.floor(F.col(prefix + e) / bucket).cast("long")
         return d.withColumn("_cell", F.explode(F.sequence(lo, hi)))

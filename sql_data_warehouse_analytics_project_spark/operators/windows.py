@@ -471,7 +471,8 @@ def cumulative_distinct(
     ``order_by`` must be a deterministic total order within each
     partition (include a unique id): with ties, which duplicate counts
     as "first" — and therefore the cumulative value ON the tied rows —
-    would otherwise be engine-dependent.
+    would otherwise be engine-dependent. NULL values are ignored, like
+    SQL's ``COUNT(DISTINCT ...)``.
     """
     keys = list(partition_by)
     order = [F.col(c) for c in order_by]
@@ -481,5 +482,7 @@ def cumulative_distinct(
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    flag = (F.row_number().over(w_first) == 1).cast("long")
+    flag = (
+        (F.row_number().over(w_first) == 1) & F.col(value_col).isNotNull()
+    ).cast("long")
     return df.withColumn(out_col, F.sum(flag).over(w_cum))

@@ -866,3 +866,31 @@ def test_interval_overlap_join_semantics(spark):
     pairs = sorted((r.l_id, r.r_id) for r in out.collect())
     # exactly once per overlapping pair, half-open endpoints excluded
     assert pairs == [(1, 2), (2, 3)]
+
+
+def test_cumulative_distinct_ignores_nulls(spark):
+    df = spark.createDataFrame(
+        [Row(k="a", i=1, v=None), Row(k="a", i=2, v="x"), Row(k="a", i=3, v=None)],
+        "k string, i int, v string",
+    )
+    out = {
+        r.i: r.n_distinct_cum
+        for r in windows.cumulative_distinct(df, ["k"], ["i"], "v").collect()
+    }
+    # SQL COUNT(DISTINCT) semantics: NULL never counts
+    assert out == {1: 0, 2: 1, 3: 1}
+
+
+def test_interval_overlap_join_skips_empty_intervals(spark):
+    iv = spark.createDataFrame(
+        [
+            Row(g=1, id=1, s=0, e=100),
+            Row(g=1, id=2, s=50, e=10),  # inverted: empty set, matches nothing
+            Row(g=1, id=3, s=20, e=20),  # zero-length: empty under half-open
+        ]
+    )
+    out = joins.interval_overlap_join(
+        iv, iv, ["g"], left_start="s", left_end="e",
+        right_start="s", right_end="e", bucket=7,
+    ).filter(F.col("l_id") < F.col("r_id"))
+    assert out.count() == 0
