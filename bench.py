@@ -146,9 +146,13 @@ def main() -> None:
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             timings[name] = round(time.time() - t0, 3)
+            # best over EVERY name seen in ANY pass — not just the current
+            # one, or a kill mid-pass-2 would leave a file whose headline
+            # total covers only the few queries re-run so far
+            seen = {n for p in passes + [timings] for n in p}
             best = {
                 n: min(p[n] for p in passes + [timings] if n in p)
-                for n in timings
+                for n in seen
             }
             out["queries"] = {k: round(v, 2) for k, v in best.items()}
             out["value"] = round(sum(best.values()), 3)

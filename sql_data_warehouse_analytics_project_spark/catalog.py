@@ -182,13 +182,24 @@ class Catalog:
     def vacuum_staging(self, layer: str) -> list[str]:
         """Drop abandoned ``__staging`` tables whose target exists — the
         leftover of a crash AFTER the overwrite swap (or an aborted
-        rewrite). Safe: :meth:`overwrite` always rewrites staging from
-        scratch. A staging table whose target is MISSING is the crash-
+        rewrite). A staging table whose target is MISSING is the crash-
         between-swap-steps state and is deliberately left for
-        :meth:`recover_staging` to promote. Returns the dropped names."""
+        :meth:`recover_staging` to promote. Returns the dropped names.
+
+        MAINTENANCE-WINDOW operation: run it only while no
+        :meth:`overwrite` is in flight on the layer. An overwrite that
+        has finished writing staging but not yet swapped looks exactly
+        like an abandoned staging table — vacuuming it mid-swap would
+        fail the rename and lose both copies. (The reference's
+        terminate-connections DDL has the same quiesce-first contract.)
+        Temporary views are skipped — only this layer's persisted tables
+        are candidates."""
         dropped: list[str] = []
         db = self.db(layer)
         for t in self.spark.catalog.listTables(db):
+            # listTables also returns session temp views (database=None)
+            if t.database != db or t.isTemporary:
+                continue
             if t.name.endswith("__staging"):
                 target = t.name[: -len("__staging")]
                 if self.spark.catalog.tableExists(f"{db}.{target}"):

@@ -744,6 +744,13 @@ def embedding_dup_pairs(
     base = embeddings.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
     )
+    # Materialize before probing: the probe aggregate and the broadcast
+    # collect would otherwise each execute the full upstream embedding
+    # plan — doubling the cost of any derived pipeline feeding this. The
+    # checkpoint lives on executors (distributed), so it is not itself
+    # bounded by the driver-memory cap being enforced here; mapInPandas
+    # below also reads from it instead of re-deriving.
+    base = base.localCheckpoint(eager=True)
     probe = base.agg(
         F.count(F.lit(1)).alias("n"), F.max(F.size("v")).alias("dim")
     ).collect()[0]

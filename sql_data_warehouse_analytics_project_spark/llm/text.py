@@ -277,13 +277,11 @@ def shingles_of(toks: Column, n: int = 3) -> Column:
     """Word n-gram shingles from an ALREADY-TOKENIZED array column —
     lets a pipeline that materialized one token pass (see
     ``curate.curate_corpus``) derive shingles without re-running the
-    tokenizer regex, the CPU hot spot of every dedup stage."""
-    k = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(k - n, F.lit(0)))
-    grams = F.transform(
-        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
-    )
-    return F.array_distinct(F.when(k >= n, grams).otherwise(F.array()))
+    tokenizer regex, the CPU hot spot of every dedup stage. Exactly the
+    distinct set of :func:`word_ngrams` — one gram constructor, so the
+    dedup shingle universe and the repetition-count universe can never
+    diverge."""
+    return F.array_distinct(word_ngrams(toks, n))
 
 
 def shingles(text: str | Column, n: int = 3) -> Column:

@@ -83,19 +83,30 @@ class RunContext:
 
     def flush(self, table: str | None = None) -> None:
         """Write buffered rows for ``table`` (or all tables) as ONE
-        columnar append each."""
+        columnar append each.
+
+        Rows leave the buffer only AFTER their append commits: a failed
+        append keeps them buffered for the next flush instead of
+        dropping them, and a concurrent ``table()`` reader serializes on
+        the per-table write lock, so it can never observe rows in
+        neither the buffer nor the table mid-write."""
         names = [table] if table is not None else list(schemas.LOGS_TABLES)
         for name in names:
-            with self._buf_lock:
-                rows = self._buffers.pop(name, [])
-            if not rows:
-                continue
-            # driver-side row batch: force one output file per flush —
-            # createDataFrame would otherwise slice a handful of rows
-            # across defaultParallelism partitions
-            df = self.spark.createDataFrame(rows, schemas.LOGS_TABLES[name]).coalesce(1)
             with self._write_locks[name]:
+                with self._buf_lock:
+                    rows = list(self._buffers.get(name, ()))
+                if not rows:
+                    continue
+                # driver-side row batch: force one output file per flush —
+                # createDataFrame would otherwise slice a handful of rows
+                # across defaultParallelism partitions
+                df = self.spark.createDataFrame(
+                    rows, schemas.LOGS_TABLES[name]
+                ).coalesce(1)
                 self.catalog.append(df, "logs", name)
+                with self._buf_lock:
+                    buf = self._buffers.get(name, [])
+                    del buf[: len(rows)]
 
     def close(self) -> None:
         """Flush everything still buffered (call when done logging
@@ -116,7 +127,13 @@ class RunContext:
         source_system: str | None = None,
         target_layer: str | None = None,
         metadata: dict[str, str] | None = None,
+        durable: bool = False,
     ) -> int:
+        """Open a process-log row; returns its ``log_id``. Pass
+        ``durable=True`` when the id will be handed to ANOTHER context or
+        driver (the start row is flushed immediately so the other side's
+        ``end_process`` read-back can see it; buffered rows are invisible
+        across processes)."""
         log_id = _new_id()
         row = {
             "log_id": log_id,
@@ -138,6 +155,11 @@ class RunContext:
         with self._buf_lock:
             self._open_starts[log_id] = row
         self._append("process_log", row)
+        if durable:
+            # handoff contract: make the start row visible to OTHER
+            # contexts/drivers before the id leaves this one — buffered
+            # rows are invisible across processes until a flush
+            self.flush("process_log")
         return log_id
 
     def end_process(
@@ -174,10 +196,17 @@ class RunContext:
                 .limit(1)
                 .collect()
             )
+            if not start:
+                raise ValueError(
+                    f"end_process({log_id}): no start row found — this "
+                    "context did not open the process and the table has "
+                    "no durable row. A log_id handed across contexts "
+                    "must come from start_process(durable=True) (or the "
+                    "starter must flush() first); ending it here anyway "
+                    "would record a nameless process with no start time"
+                )
             name, start_time, src, layer = (
-                (start[0][0], start[0][1], start[0][2], start[0][3])
-                if start
-                else (None, None, None, None)
+                start[0][0], start[0][1], start[0][2], start[0][3],
             )
         self._append(
             "process_log",

@@ -182,6 +182,35 @@ def dedup_stream(
     )
 
 
+def _checkpoint_identity(spark, checkpoint_id: str) -> str:
+    """Resolve a checkpoint DIRECTORY to the stream's stable query id
+    (the ``id`` field of ``<checkpoint>/metadata``). Spark regenerates
+    that uuid whenever the checkpoint is wiped — which also restarts
+    batch ids at 0 — so it is the identity that actually tracks batch-id
+    continuity. The directory PATH is not: wiping and recreating the
+    checkpoint at the same path would pass a path-equality guard while
+    silently skipping every replayed batch. Non-directory identifiers
+    (no metadata file) pass through unchanged."""
+    try:
+        jvm = spark._jvm
+        path = jvm.org.apache.hadoop.fs.Path(checkpoint_id, "metadata")
+        fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.exists(path):
+            return checkpoint_id
+        stream = fs.open(path)
+        try:
+            content = jvm.org.apache.commons.io.IOUtils.toString(
+                stream, "UTF-8"
+            )
+        finally:
+            stream.close()
+        import json
+
+        return str(json.loads(content).get("id", checkpoint_id))
+    except Exception:  # noqa: BLE001 — identity probe must never kill a batch
+        return checkpoint_id
+
+
 def rollup_batch_sink(
     catalog: Catalog,
     table: str,
@@ -211,13 +240,25 @@ def rollup_batch_sink(
     a DIFFERENT checkpoint is neither skipped (silent data loss until the
     new counter passes the old high-water mark) nor merged (the replayed
     source would double-count) — the sink raises and tells the operator
-    to drop the state table together with the old checkpoint."""
+    to drop the state table together with the old checkpoint.
+
+    When ``checkpoint_id`` is the checkpoint DIRECTORY, the stored
+    identity is the stream's stable query uuid read from
+    ``<checkpoint>/metadata`` — Spark regenerates it when the directory
+    is wiped, so "same path, fresh checkpoint" (the standard reset) is
+    detected too, not just a different path."""
     from sql_data_warehouse_analytics_project_spark.plans import incremental
 
     keys = list(keys)
+    resolved: dict[str, str] = {}
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        if checkpoint_id is not None and "id" not in resolved:
+            # resolve lazily: the metadata file exists only once the
+            # stream has started, which is guaranteed by the first batch
+            resolved["id"] = _checkpoint_identity(spark, checkpoint_id)
+        cp_identity = resolved.get("id", checkpoint_id)
         qstate = catalog.qualified(layer, table)
         delta = incremental.partial_aggs(batch_df, keys, measures)
         if spark.catalog.tableExists(qstate):
@@ -229,15 +270,18 @@ def rollup_batch_sink(
             marker = state.agg(*marker_cols).collect()[0]
             applied = marker["_b"]
             applied_cp = marker["_cp"] if has_cp else None
+            # accept the resolved uuid OR the raw identifier (states
+            # written before uuid resolution carry the path and stay
+            # valid as long as the checkpoint was never wiped)
             if (
-                checkpoint_id is not None
+                cp_identity is not None
                 and applied_cp is not None
-                and applied_cp != checkpoint_id
+                and applied_cp not in (cp_identity, checkpoint_id)
             ):
                 raise RuntimeError(
                     f"rollup state {qstate} was written by checkpoint "
                     f"{applied_cp!r} but this stream runs from "
-                    f"{checkpoint_id!r}: a fresh checkpoint replays the "
+                    f"{cp_identity!r}: a fresh checkpoint replays the "
                     "source from the start, so merging would double-count "
                     "— drop the state table together with the old "
                     "checkpoint directory"
@@ -250,13 +294,13 @@ def rollup_batch_sink(
                 delta,
             )
             out = merged.withColumn("_last_batch_id", F.lit(batch_id))
-            if checkpoint_id is not None:
-                out = out.withColumn("_checkpoint_id", F.lit(checkpoint_id))
+            if cp_identity is not None:
+                out = out.withColumn("_checkpoint_id", F.lit(cp_identity))
             catalog.overwrite(out, layer, table)
         else:
             out = delta.withColumn("_last_batch_id", F.lit(batch_id))
-            if checkpoint_id is not None:
-                out = out.withColumn("_checkpoint_id", F.lit(checkpoint_id))
+            if cp_identity is not None:
+                out = out.withColumn("_checkpoint_id", F.lit(cp_identity))
             catalog.append(out, layer, table)
         catalog.spark.catalog.refreshTable(qstate)
 

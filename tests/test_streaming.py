@@ -358,3 +358,45 @@ def test_rollup_sink_with_hll_distinct_state(spark, tmp_path):
         assert got == {1: 3, 2: 1}  # 10,11,12 and 10 — replays merged, not summed
     finally:
         cat.drop_layers()
+
+
+def test_rollup_sink_detects_wiped_checkpoint_same_path(spark, tmp_path):
+    """The standard checkpoint reset (rm -rf + restart at the SAME path)
+    regenerates the stream's query uuid in <checkpoint>/metadata and
+    restarts batch ids at 0 — the sink must detect the new identity and
+    raise instead of silently skipping replayed batches behind the old
+    high-water mark."""
+    import json
+
+    import pytest
+
+    from sql_data_warehouse_analytics_project_spark.catalog import Catalog
+    from sql_data_warehouse_analytics_project_spark.streaming.ingest import (
+        rollup_batch_sink,
+    )
+
+    cp = tmp_path / "ckpt"
+    cp.mkdir()
+    (cp / "metadata").write_text(json.dumps({"id": "uuid-one"}))
+    cat = Catalog(spark, prefix="rollupwipe_")
+    cat.create_layers()
+    try:
+        measures = {"total": ("sum", "v")}
+        b0 = spark.createDataFrame([(1, 10.0)], "k int, v double")
+        sink1 = rollup_batch_sink(
+            cat, "m", ["k"], measures, checkpoint_id=str(cp)
+        )
+        sink1(b0, 0)
+        sink1(b0, 1)
+        state = spark.table(cat.qualified("gold", "m"))
+        # state carries the resolved uuid, not the path
+        assert state.select(F.max("_checkpoint_id")).collect()[0][0] == "uuid-one"
+        # wipe + recreate at the same path → fresh uuid, batch ids restart
+        (cp / "metadata").write_text(json.dumps({"id": "uuid-two"}))
+        sink2 = rollup_batch_sink(
+            cat, "m", ["k"], measures, checkpoint_id=str(cp)
+        )
+        with pytest.raises(RuntimeError, match="checkpoint"):
+            sink2(b0, 0)
+    finally:
+        cat.drop_layers()
