@@ -400,3 +400,49 @@ def test_rollup_sink_detects_wiped_checkpoint_same_path(spark, tmp_path):
             sink2(b0, 0)
     finally:
         cat.drop_layers()
+
+
+def test_streaming_rollup_end_to_end_resolves_real_checkpoint_uuid(spark):
+    """Drive streaming_rollup through a REAL stream (availableNow) and
+    assert the state's _checkpoint_id is the query uuid Spark actually
+    wrote to <checkpoint>/metadata — validating _checkpoint_identity
+    against the real metadata format, not a fabricated one."""
+    import json
+
+    from sql_data_warehouse_analytics_project_spark.catalog import Catalog
+    from sql_data_warehouse_analytics_project_spark.streaming.ingest import (
+        read_rollup,
+        streaming_rollup,
+    )
+
+    src = tempfile.mkdtemp(prefix="rollsrc_")
+    ckpt = tempfile.mkdtemp(prefix="rollckpt_")
+    cat = Catalog(spark, prefix="rollupe2e_")
+    cat.create_layers()
+    try:
+        with open(os.path.join(src, "a.csv"), "w") as f:
+            f.write("k,v\n1,10.0\n1,5.0\n2,7.0\n")
+        schema = T.StructType(
+            [T.StructField("k", T.IntegerType()), T.StructField("v", T.DoubleType())]
+        )
+        stream = spark.readStream.schema(schema).option("header", True).csv(src)
+        measures = {"total": ("sum", "v")}
+        sq = streaming_rollup(
+            stream, cat, "e2e", ["k"], measures,
+            checkpoint_dir=ckpt, available_now=True,
+        )
+        sq.awaitTermination(120)
+        got = {r.k: r.total for r in read_rollup(cat, "e2e", ["k"], measures).collect()}
+        assert got == {1: 15.0, 2: 7.0}
+        with open(os.path.join(ckpt, "metadata")) as f:
+            real_uuid = json.loads(f.read())["id"]
+        stored = (
+            spark.table(cat.qualified("gold", "e2e"))
+            .select(F.max("_checkpoint_id"))
+            .collect()[0][0]
+        )
+        assert stored == real_uuid and stored != ckpt
+    finally:
+        cat.drop_layers()
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
