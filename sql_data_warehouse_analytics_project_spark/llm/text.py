@@ -533,10 +533,12 @@ def corpus_filter(
     so the filter's yield per reason is one groupBy away (the knob every
     data-curation run tunes first).
 
-    All per-document signals (length, token stats, punctuation, language,
-    duplicate-line fraction) come from ONE projection over the corpus;
-    the only shuffle is the word n-gram aggregate (doc-id keyed, no hot
-    keys at 100 TB), left-joined back. ``tokens_col`` accepts a
+    EVERY per-document signal — length, token stats, punctuation,
+    language, duplicate-line fraction, AND the n-gram repetition counts
+    (sorted-run scan, :func:`ngram_run_stats`) — is a per-row
+    expression: the whole filter is a chain of map-side projections with
+    no exchange anywhere, which at 100 TB means quality filtering costs
+    one read of the corpus and zero network. ``tokens_col`` accepts a
     pre-tokenized array column (see ``curate.curate_corpus``) so a
     pipeline that already paid the tokenizer pass never re-runs it.
     Thresholds compare the same doubles the qd04/qd31 oracles hash-check,
