@@ -262,3 +262,19 @@ def test_vacuum_staging_drops_only_abandoned(cat, spark):
     # and recover_staging can still promote the kept one
     assert cat.recover_staging("bronze", "vac_orphan")
     assert cat.table_exists("bronze", "vac_orphan")
+
+
+def test_vacuum_staging_skips_temp_views(cat, spark):
+    from pyspark.sql import types as T
+
+    sch = T.StructType([T.StructField("v", T.LongType())])
+    cat.create_table("bronze", "tvtarget", sch, medallion_metadata=False)
+    # a session temp view named like a staging table must NOT be dropped
+    # (and must not error the vacuum with DROP TABLE-on-view)
+    spark.createDataFrame([(9,)], sch).createOrReplaceTempView("tvtarget__staging")
+    try:
+        dropped = cat.vacuum_staging("bronze")
+        assert "tvtarget__staging" not in dropped
+        assert spark.catalog.tableExists("tvtarget__staging")  # view intact
+    finally:
+        spark.catalog.dropTempView("tvtarget__staging")
