@@ -17,6 +17,7 @@ from sql_data_warehouse_analytics_project_spark import queries as _q
 from sql_data_warehouse_analytics_project_spark import queries_events as _qev  # noqa: F401 — registers window/setop/json queries
 from sql_data_warehouse_analytics_project_spark import queries_ext as _qext  # noqa: F401 — registers cube/theta/array/range-frame queries
 from sql_data_warehouse_analytics_project_spark import queries_llm as _qllm  # noqa: F401 — registers LLM queries
+from sql_data_warehouse_analytics_project_spark import queries_medallion as _qmed  # noqa: F401 — registers CSV→silver→gold replay queries (appended last: registry stays append-only)
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -62,8 +62,15 @@ def connected_components(
     produce identical (node, min-reachable-id) labels.
     """
     e = edges.select(
-        F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
-    )
+        F.col(src).try_cast("long").alias("u"),
+        F.col(dst).try_cast("long").alias("v"),
+    ).filter("u is not null and v is not null")
+    # try_cast + null-filter make malformed/NULL endpoints behave the same
+    # under ANSI (where plain cast throws) and non-ANSI (where it yields
+    # NULL) sessions, and — critically — give the driver union-find fast
+    # path and the distributed min-propagation path the SAME edge set: the
+    # fast path would otherwise raise comparing None while the distributed
+    # path silently ignored such rows.
     # Symmetrize once; both directions materialized together because every
     # round re-reads the full edge list.
     e = (

@@ -105,8 +105,33 @@ def shingle_index(
     sh = shingles_of(F.col(tokens_col), n)
     return (
         d.select(F.col(id_col).alias("doc"), F.explode(sh).alias("s"))
-        .select("doc", F.xxhash64("s").alias("shingle"))
+        # Stamp the shingle width into column metadata so consumers that
+        # accept a pre-built index can detect an n-mismatch (a wrong-n
+        # index silently yields wrong similarities otherwise). Metadata
+        # survives select/checkpoint as long as the column isn't rebuilt.
+        .select("doc", F.xxhash64("s").alias("shingle", metadata={"shingle_n": n}))
     )
+
+
+def _require_index_n(index: DataFrame, n: int) -> None:
+    """Reject a pre-built shingle index whose recorded shingle width
+    disagrees with the caller's ``n``. Indexes built outside
+    :func:`shingle_index` carry no metadata and are accepted as-is
+    (caller contract)."""
+    try:
+        meta = index.schema["shingle"].metadata or {}
+    except KeyError:
+        raise ValueError(
+            "pre-built index must have a 'shingle' column (got: "
+            f"{index.columns})"
+        ) from None
+    built_n = meta.get("shingle_n")
+    if built_n is not None and int(built_n) != n:
+        raise ValueError(
+            f"pre-built shingle index was built with n={built_n} but the "
+            f"call requested n={n}; pass the matching n (the df/text_col/n "
+            "arguments are otherwise ignored when an index is supplied)"
+        )
 
 
 def ngram_jaccard_pairs(
@@ -163,11 +188,11 @@ def _pair_intersections(
     computed so every verify formula's numerator and denominator count
     one universe (a cap applied to the join only would systematically
     underestimate overlap for docs sharing a hot shingle)."""
-    sh = (
-        index
-        if index is not None
-        else shingle_index(df, id_col, text_col, n).localCheckpoint(eager=True)
-    )
+    if index is not None:
+        _require_index_n(index, n)
+        sh = index
+    else:
+        sh = shingle_index(df, id_col, text_col, n).localCheckpoint(eager=True)
     hot = (
         sh.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df_"))
@@ -239,7 +264,11 @@ def minhash_signatures(
     pipelines sharing the index don't re-tokenize; the shingle is already
     an int64 there, so the 64 seeded re-hashes run over 8-byte ints, not
     strings."""
-    sh = index if index is not None else shingle_index(df, id_col, text_col, n)
+    if index is not None:
+        _require_index_n(index, n)
+        sh = index
+    else:
+        sh = shingle_index(df, id_col, text_col, n)
     mins = sh.groupBy("doc").agg(
         *[
             F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
@@ -468,11 +497,11 @@ def minhash_dedup_pairs(
     ``index`` accepts a pre-built (ideally checkpointed) ``shingle_index``
     over the SAME docs and n — pipelines that already materialized one
     (``curate.curate_corpus``) then never re-tokenize here."""
-    sh = (
-        index
-        if index is not None
-        else shingle_index(df, id_col, text_col, n).localCheckpoint(eager=True)
-    )
+    if index is not None:
+        _require_index_n(index, n)
+        sh = index
+    else:
+        sh = shingle_index(df, id_col, text_col, n).localCheckpoint(eager=True)
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
     sigs = minhash_signatures(df, id_col, text_col, num_hashes, n, index=sh)
     cands = lsh_candidate_pairs(sigs, id_col, num_bands)
@@ -563,7 +592,11 @@ def contamination_score(
     until one final division — oracle hash-matches exactly (modulo the
     xxhash64 collision class every hashed-shingle path accepts).
     """
-    train = shingle_index(df, id_col, text_col, n)
+    # Materialize the training index ONCE: sizes and hits both consume it,
+    # and without the checkpoint the tokenize/shingle pass plus the doc-id
+    # repartition shuffle over the (large) training corpus would execute
+    # twice — mirroring ngram_jaccard_pairs' convention.
+    train = shingle_index(df, id_col, text_col, n).localCheckpoint(eager=True)
     sizes = train.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
     evals = shingle_index(eval_df, id_col, text_col, n).select("shingle").distinct()
     hits = (

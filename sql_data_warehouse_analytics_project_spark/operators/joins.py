@@ -397,6 +397,14 @@ def interval_overlap_join(
     ks = list(keys)
     if bucket < 1:
         raise ValueError("bucket must be >= 1")
+    if "_cell" in ks:
+        # payload columns are protected by the l_/r_ prefixes, but a KEY
+        # literally named _cell would silently corrupt the equi-join
+        # condition (it doubles as the internal cell column below)
+        raise ValueError(
+            "interval_overlap_join keys may not contain the reserved "
+            "internal column name '_cell'"
+        )
     lcols = [c for c in left.columns if c not in ks]
     rcols = [c for c in right.columns if c not in ks]
     for side, cols, prefix in (("left", lcols, "l_"), ("right", rcols, "r_")):

@@ -787,3 +787,41 @@ def test_containment_catches_subset_jaccard_misses(spark):
     con = dedup.containment_pairs(df, "doc_id", threshold=0.9).collect()
     assert jac == []                      # union dominated by the big doc
     assert len(con) == 1 and con[0].containment == 1.0
+
+
+def test_connected_components_null_ids_identical_on_both_paths(spark):
+    """Non-numeric ids survive ``cast('long')`` as NULLs; both the driver
+    union-find fast path and the distributed propagation path must drop
+    such edges identically (the fast path used to raise TypeError)."""
+    from sql_data_warehouse_analytics_project_spark.llm import clustering
+
+    pairs = spark.createDataFrame(
+        [("1", "2"), ("2", "3"), ("x", "5"), ("7", None)],
+        "id_a string, id_b string",
+    )
+    fast = {(r.node, r.comp) for r in clustering.connected_components(pairs).collect()}
+    dist = {
+        (r.node, r.comp)
+        for r in clustering.connected_components(pairs, driver_max_edges=0).collect()
+    }
+    # the x–5 and 7–NULL edges are dropped whole: 5 and 7 have no valid edge
+    assert fast == dist == {(1, 1), (2, 1), (3, 1)}
+
+
+def test_prebuilt_shingle_index_rejects_mismatched_n(spark):
+    """A pre-built index built with a different shingle n than the call's
+    would silently produce wrong similarities; it must raise instead."""
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="a b c d e f"), Row(doc_id=2, text="a b c d e g")]
+    )
+    idx = dedup.shingle_index(df, "doc_id", n=3).localCheckpoint(eager=True)
+    with pytest.raises(ValueError, match="n=3"):
+        dedup.ngram_jaccard_pairs(df, "doc_id", n=2, index=idx)
+    with pytest.raises(ValueError, match="n=3"):
+        dedup.containment_pairs(df, "doc_id", n=2, index=idx)
+    with pytest.raises(ValueError, match="n=3"):
+        dedup.minhash_dedup_pairs(df, "doc_id", n=2, index=idx)
+    # matching n (and a metadata-less foreign index) stay accepted
+    assert dedup.ngram_jaccard_pairs(df, "doc_id", n=3, index=idx).count() >= 0
+    foreign = idx.select("doc", F.col("shingle").cast("long").alias("shingle"))
+    assert dedup.ngram_jaccard_pairs(df, "doc_id", n=2, index=foreign).count() >= 0

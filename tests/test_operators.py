@@ -894,3 +894,14 @@ def test_interval_overlap_join_skips_empty_intervals(spark):
         right_start="s", right_end="e", bucket=7,
     ).filter(F.col("l_id") < F.col("r_id"))
     assert out.count() == 0
+
+
+def test_interval_overlap_join_rejects_reserved_cell_key(spark):
+    """A join key literally named ``_cell`` would silently collide with
+    the internal cell column and corrupt the equi-join condition."""
+    iv = spark.createDataFrame([(1, 1, 0, 10)], "_cell int, id int, s int, e int")
+    with pytest.raises(ValueError, match="_cell"):
+        joins.interval_overlap_join(
+            iv, iv, ["_cell"], left_start="s", left_end="e",
+            right_start="s", right_end="e", bucket=7,
+        )

@@ -84,7 +84,23 @@ def test_stream_bronze_ingest_end_to_end(spark, dropzone):
             checkpoint_dir=ckpt, run_context=ctx, available_now=True,
         )
         q2.awaitTermination(120)
-        assert spark.table(cat.qualified("bronze", "stream_raw")).count() == 4
+        after = spark.table(cat.qualified("bronze", "stream_raw"))
+        assert after.count() == 4
+        # exactly-once across the restart: no row (id) ingested twice, each
+        # of the three files contributed exactly its own rows, and no
+        # _ingestion_batch_id carries duplicate copies of a source row
+        assert after.groupBy("id").count().filter("count > 1").count() == 0
+        per_file = {
+            os.path.basename(r.f): r.n
+            for r in after.groupBy(
+                F.col("_source_file").alias("f")
+            ).agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+        assert per_file == {"a.csv": 2, "b.csv": 1, "c.csv": 1}
+        assert (
+            after.groupBy("_ingestion_batch_id", "id").count()
+            .filter("count > 1").count() == 0
+        )
     finally:
         cat.drop_layers()
         shutil.rmtree(ckpt, ignore_errors=True)
