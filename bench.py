@@ -84,7 +84,12 @@ def main() -> None:
 
     calib = _cpu_calibration()
     start = time.time()
-    n_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
+    # 3 passes: per-query best-of-N is the steady-state estimator, and the
+    # measured single-core VM drift (calibration swinging 0.35→0.89 WITHIN
+    # one run, round 4) poisons adjacent queries for a whole pass — a third
+    # pass costs ~1 steady total and halves the odds a slow window defines
+    # a query's "best". The half-budget guard still bounds the worst case.
+    n_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
     budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "900"))
 
     spark = get_spark("bench")

@@ -96,8 +96,136 @@ def build_fact_sales(
     )
 
 
+def build_customer_report(
+    fact_sales: DataFrame, dim_customers: DataFrame
+) -> DataFrame:
+    """Gold KPI view: one row per purchasing customer with order counts,
+    exact-decimal revenue, lifespan/recency (integer month arithmetic —
+    engine-portable, unlike months_between), behavioral segment
+    (VIP/Regular/New) and per-order / per-month averages — the
+    "Aggregations, KPIs & metrics, optimized for BI tools" gold layer the
+    reference promises (``README.md:69-73``) but never implements.
+
+    Determinism at the oracle: recency is measured against the corpus'
+    MAX order date (data-derived, not wall clock); money sums ride
+    DECIMAL(18,2) and convert to DOUBLE before any division so every
+    derived ratio is the same IEEE operation on both engines. The dim is
+    broadcast; the fact aggregates shuffle once on customer_key."""
+    f = fact_sales.filter(
+        F.col("order_date").isNotNull() & F.col("customer_key").isNotNull()
+    )
+    ref = fact_sales.agg(F.max("order_date").alias("_ref_date"))
+    dc = F.broadcast(
+        dim_customers.select(
+            "customer_key", "customer_number", "first_name", "last_name"
+        )
+    )
+    agg = (
+        f.join(dc, "customer_key")
+        .groupBy("customer_key", "customer_number", "first_name", "last_name")
+        .agg(
+            F.countDistinct("order_number").cast("long").alias("total_orders"),
+            F.sum(F.col("sales_amount").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_sales"),
+            F.sum("quantity").cast("long").alias("total_quantity"),
+            F.countDistinct("product_key").cast("long").alias("total_products"),
+            F.min("order_date").alias("first_order"),
+            F.max("order_date").alias("last_order"),
+        )
+    )
+    months = lambda a, b: (  # noqa: E731 — portable month delta
+        (F.year(b) - F.year(a)) * 12 + (F.month(b) - F.month(a))
+    ).cast("long")
+    lifespan = months(F.col("first_order"), F.col("last_order"))
+    out = agg.crossJoin(F.broadcast(ref)).select(
+        "customer_key",
+        "customer_number",
+        F.concat_ws(" ", "first_name", "last_name").alias("customer_name"),
+        "total_orders",
+        "total_sales",
+        "total_quantity",
+        "total_products",
+        "first_order",
+        "last_order",
+        lifespan.alias("lifespan_months"),
+        months(F.col("last_order"), F.col("_ref_date")).alias("recency_months"),
+        F.when((lifespan >= 12) & (F.col("total_sales") > 5000), "VIP")
+        .when(lifespan >= 12, "Regular")
+        .otherwise("New")
+        .alias("segment"),
+        (F.col("total_sales") / F.col("total_orders")).alias("avg_order_value"),
+        (F.col("total_sales") / F.greatest(lifespan, F.lit(1))).alias(
+            "avg_monthly_spend"
+        ),
+    )
+    return out
+
+
+def build_product_report(
+    fact_sales: DataFrame, dim_products: DataFrame
+) -> DataFrame:
+    """Gold KPI view: one row per sold product — order/customer reach,
+    exact-decimal revenue, sales lifespan/recency, revenue segment
+    (High/Mid/Low performer) and average selling price. Same determinism
+    contract as :func:`build_customer_report` (data-derived reference
+    date, DECIMAL→DOUBLE before division, broadcast dim)."""
+    f = fact_sales.filter(
+        F.col("order_date").isNotNull() & F.col("product_key").isNotNull()
+    )
+    ref = fact_sales.agg(F.max("order_date").alias("_ref_date"))
+    dp = F.broadcast(
+        dim_products.select(
+            "product_key", "product_name", "category", "subcategory", "cost"
+        )
+    )
+    agg = (
+        f.join(dp, "product_key")
+        .groupBy("product_key", "product_name", "category", "subcategory", "cost")
+        .agg(
+            F.countDistinct("order_number").cast("long").alias("total_orders"),
+            F.sum(F.col("sales_amount").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_sales"),
+            F.sum("quantity").cast("long").alias("total_quantity"),
+            F.countDistinct("customer_key").cast("long").alias("total_customers"),
+            F.min("order_date").alias("first_sale"),
+            F.max("order_date").alias("last_sale"),
+        )
+    )
+    months = lambda a, b: (  # noqa: E731
+        (F.year(b) - F.year(a)) * 12 + (F.month(b) - F.month(a))
+    ).cast("long")
+    lifespan = months(F.col("first_sale"), F.col("last_sale"))
+    return agg.crossJoin(F.broadcast(ref)).select(
+        "product_key",
+        "product_name",
+        "category",
+        "subcategory",
+        "cost",
+        "total_orders",
+        "total_sales",
+        "total_quantity",
+        "total_customers",
+        "first_sale",
+        "last_sale",
+        lifespan.alias("lifespan_months"),
+        months(F.col("last_sale"), F.col("_ref_date")).alias("recency_months"),
+        F.when(F.col("total_sales") > 50000, "High-Performer")
+        .when(F.col("total_sales") >= 10000, "Mid-Range")
+        .otherwise("Low-Performer")
+        .alias("segment"),
+        (F.col("total_sales") / F.col("total_quantity")).alias(
+            "avg_selling_price"
+        ),
+        (F.col("total_sales") / F.greatest(lifespan, F.lit(1))).alias(
+            "avg_monthly_revenue"
+        ),
+    )
+
+
 def run_gold(catalog, *, run_context=None) -> dict[str, int]:
-    """Silver → gold star schema as managed tables."""
+    """Silver → gold star schema + KPI report views as managed tables."""
     from sql_data_warehouse_analytics_project_spark.catalog import (
         with_medallion_metadata,
     )
@@ -110,6 +238,8 @@ def run_gold(catalog, *, run_context=None) -> dict[str, int]:
         read("crm_products"), read("erp_product_categories")
     )
     fact_sales = build_fact_sales(read("crm_sales"), dim_products, dim_customers)
+    report_customers = build_customer_report(fact_sales, dim_customers)
+    report_products = build_product_report(fact_sales, dim_products)
 
     # one lineage edge per real input table (multi-source fan-in like the
     # reference's log_table_lineage, data_lineage.py:233-266) so upstream
@@ -120,12 +250,16 @@ def run_gold(catalog, *, run_context=None) -> dict[str, int]:
         "dim_products": [("silver", "crm_products"), ("silver", "erp_product_categories")],
         "fact_sales": [("silver", "crm_sales"), ("gold", "dim_products"),
                        ("gold", "dim_customers")],
+        "report_customers": [("gold", "fact_sales"), ("gold", "dim_customers")],
+        "report_products": [("gold", "fact_sales"), ("gold", "dim_products")],
     }
     results: dict[str, int] = {}
     for name, df in [
         ("dim_customers", dim_customers),
         ("dim_products", dim_products),
         ("fact_sales", fact_sales),
+        ("report_customers", report_customers),
+        ("report_products", report_products),
     ]:
         managed = with_medallion_metadata(df, created_by="gold", source_system="silver")
         catalog.create_table("gold", name, managed.schema, medallion_metadata=False)

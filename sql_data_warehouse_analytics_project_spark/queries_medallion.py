@@ -470,3 +470,104 @@ def q75_dim_products_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     (SCD2 end NULL), category attach, surrogate keys over
     (start_date, product_number)."""
     return _gold_tables(spark)["dim_products"]
+
+
+_REF_CTE = """, ref AS (SELECT max(order_date) AS _ref_date FROM fact)"""
+
+
+@register(
+    "q76_customer_report",
+    _SILVER_CTES
+    + _GOLD_CTES
+    + _REF_CTE
+    + """
+    , crep AS (
+      SELECT c.customer_key, c.customer_number,
+             concat_ws(' ', c.first_name, c.last_name) AS customer_name,
+             CAST(count(DISTINCT f.order_number) AS BIGINT) AS total_orders,
+             CAST(sum(CAST(f.sales_amount AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_sales,
+             CAST(sum(f.quantity) AS BIGINT) AS total_quantity,
+             CAST(count(DISTINCT f.product_key) AS BIGINT) AS total_products,
+             min(f.order_date) AS first_order,
+             max(f.order_date) AS last_order
+      FROM fact f JOIN dim_c c ON f.customer_key = c.customer_key
+      WHERE f.order_date IS NOT NULL
+      GROUP BY 1, 2, 3
+    ), crep2 AS (
+      SELECT *,
+             CAST((year(last_order) - year(first_order)) * 12
+                  + (month(last_order) - month(first_order)) AS BIGINT)
+               AS lifespan_months
+      FROM crep
+    )
+    SELECT customer_key, customer_number, customer_name, total_orders,
+           total_sales, total_quantity, total_products, first_order,
+           last_order, lifespan_months,
+           CAST((year(r._ref_date) - year(last_order)) * 12
+                + (month(r._ref_date) - month(last_order)) AS BIGINT)
+             AS recency_months,
+           CASE WHEN lifespan_months >= 12 AND total_sales > 5000 THEN 'VIP'
+                WHEN lifespan_months >= 12 THEN 'Regular'
+                ELSE 'New' END AS segment,
+           total_sales / total_orders AS avg_order_value,
+           total_sales / greatest(lifespan_months, 1) AS avg_monthly_spend
+    FROM crep2, ref r
+    """,
+)
+def q76_customer_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gold KPI report, end-to-end from the CSVs: per-customer orders /
+    exact-decimal revenue / reach / lifespan / recency / VIP-Regular-New
+    segmentation (``gold.build_customer_report``). Covers the reference's
+    promised gold "KPIs & metrics" surface (README.md:69-73)."""
+    g = _gold_tables(spark)
+    return gold.build_customer_report(g["fact_sales"], g["dim_customers"])
+
+
+@register(
+    "q77_product_report",
+    _SILVER_CTES
+    + _GOLD_CTES
+    + _REF_CTE
+    + """
+    , prep AS (
+      SELECT p.product_key, p.product_name, p.category, p.subcategory,
+             p.cost,
+             CAST(count(DISTINCT f.order_number) AS BIGINT) AS total_orders,
+             CAST(sum(CAST(f.sales_amount AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_sales,
+             CAST(sum(f.quantity) AS BIGINT) AS total_quantity,
+             CAST(count(DISTINCT f.customer_key) AS BIGINT)
+               AS total_customers,
+             min(f.order_date) AS first_sale,
+             max(f.order_date) AS last_sale
+      FROM fact f JOIN dim_p p ON f.product_key = p.product_key
+      WHERE f.order_date IS NOT NULL
+      GROUP BY 1, 2, 3, 4, 5
+    ), prep2 AS (
+      SELECT *,
+             CAST((year(last_sale) - year(first_sale)) * 12
+                  + (month(last_sale) - month(first_sale)) AS BIGINT)
+               AS lifespan_months
+      FROM prep
+    )
+    SELECT product_key, product_name, category, subcategory, cost,
+           total_orders, total_sales, total_quantity, total_customers,
+           first_sale, last_sale, lifespan_months,
+           CAST((year(r._ref_date) - year(last_sale)) * 12
+                + (month(r._ref_date) - month(last_sale)) AS BIGINT)
+             AS recency_months,
+           CASE WHEN total_sales > 50000 THEN 'High-Performer'
+                WHEN total_sales >= 10000 THEN 'Mid-Range'
+                ELSE 'Low-Performer' END AS segment,
+           total_sales / total_quantity AS avg_selling_price,
+           total_sales / greatest(lifespan_months, 1) AS avg_monthly_revenue
+    FROM prep2, ref r
+    """,
+)
+def q77_product_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gold KPI report, end-to-end from the CSVs: per-product revenue /
+    reach / sales lifespan / High-Mid-Low revenue segmentation
+    (``gold.build_product_report``)."""
+    g = _gold_tables(spark)
+    return gold.build_product_report(g["fact_sales"], g["dim_products"])

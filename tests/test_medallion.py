@@ -118,6 +118,25 @@ def test_gold_star_schema(cat, loaded):
     ).count()
     assert resolved > facts.count() * 0.99
 
+    # KPI report views shipped alongside the star schema
+    crep = cat.read("gold", "report_customers")
+    assert results["report_customers"] == crep.count() > 15000
+    segs = {r.segment for r in crep.select("segment").distinct().collect()}
+    assert segs <= {"VIP", "Regular", "New"}
+    # revenue conservation: report total equals the resolved facts' total
+    rep_total = crep.agg(
+        F.sum(F.col("total_sales").cast("decimal(18,2)"))
+    ).collect()[0][0]
+    fact_total = facts.filter(
+        F.col("customer_key").isNotNull() & F.col("order_date").isNotNull()
+    ).agg(F.sum(F.col("sales_amount").cast("decimal(18,2)"))).collect()[0][0]
+    assert rep_total == fact_total
+
+    prep = cat.read("gold", "report_products")
+    assert results["report_products"] == prep.count() > 100
+    psegs = {r.segment for r in prep.select("segment").distinct().collect()}
+    assert psegs <= {"High-Performer", "Mid-Range", "Low-Performer"}
+
 
 def test_warehouse_orchestrator_end_to_end(spark):
     """Full --setup → --bronze → --silver → --gold run with the audit/

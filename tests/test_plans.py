@@ -307,3 +307,31 @@ def test_interval_overlap_join_is_equi_join(plans):
     p = plans("q66_interval_overlap_join")
     for bad in ("BroadcastNestedLoopJoin", "CartesianProduct"):
         assert bad not in p, bad
+
+
+def test_gold_star_broadcasts_dims_no_fact_shuffle_join(plans):
+    """q69: the fact table joins both dims via BroadcastHashJoin — at
+    scale the fact side must never shuffle for a dimension join — and no
+    cartesian/BNLJ sneaks in via the surrogate-key joins."""
+    p = plans("q69_gold_star")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    # the sales CSV scan must not sit under a BroadcastExchange
+    for chunk in p.split("BroadcastExchange")[1:]:
+        assert "sales_details" not in chunk[:2000], "fact side was broadcast"
+
+
+def test_silver_replay_csv_scans_have_declared_schema(spark):
+    """The replay readers declare source schemas: plan construction must
+    not trigger an eager inference scan (no jobs before the action)."""
+    from sql_data_warehouse_analytics_project_spark import queries_medallion as qm
+
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup() or [])
+    dfs = qm._silver_tables(spark)          # construction only — lazy
+    after = len(tracker.getJobIdsForGroup() or [])
+    assert after == before
+    raw = qm._read_csv(spark, qm.CRM_DIR, "sales_details.csv")
+    assert dict(raw.dtypes)["sls_order_dt"] == "bigint"   # declared, not inferred
+    assert dict(dfs["crm_sales"].dtypes)["sls_order_dt"] == "date"
