@@ -110,7 +110,15 @@ def build_customer_report(
     MAX order date (data-derived, not wall clock); money sums ride
     DECIMAL(18,2) and convert to DOUBLE before any division so every
     derived ratio is the same IEEE operation on both engines. The dim is
-    broadcast; the fact aggregates shuffle once on customer_key."""
+    broadcast; the fact aggregates shuffle once on customer_key.
+
+    Scale note: the two exact COUNT(DISTINCT)s plan as one Expand
+    (3 projections per fact row) feeding a single partial-aggregated
+    shuffle — deliberately chosen over the three-shuffle
+    join-of-separate-aggregates rewrite: 3× map-side rows that combine
+    before the exchange beat three full fact shuffles. Swap the counts
+    for ``approx_count_distinct`` if a 100 TB report can tolerate ~2%
+    error and the Expand shows up in profiles."""
     f = fact_sales.filter(
         F.col("order_date").isNotNull() & F.col("customer_key").isNotNull()
     )

@@ -571,3 +571,108 @@ def q77_product_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``gold.build_product_report``)."""
     g = _gold_tables(spark)
     return gold.build_product_report(g["fact_sales"], g["dim_products"])
+
+
+@register(
+    "q78_sales_trend",
+    _SILVER_CTES
+    + _GOLD_CTES
+    + """
+    , monthly AS (
+      SELECT date_trunc('month', order_date) AS order_month,
+             CAST(count(DISTINCT order_number) AS BIGINT) AS n_orders,
+             sum(CAST(sales_amount AS DECIMAL(18,2))) AS _rev
+      FROM fact WHERE order_date IS NOT NULL
+      GROUP BY 1
+    )
+    SELECT order_month, n_orders,
+           CAST(_rev AS DOUBLE) AS revenue,
+           CAST(sum(_rev) OVER (ORDER BY order_month
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS running_revenue,
+           CAST(_rev - lag(_rev) OVER (ORDER BY order_month) AS DOUBLE)
+             AS mom_delta
+    FROM monthly
+    """,
+)
+def q78_sales_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gold time-series analytics end-to-end from the CSVs: monthly
+    revenue with running total and month-over-month delta — the change/
+    cumulative analysis a BI user runs against the gold layer. Money
+    stays DECIMAL through the window aggregates (order-independent exact
+    sums) and converts to DOUBLE only in the projection."""
+    from pyspark.sql.window import Window
+
+    g = _gold_tables(spark)
+    monthly = (
+        g["fact_sales"]
+        .filter(F.col("order_date").isNotNull())
+        .groupBy(F.trunc("order_date", "month").alias("order_month"))
+        .agg(
+            F.countDistinct("order_number").cast("long").alias("n_orders"),
+            F.sum(F.col("sales_amount").cast("decimal(18,2)")).alias("_rev"),
+        )
+    )
+    w = Window.orderBy("order_month")
+    return monthly.select(
+        "order_month",
+        "n_orders",
+        F.col("_rev").cast("double").alias("revenue"),
+        F.sum("_rev").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("double")
+        .alias("running_revenue"),
+        (F.col("_rev") - F.lag("_rev").over(w)).cast("double").alias("mom_delta"),
+    )
+
+
+@register(
+    "q79_category_share",
+    _SILVER_CTES
+    + _GOLD_CTES
+    + """
+    , by_cat AS (
+      SELECT COALESCE(dp.category, 'unknown') AS category,
+             CAST(count(*) AS BIGINT) AS n_sales,
+             sum(CAST(f.sales_amount AS DECIMAL(18,2))) AS _rev
+      FROM fact f LEFT JOIN dim_p dp ON f.product_key = dp.product_key
+      GROUP BY 1
+    )
+    SELECT category, n_sales,
+           CAST(_rev AS DOUBLE) AS revenue,
+           CAST(_rev AS DOUBLE) / CAST(sum(_rev) OVER () AS DOUBLE)
+             AS revenue_share
+    FROM by_cat
+    """,
+)
+def q79_category_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gold part-to-whole analytics end-to-end from the CSVs: revenue by
+    category with each category's share of total. The whole-corpus total
+    rides an empty-frame window over the already-aggregated category rows
+    (a handful), so the single-partition WindowExec is trivially cheap —
+    the fact table itself aggregates distributed first."""
+    from pyspark.sql.window import Window
+
+    g = _gold_tables(spark)
+    by_cat = (
+        g["fact_sales"]
+        .join(
+            F.broadcast(g["dim_products"].select("product_key", "category")),
+            "product_key",
+            "left",
+        )
+        .groupBy(F.coalesce("category", F.lit("unknown")).alias("category"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sales"),
+            F.sum(F.col("sales_amount").cast("decimal(18,2)")).alias("_rev"),
+        )
+    )
+    w_all = Window.partitionBy()
+    return by_cat.select(
+        "category",
+        "n_sales",
+        F.col("_rev").cast("double").alias("revenue"),
+        (
+            F.col("_rev").cast("double")
+            / F.sum("_rev").over(w_all).cast("double")
+        ).alias("revenue_share"),
+    )
