@@ -155,7 +155,14 @@ class Catalog:
             self.qualified(layer, table)
         )
 
-    def overwrite(self, df: DataFrame, layer: str, table: str) -> None:
+    def overwrite(
+        self,
+        df: DataFrame,
+        layer: str,
+        table: str,
+        *,
+        partition_by: Sequence[str] = (),
+    ) -> None:
         """Full-table replace via staged write + metastore swap.
 
         The new state is written completely to ``<table>__staging`` first,
@@ -175,9 +182,21 @@ class Catalog:
         target = self.qualified(layer, table)
         staging = f"{target}__staging"
         self.spark.sql(f"DROP TABLE IF EXISTS {staging}")
-        df.write.mode("overwrite").format("parquet").saveAsTable(staging)
+        writer = df.write.mode("overwrite").format("parquet")
+        if partition_by:
+            # directory partitioning survives the metastore rename, so the
+            # swapped-in table keeps partition pruning (the scale lever for
+            # month-scoped fact scans)
+            writer = writer.partitionBy(*partition_by)
+        writer.saveAsTable(staging)
         self.spark.sql(f"DROP TABLE IF EXISTS {target}")
         self.spark.sql(f"ALTER TABLE {staging} RENAME TO {target}")
+        if partition_by:
+            # the metastore stores per-partition LOCATIONs, which still
+            # point at the pre-rename staging directory after the swap —
+            # rebuild them from the (moved) directory tree or every read
+            # silently sees zero rows
+            self.spark.sql(f"MSCK REPAIR TABLE {target}")
 
     def vacuum_staging(self, layer: str) -> list[str]:
         """Drop abandoned ``__staging`` tables whose target exists — the
@@ -218,6 +237,12 @@ class Catalog:
         ):
             return False
         self.spark.sql(f"ALTER TABLE {staging} RENAME TO {target}")
+        if self.spark.catalog.listColumns(target) and any(
+            c.isPartition for c in self.spark.catalog.listColumns(target)
+        ):
+            # partitioned staging: per-partition locations still reference
+            # the pre-rename path (same hazard as overwrite's swap)
+            self.spark.sql(f"MSCK REPAIR TABLE {target}")
         return True
 
     # -- declared constraints (S7, maps sql/ddl.py:300-344) -----------------

@@ -248,6 +248,14 @@ def run_gold(catalog, *, run_context=None) -> dict[str, int]:
     fact_sales = build_fact_sales(read("crm_sales"), dim_products, dim_customers)
     report_customers = build_customer_report(fact_sales, dim_customers)
     report_products = build_product_report(fact_sales, dim_products)
+    # The persisted fact is directory-partitioned by order month: BI
+    # queries are overwhelmingly month-scoped, and partition pruning turns
+    # them into a scan of 1/N of a 100 TB fact. Rows with an unparseable
+    # order date land in the NULL partition (still queryable, still
+    # auditable). Dims and reports stay unpartitioned — they're small.
+    fact_sales = fact_sales.withColumn(
+        "order_month", F.trunc("order_date", "month")
+    )
 
     # one lineage edge per real input table (multi-source fan-in like the
     # reference's log_table_lineage, data_lineage.py:233-266) so upstream
@@ -270,8 +278,12 @@ def run_gold(catalog, *, run_context=None) -> dict[str, int]:
         ("report_products", report_products),
     ]:
         managed = with_medallion_metadata(df, created_by="gold", source_system="silver")
-        catalog.create_table("gold", name, managed.schema, medallion_metadata=False)
-        catalog.overwrite(managed, "gold", name)
+        parts = ["order_month"] if name == "fact_sales" else []
+        catalog.create_table(
+            "gold", name, managed.schema,
+            medallion_metadata=False, partition_by=parts,
+        )
+        catalog.overwrite(managed, "gold", name, partition_by=parts)
         n = catalog.spark.table(catalog.qualified("gold", name)).count()
         results[name] = n
         if run_context is not None:

@@ -190,3 +190,42 @@ def test_overwrite_is_staged_crash_safe(spark, monkeypatch):
     finally:
         monkeypatch.undo()
         cat.drop_layers()
+
+
+def test_partitioned_overwrite_and_recovery_repair_partitions(spark):
+    """Partitioned staged overwrite: the metastore's per-partition
+    locations reference the pre-rename staging path after the swap, so
+    both overwrite and recover_staging must repair them — a silent
+    zero-row table otherwise."""
+    from pyspark.sql import functions as F
+
+    from sql_data_warehouse_analytics_project_spark.catalog import Catalog
+
+    cat = Catalog(spark, prefix="partov_")
+    cat.drop_layers()
+    cat.create_layers()
+    try:
+        df = spark.createDataFrame(
+            [(1, "a"), (2, "a"), (3, "b")], "k int, p string"
+        )
+        cat.overwrite(df, "silver", "t", partition_by=["p"])
+        target = cat.qualified("silver", "t")
+        got = spark.table(target)
+        assert got.count() == 3
+        # month/partition-scoped read prunes at the scan
+        plan = (
+            got.filter(F.col("p") == "a")
+            ._jdf.queryExecution().executedPlan().treeString()
+        )
+        assert "PartitionFilters: [" in plan
+
+        # crash-window recovery of a PARTITIONED staging table
+        df2 = spark.createDataFrame([(9, "c")], "k int, p string")
+        df2.write.mode("overwrite").format("parquet").partitionBy(
+            "p"
+        ).saveAsTable(f"{target}__staging")
+        spark.sql(f"DROP TABLE IF EXISTS {target}")
+        assert cat.recover_staging("silver", "t") is True
+        assert [tuple(r) for r in spark.table(target).collect()] == [(9, "c")]
+    finally:
+        cat.drop_layers()

@@ -137,6 +137,16 @@ def test_gold_star_schema(cat, loaded):
     psegs = {r.segment for r in prep.select("segment").distinct().collect()}
     assert psegs <= {"High-Performer", "Mid-Range", "Low-Performer"}
 
+    # fact is directory-partitioned by order month and month-scoped scans
+    # prune: the partition filter must reach the scan, not a post-filter
+    one_month = facts.filter(F.col("order_month") == "2025-01-01")
+    plan = one_month._jdf.queryExecution().executedPlan().treeString()
+    assert "PartitionFilters: [" in plan
+    pf = plan.split("PartitionFilters:")[1].split("]")[0]
+    assert "order_month" in pf
+    # swap preserved partition column values through staging + rename
+    assert facts.filter(F.col("order_month").isNotNull()).count() > 59000
+
 
 def test_warehouse_orchestrator_end_to_end(spark):
     """Full --setup → --bronze → --silver → --gold run with the audit/
