@@ -63,6 +63,9 @@ def dedup_keep_latest(
     """Keep the newest row per key (duplicate ``cst_id`` defect →
     dedup-keep-latest by ``cst_create_date``). One shuffle on the key;
     ``row_number()==1`` over a desc window."""
+    if "_rn" in df.columns:
+        # the row-number helper column would silently replace (and drop) it
+        raise ValueError("dedup_keep_latest reserves the internal column name '_rn'")
     order = [F.col(order_column).desc()] + [F.col(c).desc() for c in tiebreak_columns]
     w = Window.partitionBy(*key_columns).orderBy(*order)
     return (

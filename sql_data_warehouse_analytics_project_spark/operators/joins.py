@@ -79,6 +79,12 @@ def salted_join(
     if how not in ("inner", "left"):
         raise ValueError("salted_join supports inner/left (salted side preserved)")
     keys = list(on)
+    if salt_col in skewed.columns or salt_col in other.columns:
+        # would silently overwrite (then drop) the caller's column
+        raise ValueError(
+            f"salted_join salt column {salt_col!r} collides with an input "
+            "column; pass a different salt_col"
+        )
     s = skewed.withColumn(salt_col, (F.rand(seed=42) * salt_buckets).cast("int"))
     o = other.withColumn(
         salt_col,
@@ -150,6 +156,17 @@ def asof_join(
         raise ValueError(f"validate must be 'none' or 'unique', got {validate!r}")
     keys = list(by)
     vals = list(right_values)
+    # reserved internals: a user column with one of these names would be
+    # silently overwritten and dropped (same guard class as
+    # interval_overlap_join's _cell)
+    reserved = {"_ts", "_side", "_payload"} | (
+        {"_n_dup"} if validate == "unique" else set()
+    )
+    clash = sorted(reserved & (set(left.columns) | set(right.columns)))
+    if clash:
+        raise ValueError(f"asof_join reserves internal column name(s) {clash}")
+    if "_pts" in vals:
+        raise ValueError("asof_join reserves '_pts' inside the payload struct")
     if validate == "unique":
         from pyspark.sql.window import Window as _W
 
@@ -257,6 +274,9 @@ def range_join(
     if how not in ("inner", "left"):
         raise ValueError("range_join supports inner/left")
     keys = list(by)
+    if "_bucket" in left.columns or "_bucket" in right.columns:
+        # would be silently overwritten by the cell column and dropped
+        raise ValueError("range_join reserves the internal column name '_bucket'")
     w = F.lit(bucket_seconds * 1_000_000).cast("long")
     lid = "_range_join_lid"
     # row identity for the left-join leftovers; stable because both the

@@ -199,6 +199,9 @@ def paginate(
         raise ValueError("paginate() requires an explicit total order")
     if page < 1 or page_size < 1:
         raise ValueError("page and page_size must be >= 1")
+    if "_rn" in df.columns:
+        # the row-number helper column would silently replace (and drop) it
+        raise ValueError("paginate reserves the internal column name '_rn'")
     w = Window.orderBy(*order_by)
     lo = (page - 1) * page_size
     hi = lo + page_size

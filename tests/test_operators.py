@@ -905,3 +905,34 @@ def test_interval_overlap_join_rejects_reserved_cell_key(spark):
             iv, iv, ["_cell"], left_start="s", left_end="e",
             right_start="s", right_end="e", bucket=7,
         )
+
+
+def test_reserved_internal_column_guards(spark):
+    """Operators that inject helper columns must refuse inputs already
+    using those names — silent overwrite-then-drop corrupts user data."""
+    from sql_data_warehouse_analytics_project_spark.operators import (
+        cleansing,
+        relational,
+    )
+
+    ts = spark.createDataFrame([(1, 2, 3)], "k int, _ts int, v int")
+    plain = spark.createDataFrame([(1, 2)], "k int, v int")
+    with pytest.raises(ValueError, match="_ts"):
+        joins.asof_join(
+            ts, plain.withColumnRenamed("v", "ts"), ["k"],
+            left_ts="_ts", right_ts="ts", right_values=[],
+        )
+    bkt = spark.createDataFrame([(1, 2)], "k int, _bucket int")
+    with pytest.raises(ValueError, match="_bucket"):
+        joins.range_join(
+            bkt, bkt, ["k"], left_start="_bucket", left_end="_bucket",
+            right_point="_bucket", bucket_seconds=60,
+        )
+    salted = spark.createDataFrame([(1, 2)], "k int, _salt int")
+    with pytest.raises(ValueError, match="_salt"):
+        joins.salted_join(salted, plain, ["k"])
+    rn = spark.createDataFrame([(1, 2)], "k int, _rn int")
+    with pytest.raises(ValueError, match="_rn"):
+        relational.paginate(rn, ["k"], 1, 10)
+    with pytest.raises(ValueError, match="_rn"):
+        cleansing.dedup_keep_latest(rn, ["k"], "k")
