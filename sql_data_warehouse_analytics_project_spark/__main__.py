@@ -19,6 +19,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--setup", action="store_true", help="create layer databases + logs tables")
     ap.add_argument("--bronze", action="store_true", help="ingest source CSVs to bronze")
     ap.add_argument("--silver", action="store_true", help="cleanse bronze → silver")
+    ap.add_argument(
+        "--silver-incremental", action="store_true",
+        help="cleanse only bronze batches not yet reflected in silver",
+    )
     ap.add_argument("--gold", action="store_true", help="build the gold star schema")
     ap.add_argument("--all", action="store_true", help="setup + bronze + silver + gold")
     ap.add_argument("--crm-dir", default=None)
@@ -37,7 +41,10 @@ def main(argv: list[str] | None = None) -> int:
             ap.error("--curate requires --docs and --out")
         return _run_curate(args.docs, args.out)
 
-    if not any((args.setup, args.bronze, args.silver, args.gold, args.all)):
+    if not any(
+        (args.setup, args.bronze, args.silver, args.silver_incremental,
+         args.gold, args.all)
+    ):
         ap.print_help()
         return 2
 
@@ -59,6 +66,8 @@ def main(argv: list[str] | None = None) -> int:
                 results["bronze"] = wh.run_bronze(args.crm_dir, args.erp_dir)
             if args.silver:
                 results["silver"] = wh.run_silver()
+            if args.silver_incremental:
+                results["silver_incremental"] = wh.run_silver_incremental()
             if args.gold:
                 results["gold"] = wh.run_gold()
     except Exception as e:  # noqa: BLE001 — CLI boundary: report + exit code

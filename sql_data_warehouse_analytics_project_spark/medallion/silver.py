@@ -145,6 +145,42 @@ SILVER_TRANSFORMS = {
     "erp_product_categories_raw": ("erp_product_categories", clean_erp_product_categories),
 }
 
+# Incremental-refresh strategy per transform (see run_silver_incremental):
+#
+# - ``keyed``: the transform has cross-row semantics per natural key
+#   (dedup-keep-latest, SCD2 end-date recompute) or the source is a
+#   dimension snapshot that re-delivers keys. New batches mark their
+#   bronze keys dirty; the FULL bronze history of just those keys is
+#   re-cleaned and replaces the silver rows whose ``silver_keys`` appear
+#   in the recomputed output. Correct whenever bronze is append-only (a
+#   key's history only grows, so the recomputed output's silver keys
+#   cover every silver row previously derived from that key) and the
+#   bronze→silver key mapping is a row-local function of the bronze key
+#   (strip/trim/substring — true for all six sources).
+# - ``append``: the transform is row-local and the source is append-only
+#   facts — new batches clean and append without touching history.
+SILVER_INCREMENTAL = {
+    "crm_customers_raw": {
+        "mode": "keyed", "bronze_keys": ["cst_id"], "silver_keys": ["cst_id"],
+    },
+    "crm_products_raw": {
+        "mode": "keyed", "bronze_keys": ["prd_key"], "silver_keys": ["prd_id"],
+    },
+    "crm_sales_raw": {"mode": "append"},
+    "erp_customers_raw": {
+        "mode": "keyed", "bronze_keys": ["CID"], "silver_keys": ["cid"],
+    },
+    "erp_locations_raw": {
+        "mode": "keyed", "bronze_keys": ["CID"], "silver_keys": ["cid"],
+    },
+    "erp_product_categories_raw": {
+        "mode": "keyed", "bronze_keys": ["ID"], "silver_keys": ["id"],
+    },
+}
+
+#: logs-layer ledger of bronze batches already reflected in silver
+BATCH_LOG_TABLE = "silver_batch_log"
+
 
 def run_silver(catalog, *, run_context=None) -> dict[str, int]:
     """Bronze → silver for every registered transform. Reads only current
@@ -180,6 +216,132 @@ def run_silver(catalog, *, run_context=None) -> dict[str, int]:
                 target_schema=catalog.db("silver"),
                 target_table=silver_table,
                 transformation_logic=fn.__name__,
+                record_count=n,
+            )
+    return results
+
+
+def _record_batches(catalog, raw_table: str, batch_ids) -> None:
+    rows = [(raw_table, b) for b in batch_ids]
+    if not rows:
+        return
+    df = catalog.spark.createDataFrame(
+        rows, "table_name string, _ingestion_batch_id string"
+    ).withColumn("processed_at", F.current_timestamp())
+    catalog.create_table(
+        "logs", BATCH_LOG_TABLE, df.schema, medallion_metadata=False
+    )
+    catalog.append(df, "logs", BATCH_LOG_TABLE)
+
+
+def run_silver_incremental(catalog, *, run_context=None) -> dict[str, dict]:
+    """Bronze → silver processing ONLY the batches not yet reflected in
+    silver (ledger: ``logs.silver_batch_log`` keyed by
+    ``_ingestion_batch_id`` — set difference, so there is no timestamp
+    boundary to mis-handle). Batch-id bookkeeping is exact where a
+    high-watermark would need a tie-break rule.
+
+    Per-table strategy comes from :data:`SILVER_INCREMENTAL`:
+
+    - ``append`` (row-local fact transforms): the new batches' current
+      rows are cleaned and appended — work and writes are both
+      new-data-sized, the shape that holds at a 100 TB fact.
+    - ``keyed`` (cross-row transforms / dimension snapshots): the new
+      batches' bronze keys are marked dirty, the FULL bronze history of
+      just those keys is re-cleaned (a semi join against the
+      broadcast-sized dirty-key set — compute is dirty-key-sized, never
+      corpus-sized), and the silver rows carrying the recomputed silver
+      keys are replaced. The physical replace is the staged-overwrite
+      swap (parquet has no row-level delete; on Delta this step becomes
+      a MERGE) — acceptable because every keyed table here is a
+      dimension; fact-scale tables belong in ``append`` mode.
+
+    A first run (no silver table yet) falls back to the full per-table
+    rebuild. Returns ``{silver_table: {mode, batches, rows}}``; a table
+    with no new batches reports ``batches: 0`` and is untouched.
+    """
+    from sql_data_warehouse_analytics_project_spark.catalog import (
+        with_medallion_metadata,
+    )
+    from sql_data_warehouse_analytics_project_spark.medallion.bronze import (
+        BRONZE_METADATA_COLUMNS,
+    )
+
+    spark = catalog.spark
+    results: dict[str, dict] = {}
+    for raw_table, (silver_table, fn) in SILVER_TRANSFORMS.items():
+        if not catalog.table_exists("bronze", raw_table):
+            continue
+        bronze_all = spark.table(catalog.qualified("bronze", raw_table))
+        if "_is_current" in bronze_all.columns:
+            bronze_all = bronze_all.filter(F.col("_is_current"))
+        done = (
+            spark.table(catalog.qualified("logs", BATCH_LOG_TABLE))
+            .filter(F.col("table_name") == raw_table)
+            .select("_ingestion_batch_id")
+            if catalog.table_exists("logs", BATCH_LOG_TABLE)
+            else None
+        )
+        new = bronze_all
+        if done is not None:
+            new = bronze_all.join(
+                F.broadcast(done.distinct()), "_ingestion_batch_id", "left_anti"
+            )
+        new_batches = [
+            r[0]
+            for r in new.select("_ingestion_batch_id").distinct().collect()
+        ]
+        if not new_batches:
+            results[silver_table] = {"mode": "noop", "batches": 0, "rows": 0}
+            continue
+
+        spec = SILVER_INCREMENTAL[raw_table]
+        strip = lambda d: d.drop(  # noqa: E731
+            *[c for c in BRONZE_METADATA_COLUMNS if c in d.columns]
+        )
+        meta = dict(source_system=raw_table.split("_")[0], created_by="silver")
+        first_run = not catalog.table_exists("silver", silver_table)
+
+        if first_run or spec["mode"] == "append":
+            if first_run:
+                cleaned = with_medallion_metadata(fn(strip(bronze_all)), **meta)
+                catalog.create_table(
+                    "silver", silver_table, cleaned.schema,
+                    medallion_metadata=False,
+                )
+                catalog.overwrite(cleaned, "silver", silver_table)
+                mode = "full"
+            else:
+                cleaned = with_medallion_metadata(fn(strip(new)), **meta)
+                catalog.append(cleaned, "silver", silver_table)
+                mode = "append"
+            n = cleaned.count()
+        else:
+            bkeys = spec["bronze_keys"]
+            skeys = spec["silver_keys"]
+            dirty = new.select(*bkeys).distinct()
+            scope = bronze_all.join(F.broadcast(dirty), bkeys, "semi")
+            recleaned = with_medallion_metadata(fn(strip(scope)), **meta)
+            target = spark.table(catalog.qualified("silver", silver_table))
+            keep = target.join(
+                F.broadcast(recleaned.select(*skeys).distinct()), skeys, "left_anti"
+            )
+            catalog.overwrite(
+                keep.unionByName(recleaned), "silver", silver_table
+            )
+            mode, n = "keyed", recleaned.count()
+
+        _record_batches(catalog, raw_table, new_batches)
+        results[silver_table] = {
+            "mode": mode, "batches": len(new_batches), "rows": n,
+        }
+        if run_context is not None:
+            run_context.log_lineage(
+                source_schema=catalog.db("bronze"),
+                source_table=raw_table,
+                target_schema=catalog.db("silver"),
+                target_table=silver_table,
+                transformation_logic=f"{fn.__name__}[{mode}]",
                 record_count=n,
             )
     return results

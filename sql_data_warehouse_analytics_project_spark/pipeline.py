@@ -61,6 +61,18 @@ class Warehouse:
             with self.ctx.measure("silver_transform", process_log_id=log_id):
                 return silver.run_silver(self.catalog, run_context=self.ctx)
 
+    def run_silver_incremental(self) -> dict:
+        """Silver refresh scoped to bronze batches not yet in the
+        ``logs.silver_batch_log`` ledger (see
+        ``silver.run_silver_incremental``)."""
+        with self.ctx.run(
+            "silver_incremental", target_layer="silver"
+        ) as log_id:
+            with self.ctx.measure("silver_incremental", process_log_id=log_id):
+                return silver.run_silver_incremental(
+                    self.catalog, run_context=self.ctx
+                )
+
     def run_gold(self) -> dict:
         with self.ctx.run("gold_build", target_layer="gold") as log_id:
             with self.ctx.measure("gold_build", process_log_id=log_id):
