@@ -237,9 +237,7 @@ class Catalog:
         ):
             return False
         self.spark.sql(f"ALTER TABLE {staging} RENAME TO {target}")
-        if self.spark.catalog.listColumns(target) and any(
-            c.isPartition for c in self.spark.catalog.listColumns(target)
-        ):
+        if any(c.isPartition for c in self.spark.catalog.listColumns(target)):
             # partitioned staging: per-partition locations still reference
             # the pre-rename path (same hazard as overwrite's swap)
             self.spark.sql(f"MSCK REPAIR TABLE {target}")

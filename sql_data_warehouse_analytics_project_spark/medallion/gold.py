@@ -232,68 +232,101 @@ def build_product_report(
     )
 
 
-def run_gold(catalog, *, run_context=None) -> dict[str, int]:
-    """Silver → gold star schema + KPI report views as managed tables."""
+# one lineage edge per real input table (multi-source fan-in like the
+# reference's log_table_lineage, data_lineage.py:233-266) so upstream
+# traversal crosses the gold boundary table-by-table
+GOLD_INPUTS = {
+    "dim_customers": [("silver", "crm_customers"), ("silver", "erp_customers"),
+                      ("silver", "erp_locations")],
+    "dim_products": [("silver", "crm_products"), ("silver", "erp_product_categories")],
+    "fact_sales": [("silver", "crm_sales"), ("gold", "dim_products"),
+                   ("gold", "dim_customers")],
+    "report_customers": [("gold", "fact_sales"), ("gold", "dim_customers")],
+    "report_products": [("gold", "fact_sales"), ("gold", "dim_products")],
+}
+
+#: logs-layer ledger of silver sales batches already reflected in gold
+GOLD_BATCH_LOG_TABLE = "gold_batch_log"
+
+
+def _write_gold(catalog, name: str, df, *, run_context=None) -> int:
     from sql_data_warehouse_analytics_project_spark.catalog import (
         with_medallion_metadata,
     )
 
+    managed = with_medallion_metadata(df, created_by="gold", source_system="silver")
+    parts = ["order_month"] if name == "fact_sales" else []
+    catalog.create_table(
+        "gold", name, managed.schema, medallion_metadata=False, partition_by=parts
+    )
+    catalog.overwrite(managed, "gold", name, partition_by=parts)
+    n = catalog.spark.table(catalog.qualified("gold", name)).count()
+    if run_context is not None:
+        for src_layer, src_table in GOLD_INPUTS[name]:
+            run_context.log_lineage(
+                source_schema=catalog.db(src_layer),
+                source_table=src_table,
+                target_schema=catalog.db("gold"),
+                target_table=name,
+                transformation_logic=f"build_{name}",
+                record_count=n,
+            )
+    return n
+
+
+def run_gold(catalog, *, run_context=None) -> dict[str, int]:
+    """Silver → gold star schema + KPI report views as managed tables.
+
+    Each table is computed once and PERSISTED before anything downstream
+    consumes it: the fact is built from the written dims and the reports
+    from the written fact — so the silver→dims→fact pipeline executes
+    exactly once instead of re-running per consumer, and the declared
+    lineage edges (fact←dims, reports←fact) describe what physically
+    happened."""
     read = lambda t: catalog.read("silver", t)  # noqa: E731
-    dim_customers = build_dim_customers(
-        read("crm_customers"), read("erp_customers"), read("erp_locations")
+    results: dict[str, int] = {}
+
+    results["dim_customers"] = _write_gold(
+        catalog,
+        "dim_customers",
+        build_dim_customers(
+            read("crm_customers"), read("erp_customers"), read("erp_locations")
+        ),
+        run_context=run_context,
     )
-    dim_products = build_dim_products(
-        read("crm_products"), read("erp_product_categories")
+    results["dim_products"] = _write_gold(
+        catalog,
+        "dim_products",
+        build_dim_products(read("crm_products"), read("erp_product_categories")),
+        run_context=run_context,
     )
-    fact_sales = build_fact_sales(read("crm_sales"), dim_products, dim_customers)
-    report_customers = build_customer_report(fact_sales, dim_customers)
-    report_products = build_product_report(fact_sales, dim_products)
+    dim_customers = catalog.read("gold", "dim_customers")
+    dim_products = catalog.read("gold", "dim_products")
+
     # The persisted fact is directory-partitioned by order month: BI
     # queries are overwhelmingly month-scoped, and partition pruning turns
     # them into a scan of 1/N of a 100 TB fact. Rows with an unparseable
     # order date land in the NULL partition (still queryable, still
     # auditable). Dims and reports stay unpartitioned — they're small.
-    fact_sales = fact_sales.withColumn(
-        "order_month", F.trunc("order_date", "month")
+    fact = build_fact_sales(read("crm_sales"), dim_products, dim_customers)
+    results["fact_sales"] = _write_gold(
+        catalog,
+        "fact_sales",
+        fact.withColumn("order_month", F.trunc("order_date", "month")),
+        run_context=run_context,
     )
+    fact_sales = catalog.read("gold", "fact_sales")
 
-    # one lineage edge per real input table (multi-source fan-in like the
-    # reference's log_table_lineage, data_lineage.py:233-266) so upstream
-    # traversal crosses the gold boundary table-by-table
-    inputs = {
-        "dim_customers": [("silver", "crm_customers"), ("silver", "erp_customers"),
-                          ("silver", "erp_locations")],
-        "dim_products": [("silver", "crm_products"), ("silver", "erp_product_categories")],
-        "fact_sales": [("silver", "crm_sales"), ("gold", "dim_products"),
-                       ("gold", "dim_customers")],
-        "report_customers": [("gold", "fact_sales"), ("gold", "dim_customers")],
-        "report_products": [("gold", "fact_sales"), ("gold", "dim_products")],
-    }
-    results: dict[str, int] = {}
-    for name, df in [
-        ("dim_customers", dim_customers),
-        ("dim_products", dim_products),
-        ("fact_sales", fact_sales),
-        ("report_customers", report_customers),
-        ("report_products", report_products),
-    ]:
-        managed = with_medallion_metadata(df, created_by="gold", source_system="silver")
-        parts = ["order_month"] if name == "fact_sales" else []
-        catalog.create_table(
-            "gold", name, managed.schema,
-            medallion_metadata=False, partition_by=parts,
-        )
-        catalog.overwrite(managed, "gold", name, partition_by=parts)
-        n = catalog.spark.table(catalog.qualified("gold", name)).count()
-        results[name] = n
-        if run_context is not None:
-            for src_layer, src_table in inputs[name]:
-                run_context.log_lineage(
-                    source_schema=catalog.db(src_layer),
-                    source_table=src_table,
-                    target_schema=catalog.db("gold"),
-                    target_table=name,
-                    transformation_logic=f"build_{name}",
-                    record_count=n,
-                )
+    results["report_customers"] = _write_gold(
+        catalog,
+        "report_customers",
+        build_customer_report(fact_sales, dim_customers),
+        run_context=run_context,
+    )
+    results["report_products"] = _write_gold(
+        catalog,
+        "report_products",
+        build_product_report(fact_sales, dim_products),
+        run_context=run_context,
+    )
     return results

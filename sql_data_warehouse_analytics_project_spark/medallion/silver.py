@@ -149,32 +149,72 @@ SILVER_TRANSFORMS = {
 #
 # - ``keyed``: the transform has cross-row semantics per natural key
 #   (dedup-keep-latest, SCD2 end-date recompute) or the source is a
-#   dimension snapshot that re-delivers keys. New batches mark their
-#   bronze keys dirty; the FULL bronze history of just those keys is
-#   re-cleaned and replaces the silver rows whose ``silver_keys`` appear
-#   in the recomputed output. Correct whenever bronze is append-only (a
-#   key's history only grows, so the recomputed output's silver keys
-#   cover every silver row previously derived from that key) and the
-#   bronze→silver key mapping is a row-local function of the bronze key
-#   (strip/trim/substring — true for all six sources).
+#   dimension snapshot that re-delivers keys. Dirtiness is tracked in
+#   NORMALIZED silver-key space: ``key_exprs`` re-states, per silver key
+#   column, the cleaner's key-normalization as an expression over BRONZE
+#   columns (trim / NAS-strip / '-'-strip / substring split). New batches'
+#   normalized keys are marked dirty; every bronze row whose normalized
+#   key is dirty is re-cleaned (a semi join against the broadcast-sized
+#   dirty set), and silver rows carrying a dirty key are replaced.
+#   Scoping by the normalized key — not the raw bronze key — matters
+#   because the normalization is NOT injective: bronze CIDs 'NAS123' and
+#   '123' both clean to cid '123'. A raw-key scope that saw only one of
+#   them dirty would delete the other's silver row and never regenerate
+#   it; the normalized scope pulls in every bronze row that collides on
+#   the silver key, so delete-set == regenerate-set by construction.
+#   Correct whenever bronze is append-only and the cleaner's key columns
+#   are exactly the ``key_exprs`` image of the bronze row (true for all
+#   five keyed sources; cross-row group transforms stay complete because
+#   all rows of a bronze key group share one normalized key).
 # - ``append``: the transform is row-local and the source is append-only
-#   facts — new batches clean and append without touching history.
+#   facts — new batches clean and append without touching history. Each
+#   appended silver row carries its bronze ``_ingestion_batch_id``, so a
+#   crash between the data append and the ledger write cannot double-apply
+#   a batch on retry (the sink skips batches already present in silver).
+def _erp_cid_expr():
+    cid = F.trim(F.col("CID"))
+    return F.when(
+        F.upper(cid).startswith("NAS"), F.expr("substring(trim(CID), 4)")
+    ).otherwise(cid)
+
+
 SILVER_INCREMENTAL = {
     "crm_customers_raw": {
-        "mode": "keyed", "bronze_keys": ["cst_id"], "silver_keys": ["cst_id"],
+        "mode": "keyed",
+        "silver_keys": ["cst_id"],
+        "key_exprs": {"cst_id": lambda: F.col("cst_id").cast("int")},
     },
     "crm_products_raw": {
-        "mode": "keyed", "bronze_keys": ["prd_key"], "silver_keys": ["prd_id"],
+        # the silver identity of a product VERSION group is (cat_id,
+        # prd_key) — the split image of the bronze prd_key; prd_id is
+        # row-unique but not closed under the split ('CO-RF' and 'CO_RF'
+        # prefixes collide on cat_id), so the group key is the safe scope
+        "mode": "keyed",
+        "silver_keys": ["cat_id", "prd_key"],
+        "key_exprs": {
+            "cat_id": lambda: F.replace(
+                F.substring("prd_key", 1, 5), F.lit("-"), F.lit("_")
+            ),
+            "prd_key": lambda: F.expr("substring(prd_key, 7)"),
+        },
     },
     "crm_sales_raw": {"mode": "append"},
     "erp_customers_raw": {
-        "mode": "keyed", "bronze_keys": ["CID"], "silver_keys": ["cid"],
+        "mode": "keyed",
+        "silver_keys": ["cid"],
+        "key_exprs": {"cid": _erp_cid_expr},
     },
     "erp_locations_raw": {
-        "mode": "keyed", "bronze_keys": ["CID"], "silver_keys": ["cid"],
+        "mode": "keyed",
+        "silver_keys": ["cid"],
+        "key_exprs": {
+            "cid": lambda: F.replace(F.trim(F.col("CID")), F.lit("-"), F.lit(""))
+        },
     },
     "erp_product_categories_raw": {
-        "mode": "keyed", "bronze_keys": ["ID"], "silver_keys": ["id"],
+        "mode": "keyed",
+        "silver_keys": ["id"],
+        "key_exprs": {"id": lambda: F.trim(F.col("ID"))},
     },
 }
 
@@ -221,20 +261,38 @@ def run_silver(catalog, *, run_context=None) -> dict[str, int]:
     return results
 
 
-def _record_batches(catalog, raw_table: str, batch_ids) -> None:
+def _record_batches(
+    catalog, raw_table: str, batch_ids, *, table: str = BATCH_LOG_TABLE
+) -> None:
     rows = [(raw_table, b) for b in batch_ids]
     if not rows:
         return
     df = catalog.spark.createDataFrame(
         rows, "table_name string, _ingestion_batch_id string"
     ).withColumn("processed_at", F.current_timestamp())
-    catalog.create_table(
-        "logs", BATCH_LOG_TABLE, df.schema, medallion_metadata=False
-    )
-    catalog.append(df, "logs", BATCH_LOG_TABLE)
+    catalog.create_table("logs", table, df.schema, medallion_metadata=False)
+    catalog.append(df, "logs", table)
 
 
-def run_silver_incremental(catalog, *, run_context=None) -> dict[str, dict]:
+def _ledger_diff(catalog, ledger_table: str, source_name: str, df):
+    """Anti-join ``df`` against the ledger's recorded batch ids for
+    ``source_name``; returns (new_rows_df, new_batch_ids)."""
+    spark = catalog.spark
+    new = df
+    if catalog.table_exists("logs", ledger_table):
+        done = (
+            spark.table(catalog.qualified("logs", ledger_table))
+            .filter(F.col("table_name") == source_name)
+            .select("_ingestion_batch_id")
+        )
+        new = df.join(F.broadcast(done.distinct()), "_ingestion_batch_id", "left_anti")
+    batches = [r[0] for r in new.select("_ingestion_batch_id").distinct().collect()]
+    return new, batches
+
+
+def run_silver_incremental(
+    catalog, *, run_context=None, tables=None
+) -> dict[str, dict]:
     """Bronze → silver processing ONLY the batches not yet reflected in
     silver (ledger: ``logs.silver_batch_log`` keyed by
     ``_ingestion_batch_id`` — set difference, so there is no timestamp
@@ -245,20 +303,33 @@ def run_silver_incremental(catalog, *, run_context=None) -> dict[str, dict]:
 
     - ``append`` (row-local fact transforms): the new batches' current
       rows are cleaned and appended — work and writes are both
-      new-data-sized, the shape that holds at a 100 TB fact.
+      new-data-sized, the shape that holds at a 100 TB fact. Appended
+      silver rows carry their bronze ``_ingestion_batch_id`` (attached
+      AFTER the row hash, so data hashes stay comparable to a full
+      rebuild): the append first skips any batch already present in
+      silver, which makes the append→ledger sequence crash-idempotent —
+      a retry after a crash between the two writes re-records the ledger
+      but never re-appends the rows.
     - ``keyed`` (cross-row transforms / dimension snapshots): the new
-      batches' bronze keys are marked dirty, the FULL bronze history of
-      just those keys is re-cleaned (a semi join against the
-      broadcast-sized dirty-key set — compute is dirty-key-sized, never
-      corpus-sized), and the silver rows carrying the recomputed silver
-      keys are replaced. The physical replace is the staged-overwrite
-      swap (parquet has no row-level delete; on Delta this step becomes
-      a MERGE) — acceptable because every keyed table here is a
-      dimension; fact-scale tables belong in ``append`` mode.
+      batches' NORMALIZED silver keys (``key_exprs`` over bronze — see
+      the :data:`SILVER_INCREMENTAL` notes on non-injective mappings)
+      are marked dirty, every bronze row normalizing to a dirty key is
+      re-cleaned (a semi join against the broadcast-sized dirty-key set
+      — compute is dirty-key-sized, never corpus-sized), and the silver
+      rows carrying a dirty key are replaced. The physical replace is
+      the staged-overwrite swap (parquet has no row-level delete; on
+      Delta this step becomes a MERGE) — acceptable because every keyed
+      table here is a dimension; fact-scale tables belong in ``append``
+      mode. A replayed keyed batch recomputes to the identical state, so
+      the crash window before the ledger write is harmless here too.
 
     A first run (no silver table yet) falls back to the full per-table
-    rebuild. Returns ``{silver_table: {mode, batches, rows}}``; a table
-    with no new batches reports ``batches: 0`` and is untouched.
+    rebuild (keyed tables) or the per-batch append path (append tables).
+    ``tables`` (bronze raw-table names) scopes the refresh — the
+    streaming bronze sink passes its own table so a micro-batch never
+    probes the other five ledgers. Returns
+    ``{silver_table: {mode, batches, rows}}``; a table with no new
+    batches reports ``batches: 0`` and is untouched.
     """
     from sql_data_warehouse_analytics_project_spark.catalog import (
         with_medallion_metadata,
@@ -270,27 +341,16 @@ def run_silver_incremental(catalog, *, run_context=None) -> dict[str, dict]:
     spark = catalog.spark
     results: dict[str, dict] = {}
     for raw_table, (silver_table, fn) in SILVER_TRANSFORMS.items():
+        if tables is not None and raw_table not in tables:
+            continue
         if not catalog.table_exists("bronze", raw_table):
             continue
         bronze_all = spark.table(catalog.qualified("bronze", raw_table))
         if "_is_current" in bronze_all.columns:
             bronze_all = bronze_all.filter(F.col("_is_current"))
-        done = (
-            spark.table(catalog.qualified("logs", BATCH_LOG_TABLE))
-            .filter(F.col("table_name") == raw_table)
-            .select("_ingestion_batch_id")
-            if catalog.table_exists("logs", BATCH_LOG_TABLE)
-            else None
+        new, new_batches = _ledger_diff(
+            catalog, BATCH_LOG_TABLE, raw_table, bronze_all
         )
-        new = bronze_all
-        if done is not None:
-            new = bronze_all.join(
-                F.broadcast(done.distinct()), "_ingestion_batch_id", "left_anti"
-            )
-        new_batches = [
-            r[0]
-            for r in new.select("_ingestion_batch_id").distinct().collect()
-        ]
         if not new_batches:
             results[silver_table] = {"mode": "noop", "batches": 0, "rows": 0}
             continue
@@ -302,30 +362,87 @@ def run_silver_incremental(catalog, *, run_context=None) -> dict[str, dict]:
         meta = dict(source_system=raw_table.split("_")[0], created_by="silver")
         first_run = not catalog.table_exists("silver", silver_table)
 
-        if first_run or spec["mode"] == "append":
-            if first_run:
-                cleaned = with_medallion_metadata(fn(strip(bronze_all)), **meta)
+        if spec["mode"] == "append":
+            # which of the new batches already landed in silver? (crash
+            # between append and ledger write — skip, don't double-apply)
+            applied: set = set()
+            if not first_run:
+                tcols = spark.table(
+                    catalog.qualified("silver", silver_table)
+                ).columns
+                if "_ingestion_batch_id" not in tcols:
+                    # silver built by a full run_silver (no provenance yet)
+                    # — evolve the schema; existing rows read as NULL
+                    catalog.add_column(
+                        "silver", silver_table, "_ingestion_batch_id", "string"
+                    )
+                else:
+                    applied = {
+                        r[0]
+                        for r in spark.table(
+                            catalog.qualified("silver", silver_table)
+                        )
+                        .select("_ingestion_batch_id")
+                        .distinct()
+                        .collect()
+                    }
+            todo = [b for b in new_batches if b not in applied]
+            # per-batch clean so each silver row carries its provenance
+            # batch id (the row-local cleaners project fixed columns, so
+            # the id is re-attached per batch; the batch-id filter pushes
+            # down to the bronze scan — each batch reads only its own
+            # row groups, total work stays new-data-sized)
+            parts = [
+                with_medallion_metadata(
+                    fn(strip(new.filter(F.col("_ingestion_batch_id") == b))),
+                    **meta,
+                ).withColumn("_ingestion_batch_id", F.lit(b))
+                for b in todo
+            ]
+            n = 0
+            if parts:
+                cleaned = parts[0]
+                for p in parts[1:]:
+                    cleaned = cleaned.unionByName(p)
                 catalog.create_table(
                     "silver", silver_table, cleaned.schema,
                     medallion_metadata=False,
                 )
-                catalog.overwrite(cleaned, "silver", silver_table)
-                mode = "full"
-            else:
-                cleaned = with_medallion_metadata(fn(strip(new)), **meta)
                 catalog.append(cleaned, "silver", silver_table)
-                mode = "append"
-            n = cleaned.count()
+                n = cleaned.count()
+            mode = "append"
+        elif first_run:
+            cleaned = with_medallion_metadata(fn(strip(bronze_all)), **meta)
+            catalog.create_table(
+                "silver", silver_table, cleaned.schema, medallion_metadata=False
+            )
+            catalog.overwrite(cleaned, "silver", silver_table)
+            mode, n = "full", cleaned.count()
         else:
-            bkeys = spec["bronze_keys"]
             skeys = spec["silver_keys"]
-            dirty = new.select(*bkeys).distinct()
-            scope = bronze_all.join(F.broadcast(dirty), bkeys, "semi")
+            key_exprs = spec["key_exprs"]
+            sk = [f"_sk_{k}" for k in skeys]
+
+            def with_norm_keys(d):
+                # internal _sk_ names: bronze columns like CID would
+                # case-insensitively collide with a computed 'cid'
+                for name, mk in zip(sk, (key_exprs[k] for k in skeys)):
+                    d = d.withColumn(name, mk())
+                return d
+
+            dirty = with_norm_keys(new).select(*sk).distinct()
+            scope = (
+                with_norm_keys(bronze_all)
+                .join(F.broadcast(dirty), sk, "semi")
+                .drop(*sk)
+            )
             recleaned = with_medallion_metadata(fn(strip(scope)), **meta)
             target = spark.table(catalog.qualified("silver", silver_table))
-            keep = target.join(
-                F.broadcast(recleaned.select(*skeys).distinct()), skeys, "left_anti"
-            )
+            # delete scope = the DIRTY key set (not recleaned's keys): the
+            # two coincide while bronze is append-only, but dirty also
+            # covers a key whose rows were all retired via _is_current
+            dirty_s = dirty.toDF(*skeys)
+            keep = target.join(F.broadcast(dirty_s), skeys, "left_anti")
             catalog.overwrite(
                 keep.unionByName(recleaned), "silver", silver_table
             )

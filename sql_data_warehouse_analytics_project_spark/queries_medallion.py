@@ -28,14 +28,20 @@ Determinism notes (why these hash-match):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sql_data_warehouse_analytics_project_spark.medallion import gold, silver
 from sql_data_warehouse_analytics_project_spark.queries import register
 
-CRM_DIR = "/root/reference/datasets/source_crm"
-ERP_DIR = "/root/reference/datasets/source_erp"
+# These replay entries read the reference's fixed six-CSV dataset, so they
+# are sf-invariant (the gate's sf_dir only scales the other entries). The
+# dataset root is overridable for hosts with a different layout.
+_REF_ROOT = os.environ.get("SPARK_GRAFT_REFERENCE_DIR", "/root/reference")
+CRM_DIR = f"{_REF_ROOT}/datasets/source_crm"
+ERP_DIR = f"{_REF_ROOT}/datasets/source_erp"
 
 # Explicit source schemas (the types schema inference lands on for these
 # files, verified against DuckDB's sniffer): ``inferSchema=True`` costs an

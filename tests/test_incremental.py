@@ -56,11 +56,15 @@ def _bronze(spark, rows, schema, batch):
     )
 
 
-def _data_rows(cat, table):
-    df = cat.spark.table(cat.qualified("silver", table))
+def _data_rows(cat, table, layer="silver"):
+    # data columns + row_hash (which covers exactly the data columns);
+    # timestamps/audit metadata and the _ingestion_batch_id provenance
+    # column (append-mode incremental only) are excluded by design
+    df = cat.spark.table(cat.qualified(layer, table))
     cols = sorted(
         c for c in df.columns
-        if c not in MEDALLION_METADATA_COLUMNS or c == "row_hash"
+        if (c not in MEDALLION_METADATA_COLUMNS or c == "row_hash")
+        and not c.startswith("_")
     )
     return sorted(tuple(str(v) for v in r) for r in df.select(*cols).collect())
 
@@ -122,3 +126,99 @@ def test_incremental_silver_matches_full_rebuild(spark, cats):
         for r in inc.spark.table(inc.qualified("silver", "crm_customers")).collect()
     }
     assert cust[1] == "Ann2" and set(cust) == {1, 2, 3}
+
+
+ERP_CUST_SCHEMA = "CID string, BDATE date, GEN string"
+ERP_LOC_SCHEMA = "CID string, CNTRY string"
+
+
+def test_incremental_noninjective_key_normalization(spark, cats):
+    """Distinct bronze keys that normalize to the SAME silver key ('NAS123'
+    vs '123'; 'AW-1' vs 'AW1') across different batches: dirtying one must
+    re-clean the other's bronze rows too, or its silver row is silently
+    deleted by the keyed replace (the r4 ADVICE row-loss scenario)."""
+    inc, full = cats
+    erp_b1 = [("NAS123", date(1980, 1, 1), "M"), ("NAS900", date(1990, 5, 5), "F")]
+    erp_b2 = [("123", date(1981, 2, 2), "F")]  # collides with NAS123 → cid '123'
+    loc_b1 = [("AW-1", "US"), ("AW-2", "DE")]
+    loc_b2 = [("AW1", "CANADA")]  # collides with AW-1 → cid 'AW1'
+
+    for cat in (inc, full):
+        cat.append(_bronze(spark, erp_b1, ERP_CUST_SCHEMA, "b1"),
+                   "bronze", "erp_customers_raw")
+        cat.append(_bronze(spark, loc_b1, ERP_LOC_SCHEMA, "b1"),
+                   "bronze", "erp_locations_raw")
+    silver.run_silver_incremental(inc)
+    for cat in (inc, full):
+        cat.append(_bronze(spark, erp_b2, ERP_CUST_SCHEMA, "b2"),
+                   "bronze", "erp_customers_raw")
+        cat.append(_bronze(spark, loc_b2, ERP_LOC_SCHEMA, "b2"),
+                   "bronze", "erp_locations_raw")
+    r = silver.run_silver_incremental(inc)
+    assert r["erp_customers"]["mode"] == "keyed"
+    silver.run_silver(full)
+
+    for table in ("erp_customers", "erp_locations"):
+        assert _data_rows(inc, table) == _data_rows(full, table), table
+    # both colliding rows survive (the cleaner does not dedup cids)
+    cids = [
+        r.cid
+        for r in inc.spark.table(inc.qualified("silver", "erp_customers")).collect()
+    ]
+    assert sorted(cids) == ["123", "123", "900"]
+
+
+def test_incremental_append_replay_is_noop(spark, cats):
+    """Crash between the silver append and the ledger write: the re-run
+    sees the batch's _ingestion_batch_id already in silver and must not
+    append it again (the r4 ADVICE double-apply scenario)."""
+    inc, _ = cats
+    inc.append(_bronze(spark, SALES_B1, SALES_SCHEMA, "b1"),
+               "bronze", "crm_sales_raw")
+    silver.run_silver_incremental(inc)
+    inc.append(_bronze(spark, SALES_B2, SALES_SCHEMA, "b2"),
+               "bronze", "crm_sales_raw")
+    silver.run_silver_incremental(inc)
+    qsilver = inc.qualified("silver", "crm_sales")
+    before = sorted(
+        tuple(r) for r in spark.table(qsilver).select("sls_ord_num").collect()
+    )
+
+    # simulate the crash window: erase b2 from the ledger (data stayed)
+    qlog = inc.qualified("logs", silver.BATCH_LOG_TABLE)
+    surviving = spark.table(qlog).filter(
+        ~((F.col("table_name") == "crm_sales_raw")
+          & (F.col("_ingestion_batch_id") == "b2"))
+    )
+    inc.overwrite(surviving, "logs", silver.BATCH_LOG_TABLE)
+
+    r = silver.run_silver_incremental(inc, tables=["crm_sales_raw"])
+    assert r["crm_sales"] == {"mode": "append", "batches": 1, "rows": 0}
+    after = sorted(
+        tuple(r) for r in spark.table(qsilver).select("sls_ord_num").collect()
+    )
+    assert after == before  # no duplicated batch rows
+    # and the ledger is healed — a further run is a clean noop
+    r2 = silver.run_silver_incremental(inc, tables=["crm_sales_raw"])
+    assert r2["crm_sales"]["mode"] == "noop"
+
+
+def test_incremental_append_after_full_rebuild_evolves_schema(spark, cats):
+    """A silver table first built by the FULL run_silver (no provenance
+    column) accepts incremental appends afterwards: the schema is evolved
+    and pre-existing rows read as NULL provenance."""
+    inc, _ = cats
+    inc.append(_bronze(spark, SALES_B1, SALES_SCHEMA, "b1"),
+               "bronze", "crm_sales_raw")
+    silver.run_silver(inc)  # full build — no _ingestion_batch_id column
+    # full build bypasses the ledger: seed it so b1 is not re-appended
+    silver._record_batches(inc, "crm_sales_raw", ["b1"])
+    inc.append(_bronze(spark, SALES_B2, SALES_SCHEMA, "b2"),
+               "bronze", "crm_sales_raw")
+    r = silver.run_silver_incremental(inc, tables=["crm_sales_raw"])
+    assert r["crm_sales"] == {"mode": "append", "batches": 1, "rows": 1}
+    rows = {
+        r.sls_ord_num: r["_ingestion_batch_id"]
+        for r in spark.table(inc.qualified("silver", "crm_sales")).collect()
+    }
+    assert rows == {"O1": None, "O2": "b2"}
