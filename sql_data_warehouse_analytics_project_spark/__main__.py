@@ -24,6 +24,11 @@ def main(argv: list[str] | None = None) -> int:
         help="cleanse only bronze batches not yet reflected in silver",
     )
     ap.add_argument("--gold", action="store_true", help="build the gold star schema")
+    ap.add_argument(
+        "--gold-incremental", action="store_true",
+        help="refresh gold for silver batches not yet reflected in it "
+        "(partition-scoped fact rebuild)",
+    )
     ap.add_argument("--all", action="store_true", help="setup + bronze + silver + gold")
     ap.add_argument("--crm-dir", default=None)
     ap.add_argument("--erp-dir", default=None)
@@ -43,7 +48,7 @@ def main(argv: list[str] | None = None) -> int:
 
     if not any(
         (args.setup, args.bronze, args.silver, args.silver_incremental,
-         args.gold, args.all)
+         args.gold, args.gold_incremental, args.all)
     ):
         ap.print_help()
         return 2
@@ -70,6 +75,8 @@ def main(argv: list[str] | None = None) -> int:
                 results["silver_incremental"] = wh.run_silver_incremental()
             if args.gold:
                 results["gold"] = wh.run_gold()
+            if args.gold_incremental:
+                results["gold_incremental"] = wh.run_gold_incremental()
     except Exception as e:  # noqa: BLE001 — CLI boundary: report + exit code
         print(json.dumps({"status": "FAILED", "error": str(e)}), file=sys.stderr)
         return 1

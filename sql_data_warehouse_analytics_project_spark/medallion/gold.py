@@ -330,3 +330,253 @@ def run_gold(catalog, *, run_context=None) -> dict[str, int]:
         run_context=run_context,
     )
     return results
+
+
+def _overwrite_fact_partitions(catalog, df) -> None:
+    """Dynamic partition overwrite of ``gold.fact_sales``: only the
+    ``order_month`` partitions present in ``df`` are replaced; every
+    other partition's files are untouched (the property the incremental
+    test asserts on the filesystem). Commit is per-job via the parquet
+    committer — a crash mid-write leaves the old partition files visible
+    (on Delta this would be a single atomic commit)."""
+    spark = catalog.spark
+    target = catalog.qualified("gold", "fact_sales")
+    tcols = spark.table(target).columns
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        # insertInto is position-based: order columns to the table schema
+        df.select(*tcols).write.mode("overwrite").insertInto(target)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def run_gold_incremental(catalog, *, run_context=None) -> dict:
+    """Silver → gold refreshing ONLY what new data touched.
+
+    Extends the silver batch ledger through gold (the reference's
+    incremental-load intent, ``sql/dml.py:340-391``, carried across the
+    full medallion): ``logs.gold_batch_log`` records which silver sales
+    batches (``_ingestion_batch_id`` provenance from the append-mode
+    silver refresh) are already reflected in ``gold.fact_sales``, and a
+    refresh rebuilds only the ``order_month`` partitions whose inputs
+    changed — at a 100 TB fact a one-batch refresh re-scans and rewrites
+    one month, not every month.
+
+    Affected months are the union of:
+
+    - months of the NEW silver sales batches (ledger set-difference —
+      exact, no timestamp boundary);
+    - months of existing fact rows whose dim surrogate mapping CHANGED
+      or VANISHED (full dim rebuilds are cheap — dims are small — but a
+      ``row_number`` surrogate shift must invalidate the fact rows that
+      reference the old keys; detected by diffing the old vs new
+      (natural key → surrogate key) pairs, read via a column-pruned
+      scan of just (order_month, customer_key/product_key));
+    - months of NULL-surrogate fact rows when a dim gained new natural
+      keys (late-arriving dimension: a previously unmatched fact row
+      may now resolve).
+
+    Dims rebuild fully but are REWRITTEN only when their content
+    actually changed (row-level symmetric difference on the data
+    columns); reports rebuild whenever the fact or a dim changed. The
+    partition swap is a dynamic-partition overwrite, so untouched month
+    directories keep their files byte-for-byte.
+
+    Crash-safety: the ledger is written LAST; every earlier step is
+    idempotent (dim staged swaps, deterministic partition rebuilds), so
+    a replayed run converges to the same state. Falls back to the full
+    :func:`run_gold` when gold does not exist yet or silver sales lacks
+    batch provenance (built by the full ``run_silver``), seeding the
+    ledger when provenance is available.
+    """
+    from sql_data_warehouse_analytics_project_spark.catalog import (
+        MEDALLION_METADATA_COLUMNS,
+        with_medallion_metadata,
+    )
+    from sql_data_warehouse_analytics_project_spark.medallion.silver import (
+        _ledger_diff,
+        _record_batches,
+    )
+
+    spark = catalog.spark
+    read = lambda t: catalog.read("silver", t)  # noqa: E731
+    sales = read("crm_sales")
+    have_gold = all(
+        catalog.table_exists("gold", t)
+        for t in ("dim_customers", "dim_products", "fact_sales")
+    )
+    has_provenance = "_ingestion_batch_id" in sales.columns
+    if not have_gold or not has_provenance:
+        tables = run_gold(catalog, run_context=run_context)
+        if has_provenance:
+            batches = [
+                r[0]
+                for r in sales.filter(F.col("_ingestion_batch_id").isNotNull())
+                .select("_ingestion_batch_id")
+                .distinct()
+                .collect()
+            ]
+            _record_batches(
+                catalog, "crm_sales", batches, table=GOLD_BATCH_LOG_TABLE
+            )
+        return {
+            "mode": "full",
+            "batches": None,
+            "rebuilt_months": None,
+            "tables": tables,
+        }
+
+    # NULL provenance rows (schema-evolved history) were by construction
+    # present when the ledger was seeded by the full build — only rows
+    # with a batch id participate in the incremental diff.
+    new_sales, new_batches = _ledger_diff(
+        catalog,
+        GOLD_BATCH_LOG_TABLE,
+        "crm_sales",
+        sales.filter(F.col("_ingestion_batch_id").isNotNull()),
+    )
+
+    # Rebuild the dims (small) and materialize once: the change probe,
+    # the mapping diff, and the possible rewrite all reuse the result.
+    new_dim_c = build_dim_customers(
+        read("crm_customers"), read("erp_customers"), read("erp_locations")
+    ).localCheckpoint(eager=True)
+    new_dim_p = build_dim_products(
+        read("crm_products"), read("erp_product_categories")
+    ).localCheckpoint(eager=True)
+
+    def dim_state(name, new_df, natural, skey):
+        old = spark.table(catalog.qualified("gold", name))
+        data_cols = [c for c in old.columns if c not in MEDALLION_METADATA_COLUMNS]
+        old_data = old.select(*data_cols)
+        new_data = new_df.select(*data_cols)
+        changed = not (
+            old_data.exceptAll(new_data)
+            .union(new_data.exceptAll(old_data))
+            .isEmpty()
+        )
+        # old surrogate keys whose (natural → surrogate) mapping is gone
+        stale = (
+            old.select(natural, skey)
+            .exceptAll(new_df.select(natural, skey))
+            .select(skey)
+            .distinct()
+        )
+        gained = not (
+            new_df.select(natural).exceptAll(old.select(natural)).isEmpty()
+        )
+        return changed, (stale if changed else None), gained and changed
+
+    c_changed, c_stale, c_gained = dim_state(
+        "dim_customers", new_dim_c, "customer_id", "customer_key"
+    )
+    p_changed, p_stale, p_gained = dim_state(
+        "dim_products", new_dim_p, "product_number", "product_key"
+    )
+
+    if not new_batches and not c_changed and not p_changed:
+        return {"mode": "noop", "batches": 0, "rebuilt_months": [], "tables": {}}
+
+    # Affected months — each probe is a column-pruned scan of the fact's
+    # (order_month, key) columns only, and runs only when a dim changed.
+    fact_old = spark.table(catalog.qualified("gold", "fact_sales"))
+    month_sets = [
+        new_sales.select(
+            F.trunc("sls_order_dt", "month").alias("order_month")
+        ).distinct()
+    ]
+    if c_changed and not c_stale.isEmpty():
+        month_sets.append(
+            fact_old.join(F.broadcast(c_stale), "customer_key", "semi")
+            .select("order_month")
+            .distinct()
+        )
+    if p_changed and not p_stale.isEmpty():
+        month_sets.append(
+            fact_old.join(F.broadcast(p_stale), "product_key", "semi")
+            .select("order_month")
+            .distinct()
+        )
+    if c_gained or p_gained:
+        month_sets.append(
+            fact_old.filter(
+                F.col("customer_key").isNull() | F.col("product_key").isNull()
+            )
+            .select("order_month")
+            .distinct()
+        )
+    months_df = month_sets[0]
+    for m in month_sets[1:]:
+        months_df = months_df.union(m)
+    months = [r[0] for r in months_df.distinct().collect()]
+
+    results: dict = {
+        "mode": "incremental",
+        "batches": len(new_batches),
+        "rebuilt_months": sorted(
+            m.isoformat() if m is not None else "NULL" for m in months
+        ),
+        "tables": {},
+    }
+    if c_changed:
+        results["tables"]["dim_customers"] = _write_gold(
+            catalog, "dim_customers", new_dim_c, run_context=run_context
+        )
+    if p_changed:
+        results["tables"]["dim_products"] = _write_gold(
+            catalog, "dim_products", new_dim_p, run_context=run_context
+        )
+
+    if months:
+        dim_customers = catalog.read("gold", "dim_customers")
+        dim_products = catalog.read("gold", "dim_products")
+        month_vals = [m for m in months if m is not None]
+        month_expr = F.trunc("sls_order_dt", "month")
+        cond = month_expr.isin(month_vals) if month_vals else F.lit(False)
+        if any(m is None for m in months):
+            cond = cond | month_expr.isNull()
+        # the month filter sits on the silver scan (pushdown) — the
+        # rebuild reads only the affected months' silver rows, and every
+        # silver row of those months (all batches), so each rebuilt
+        # partition is complete
+        scoped = sales.filter(cond)
+        fact_new = build_fact_sales(
+            scoped, dim_products, dim_customers
+        ).withColumn("order_month", F.trunc("order_date", "month"))
+        managed = with_medallion_metadata(
+            fact_new, created_by="gold", source_system="silver"
+        )
+        _overwrite_fact_partitions(catalog, managed)
+        n = managed.count()
+        results["tables"]["fact_sales"] = n
+        if run_context is not None:
+            for src_layer, src_table in GOLD_INPUTS["fact_sales"]:
+                run_context.log_lineage(
+                    source_schema=catalog.db(src_layer),
+                    source_table=src_table,
+                    target_schema=catalog.db("gold"),
+                    target_table="fact_sales",
+                    transformation_logic="build_fact_sales[incremental]",
+                    record_count=n,
+                )
+
+    if months or c_changed or p_changed:
+        fact_sales = catalog.read("gold", "fact_sales")
+        dim_customers = catalog.read("gold", "dim_customers")
+        dim_products = catalog.read("gold", "dim_products")
+        results["tables"]["report_customers"] = _write_gold(
+            catalog,
+            "report_customers",
+            build_customer_report(fact_sales, dim_customers),
+            run_context=run_context,
+        )
+        results["tables"]["report_products"] = _write_gold(
+            catalog,
+            "report_products",
+            build_product_report(fact_sales, dim_products),
+            run_context=run_context,
+        )
+
+    _record_batches(catalog, "crm_sales", new_batches, table=GOLD_BATCH_LOG_TABLE)
+    return results

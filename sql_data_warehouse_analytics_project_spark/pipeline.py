@@ -78,6 +78,17 @@ class Warehouse:
             with self.ctx.measure("gold_build", process_log_id=log_id):
                 return gold.run_gold(self.catalog, run_context=self.ctx)
 
+    def run_gold_incremental(self) -> dict:
+        """Gold refresh scoped to silver sales batches not yet in the
+        ``logs.gold_batch_log`` ledger: partition-scoped fact rebuild,
+        dims/reports rebuilt only when changed (see
+        ``gold.run_gold_incremental``)."""
+        with self.ctx.run("gold_incremental", target_layer="gold") as log_id:
+            with self.ctx.measure("gold_incremental", process_log_id=log_id):
+                return gold.run_gold_incremental(
+                    self.catalog, run_context=self.ctx
+                )
+
     def run_all(self, crm_dir: str, erp_dir: str) -> dict:
         self.setup()
         return {

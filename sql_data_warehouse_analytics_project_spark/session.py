@@ -38,6 +38,18 @@ def get_spark(
     master = master or f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
     builder = (
         SparkSession.builder.appName(app_name)
+    )
+    if os.environ.get("SPARK_GRAFT_PERSISTENT_CATALOG", "0") == "1":
+        # Opt-in persistent metastore (Hive catalog over an embedded Derby
+        # db in ./metastore_db): table metadata survives the process, so
+        # multi-invocation CLI workflows (--bronze today,
+        # --silver-incremental/--gold-incremental tomorrow) see yesterday's
+        # tables. Off by default — tests/bench/gate run one disposable
+        # session and the in-memory catalog avoids Derby's single-writer
+        # lock. On a cluster this maps to the real shared metastore.
+        builder = builder.enableHiveSupport()
+    builder = (
+        builder
         .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS))
         .config("spark.sql.adaptive.enabled", "true")

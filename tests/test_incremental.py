@@ -130,6 +130,7 @@ def test_incremental_silver_matches_full_rebuild(spark, cats):
 
 ERP_CUST_SCHEMA = "CID string, BDATE date, GEN string"
 ERP_LOC_SCHEMA = "CID string, CNTRY string"
+ERP_CAT_SCHEMA = "ID string, CAT string, SUBCAT string, MAINTENANCE string"
 
 
 def test_incremental_noninjective_key_normalization(spark, cats):
@@ -222,3 +223,133 @@ def test_incremental_append_after_full_rebuild_evolves_schema(spark, cats):
         for r in spark.table(inc.qualified("silver", "crm_sales")).collect()
     }
     assert rows == {"O1": None, "O2": "b2"}
+
+
+# ---------------------------------------------------------------------------
+# Incremental gold refresh
+# ---------------------------------------------------------------------------
+
+from sql_data_warehouse_analytics_project_spark.medallion import gold  # noqa: E402
+
+GOLD_TABLES = (
+    "dim_customers", "dim_products", "fact_sales",
+    "report_customers", "report_products",
+)
+
+
+def _seed_bronze_b1(cat, spark):
+    cat.append(_bronze(spark, CUST_B1, CUST_SCHEMA, "b1"),
+               "bronze", "crm_customers_raw")
+    cat.append(_bronze(spark, PROD_B1, PROD_SCHEMA, "b1"),
+               "bronze", "crm_products_raw")
+    cat.append(_bronze(spark, SALES_B1, SALES_SCHEMA, "b1"),
+               "bronze", "crm_sales_raw")
+    cat.append(
+        _bronze(spark, [("K1", date(1980, 3, 3), "F")], ERP_CUST_SCHEMA, "b1"),
+        "bronze", "erp_customers_raw",
+    )
+    cat.append(
+        _bronze(spark, [("K1", "US")], ERP_LOC_SCHEMA, "b1"),
+        "bronze", "erp_locations_raw",
+    )
+    cat.append(
+        _bronze(spark, [("CO_RF", "Bikes", "Road", "Yes")], ERP_CAT_SCHEMA, "b1"),
+        "bronze", "erp_product_categories_raw",
+    )
+
+
+def _seed_bronze_b2(cat, spark, cust_rows=CUST_B2):
+    cat.append(_bronze(spark, cust_rows, CUST_SCHEMA, "b2"),
+               "bronze", "crm_customers_raw")
+    cat.append(_bronze(spark, PROD_B2, PROD_SCHEMA, "b2"),
+               "bronze", "crm_products_raw")
+    sales_b2 = [
+        ("O2", "X1", 3, 20250210, 20250215, 20250220, 12, 3, 4),
+        ("O3", "X1", 1, 0, 20250210, 20250215, None, 2, 6),  # bad date → NULL month
+    ]
+    cat.append(_bronze(spark, sales_b2, SALES_SCHEMA, "b2"),
+               "bronze", "crm_sales_raw")
+
+
+def _fact_partition_files(cat, part_dir):
+    import os
+
+    loc = cat.table_stats("gold", "fact_sales")["location"]
+    root = os.path.join(loc.removeprefix("file:"), part_dir)
+    out = set()
+    for dirpath, _, files in os.walk(root):
+        for f in files:
+            p = os.path.join(dirpath, f)
+            st = os.stat(p)
+            out.add((os.path.relpath(p, root), st.st_size, st.st_mtime_ns))
+    return out
+
+
+def test_incremental_gold_matches_full_and_skips_untouched_partitions(spark, cats):
+    """The verdict's done-criteria: two incremental gold runs produce the
+    same gold a full rebuild of the combined data produces, AND an
+    untouched month's partition files are not rewritten."""
+    inc, full = cats
+
+    _seed_bronze_b1(inc, spark)
+    silver.run_silver_incremental(inc)
+    r1 = gold.run_gold_incremental(inc)
+    assert r1["mode"] == "full"  # first run seeds gold + the ledger
+
+    _seed_bronze_b2(inc, spark)
+    silver.run_silver_incremental(inc)
+    jan_before = _fact_partition_files(inc, "order_month=2025-01-01")
+    assert jan_before  # the January partition exists and has files
+    r2 = gold.run_gold_incremental(inc)
+    assert r2["mode"] == "incremental" and r2["batches"] == 1
+    # new batch touched Feb + the bad-date NULL month — January did not move
+    assert r2["rebuilt_months"] == ["2025-02-01", "NULL"]
+    assert _fact_partition_files(inc, "order_month=2025-01-01") == jan_before
+    # dims changed (new customer, SCD2 product flip) → rebuilt + reports
+    assert {"dim_customers", "dim_products", "fact_sales",
+            "report_customers", "report_products"} <= set(r2["tables"])
+
+    # replay with nothing new is a noop and touches no partition at all
+    feb = _fact_partition_files(inc, "order_month=2025-02-01")
+    r3 = gold.run_gold_incremental(inc)
+    assert r3["mode"] == "noop"
+    assert _fact_partition_files(inc, "order_month=2025-02-01") == feb
+
+    # bit-for-bit vs a full rebuild over the combined bronze
+    _seed_bronze_b1(full, spark)
+    _seed_bronze_b2(full, spark)
+    silver.run_silver(full)
+    gold.run_gold(full)
+    for t in GOLD_TABLES:
+        assert _data_rows(inc, t, layer="gold") == _data_rows(full, t, layer="gold"), t
+
+    # the late dim row resolved: Feb's sale for the batch-2 customer keyed
+    fact = spark.table(inc.qualified("gold", "fact_sales"))
+    feb_row = fact.filter(F.col("order_number") == "O2").collect()[0]
+    assert feb_row.customer_key == 3 and feb_row.product_key is not None
+
+
+def test_incremental_gold_dim_key_shift_rebuilds_referencing_months(spark, cats):
+    """The hard case for row_number surrogates: a new customer that sorts
+    BEFORE existing ids shifts every later surrogate key, so months whose
+    fact rows reference the old keys must be rebuilt — detected via the
+    old-vs-new mapping diff, converging to the full-rebuild state."""
+    inc, full = cats
+
+    _seed_bronze_b1(inc, spark)
+    silver.run_silver_incremental(inc)
+    gold.run_gold_incremental(inc)
+
+    shifted = [(0, "K0B", "Zed", "Early", "M", "F", date(2025, 2, 1))] + CUST_B2
+    _seed_bronze_b2(inc, spark, cust_rows=shifted)
+    silver.run_silver_incremental(inc)
+    r2 = gold.run_gold_incremental(inc)
+    # cst_id 0 → surrogate 1; old keys 1/2 shifted → Jan's fact is stale
+    assert "2025-01-01" in r2["rebuilt_months"]
+
+    _seed_bronze_b1(full, spark)
+    _seed_bronze_b2(full, spark, cust_rows=shifted)
+    silver.run_silver(full)
+    gold.run_gold(full)
+    for t in GOLD_TABLES:
+        assert _data_rows(inc, t, layer="gold") == _data_rows(full, t, layer="gold"), t
