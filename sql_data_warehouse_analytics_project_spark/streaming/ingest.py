@@ -57,14 +57,25 @@ def stream_bronze_ingest(
     checkpoint_dir: str,
     run_context=None,
     available_now: bool = False,
+    refresh_silver: bool = False,
 ) -> StreamingQuery:
     """foreachBatch bronze sink: per micro-batch — enrich (same columnar
     path as batch ingestion) → append → audit row. Exactly-once at the
     batch level: foreachBatch alone is only at-least-once (a crash between
     the append and the checkpoint commit replays the batch), so the sink
     probes for its own ``_ingestion_batch_id`` and skips a batch it
-    already wrote."""
-    sink = bronze_batch_sink(catalog, table, run_context)
+    already wrote.
+
+    ``refresh_silver=True`` extends the stream through the medallion: after
+    each committed micro-batch the ledger-driven incremental silver refresh
+    runs for this table (``medallion.silver.run_silver_incremental``,
+    scoped), so silver continuously tracks the drop zone. Restart-safe by
+    composition: the silver ledger makes a replayed batch an exact no-op,
+    and the refresh also runs on the bronze-side replay-skip path, closing
+    the crash window between a bronze commit and its silver refresh."""
+    sink = bronze_batch_sink(
+        catalog, table, run_context, refresh_silver=refresh_silver
+    )
     writer = stream.writeStream.foreachBatch(sink).option(
         "checkpointLocation", checkpoint_dir
     )
@@ -73,9 +84,22 @@ def stream_bronze_ingest(
     return writer.start()
 
 
-def bronze_batch_sink(catalog: Catalog, table: str, run_context=None):
+def bronze_batch_sink(
+    catalog: Catalog, table: str, run_context=None, *, refresh_silver: bool = False
+):
     """The foreachBatch callable itself, exposed so tests can drive replay
     scenarios directly (same (batch_df, batch_id) signature Spark uses)."""
+
+    def _silver_refresh() -> None:
+        from sql_data_warehouse_analytics_project_spark.medallion import (
+            silver as silver_mod,
+        )
+
+        if table in silver_mod.SILVER_TRANSFORMS:
+            # scoped to this table; the batch ledger makes replays no-ops
+            silver_mod.run_silver_incremental(
+                catalog, run_context=run_context, tables=[table]
+            )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         bid = f"stream-{batch_id}"
@@ -89,7 +113,12 @@ def bronze_batch_sink(catalog: Catalog, table: str, run_context=None):
                 .count()
             )
             if already:
-                return  # replay of a committed batch — idempotent skip
+                # replay of a committed bronze batch — idempotent skip, but
+                # still drive silver: the crash may have hit AFTER the
+                # bronze commit and BEFORE the silver refresh
+                if refresh_silver:
+                    _silver_refresh()
+                return
         # materialize once: the audit count and the append would otherwise
         # each execute the full enrichment plan
         enriched = enrich_bronze(batch_df, batch_id=bid).localCheckpoint(eager=True)
@@ -104,6 +133,8 @@ def bronze_batch_sink(catalog: Catalog, table: str, run_context=None):
                 f"stream_bronze.{table}.batch_{batch_id}", target_layer="bronze"
             )
             run_context.end_process(log_id, "SUCCESS", rows_processed=n)
+        if refresh_silver:
+            _silver_refresh()
 
     return sink
 

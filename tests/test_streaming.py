@@ -462,3 +462,113 @@ def test_streaming_rollup_end_to_end_resolves_real_checkpoint_uuid(spark):
         cat.drop_layers()
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+SALES_DDL = (
+    "sls_ord_num string, sls_prd_key string, sls_cust_id int, "
+    "sls_order_dt long, sls_ship_dt long, sls_due_dt long, "
+    "sls_sales long, sls_quantity long, sls_price long"
+)
+_SALES_HEADER = (
+    "sls_ord_num,sls_prd_key,sls_cust_id,sls_order_dt,sls_ship_dt,"
+    "sls_due_dt,sls_sales,sls_quantity,sls_price"
+)
+
+
+def _write_sales_csv(dirpath: str, fname: str, rows: list[str]) -> None:
+    with open(os.path.join(dirpath, fname), "w") as f:
+        f.write(_SALES_HEADER + "\n")
+        f.writelines(r + "\n" for r in rows)
+
+
+def test_stream_bronze_to_silver_refresh(spark, dropzone):
+    """Streamed drop-zone files flow bronze AND silver continuously
+    (refresh_silver=True): two availableNow rounds with a restart end with
+    silver bit-identical to a batch rebuild of the same bronze, and the
+    silver batch ledger holds no duplicate entries (the round-5 verdict
+    item 5 contract)."""
+    from sql_data_warehouse_analytics_project_spark.catalog import (
+        MEDALLION_METADATA_COLUMNS,
+    )
+    from sql_data_warehouse_analytics_project_spark.medallion import silver
+
+    cat = Catalog(spark, prefix="stslv_")
+    full = Catalog(spark, prefix="stslvf_")
+    for c in (cat, full):
+        c.drop_layers()
+        c.create_layers()
+    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    try:
+        _write_sales_csv(dropzone, "a.csv", [
+            "O1,X1,1,20250105,20250110,20250115,10,2,5",
+            "O2,X1,2,20250106,20250111,20250116,0,3,4",  # bad sales → recompute
+        ])
+        q = stream_bronze_ingest(
+            stream_csv_drop_zone(spark, dropzone, SALES_DDL),
+            cat, "crm_sales_raw",
+            checkpoint_dir=ckpt, available_now=True, refresh_silver=True,
+        )
+        q.awaitTermination(120)
+        assert spark.table(cat.qualified("silver", "crm_sales")).count() == 2
+
+        import time
+
+        time.sleep(2)  # file-source mtime-tick hazard (see module docstring)
+        _write_sales_csv(dropzone, "b.csv", [
+            "O3,X1,3,0,20250210,20250215,,2,6",  # bad date → NULL order date
+        ])
+        q2 = stream_bronze_ingest(
+            stream_csv_drop_zone(spark, dropzone, SALES_DDL),
+            cat, "crm_sales_raw",
+            checkpoint_dir=ckpt, available_now=True, refresh_silver=True,
+        )
+        q2.awaitTermination(120)
+
+        got = spark.table(cat.qualified("silver", "crm_sales"))
+        assert got.count() == 3
+        # no silver row was applied twice across the restart
+        assert (
+            got.groupBy("sls_ord_num").count().filter("count > 1").count() == 0
+        )
+        # ledger: one entry per (table, batch), never duplicated
+        log = spark.table(cat.qualified("logs", silver.BATCH_LOG_TABLE))
+        assert (
+            log.groupBy("table_name", "_ingestion_batch_id").count()
+            .filter("count > 1").count() == 0
+        )
+
+        # bit-identical to a batch rebuild over the same bronze rows
+        full.append(
+            spark.table(cat.qualified("bronze", "crm_sales_raw")),
+            "bronze", "crm_sales_raw",
+        )
+        silver.run_silver(full)
+
+        def data_rows(c):
+            df = c.spark.table(c.qualified("silver", "crm_sales"))
+            cols = sorted(
+                x for x in df.columns
+                if (x not in MEDALLION_METADATA_COLUMNS or x == "row_hash")
+                and not x.startswith("_")
+            )
+            return sorted(tuple(str(v) for v in r) for r in df.select(*cols).collect())
+
+        assert data_rows(cat) == data_rows(full)
+
+        # a replayed/no-new-data restart leaves silver untouched (exact noop)
+        q3 = stream_bronze_ingest(
+            stream_csv_drop_zone(spark, dropzone, SALES_DDL),
+            cat, "crm_sales_raw",
+            checkpoint_dir=ckpt, available_now=True, refresh_silver=True,
+        )
+        q3.awaitTermination(120)
+        assert spark.table(cat.qualified("silver", "crm_sales")).count() == 3
+        assert (
+            spark.table(cat.qualified("logs", silver.BATCH_LOG_TABLE))
+            .groupBy("table_name", "_ingestion_batch_id").count()
+            .filter("count > 1").count() == 0
+        )
+    finally:
+        for c in (cat, full):
+            c.drop_layers()
+        shutil.rmtree(ckpt, ignore_errors=True)
