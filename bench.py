@@ -13,6 +13,11 @@ Design notes for comparability across rounds:
   bench here is dominated by fixed per-job costs (driver scheduling, janino
   codegen compile, Python worker spin-up) that scale with box speed, NOT
   with data. Divide by the calibration ratio before comparing rounds.
+- Box speed also drifts WITHIN a run (measured 2.5× in round 4), so the
+  calibration workload is re-timed before every pass and once at the end
+  (``calibrations`` in the artifact), and each query's normalized best-of
+  uses the calibration of the pass each timing came from — a slow VM
+  window can no longer manufacture a phantom per-query regression.
 - Bronze ingest (the reference's only published baseline number,
   >10,000 rows/s) runs FIRST so a driver-side timeout can never starve it.
 - ``bench_result.json`` is rewritten after every query: if the harness
@@ -148,24 +153,46 @@ def main() -> None:
     # reported alongside for transparency. The result file is rewritten
     # after every query so a harness kill still leaves a usable artifact.
     passes: list[dict[str, float]] = []
+    pass_calibs: list[float] = []
+
+    def _bests(all_passes):
+        # best over EVERY name seen in ANY pass — not just the current
+        # one, or a kill mid-pass-2 would leave a file whose headline
+        # total covers only the few queries re-run so far. Normalized
+        # best-of uses each pass's OWN calibration (0.40 s reference
+        # core), so mid-run VM drift can't poison a query's number.
+        seen = {n for p in all_passes for n in p}
+        best = {n: min(p[n] for p in all_passes if n in p) for n in seen}
+        nbest = {
+            n: min(
+                p[n] * (0.40 / max(c, 1e-6))
+                for p, c in zip(all_passes, pass_calibs)
+                if n in p
+            )
+            for n in seen
+        }
+        return best, nbest
+
+    def _record(all_passes):
+        best, nbest = _bests(all_passes)
+        out["queries"] = {k: round(v, 2) for k, v in best.items()}
+        out["queries_normalized"] = {k: round(v, 2) for k, v in nbest.items()}
+        out["value"] = round(sum(best.values()), 3)
+        out["value_normalized"] = round(sum(nbest.values()), 3)
+        out["passes"] = len(all_passes)
+        out["calibrations"] = {
+            "start": calib, "passes": pass_calibs[: len(all_passes)],
+        }
+
     for _ in range(max(n_passes, 1)):
+        pass_calibs.append(_cpu_calibration())
         timings: dict[str, float] = {}
         for name, fn in qs.items():
             t0 = time.time()
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             timings[name] = round(time.time() - t0, 3)
-            # best over EVERY name seen in ANY pass — not just the current
-            # one, or a kill mid-pass-2 would leave a file whose headline
-            # total covers only the few queries re-run so far
-            seen = {n for p in passes + [timings] for n in p}
-            best = {
-                n: min(p[n] for p in passes + [timings] if n in p)
-                for n in seen
-            }
-            out["queries"] = {k: round(v, 2) for k, v in best.items()}
-            out["value"] = round(sum(best.values()), 3)
-            out["passes"] = len(passes) + 1
+            _record(passes + [timings])
             if not passes:
                 out["cold_total"] = round(sum(timings.values()), 2)
             _write_partial(out)
@@ -174,16 +201,9 @@ def main() -> None:
         if time.time() - start > budget_s / 2:
             break
 
-    best = {name: min(p[name] for p in passes) for name in qs}
-    out["queries"] = {k: round(v, 2) for k, v in best.items()}
-    out["value"] = round(sum(best.values()), 3)
+    _record(passes)
     out["cold_total"] = round(sum(passes[0].values()), 2)
-    out["passes"] = len(passes)
-    # Cross-round comparability: normalize by the calibration ratio against
-    # a 0.40 s reference core so judges can compare rounds mechanically
-    # without re-deriving the VM-speed correction.
-    if calib > 0:
-        out["value_normalized"] = round(out["value"] * (0.40 / calib), 3)
+    out["calibrations"]["end"] = _cpu_calibration()
     out["complete"] = True
     _write_partial(out)
 
@@ -204,6 +224,7 @@ def main() -> None:
         "passes": out["passes"],
         "sf": out["sf"],
         "cpu_calibration_sec": calib,
+        "calibrations": out["calibrations"],
         "bronze_rows_per_second": out.get("bronze_rows_per_second"),
         "n_queries": len(out["queries"]),
         "complete": True,

@@ -6,12 +6,20 @@ order-insensitive values (columns sorted by name, rows sorted, cells
 normalized to strings). Exact match required — this is intentionally at
 least as strict as any reasonable value-hash the driver computes.
 
+Besides the stdout log (which interleaves with Spark's console chatter),
+the per-key evidence is written to ``gate_result.json`` at the repo root
+after EVERY key (atomic replace) — machine-readable regardless of log
+noise, and still useful if the process is killed mid-run (``complete``
+flips to true only at the end).
+
 Usage: python tools/oracle_check.py [sf_dir] [query ...]
 """
 
 from __future__ import annotations
 
+import json
 import math
+import os
 import sys
 import time
 
@@ -42,6 +50,17 @@ def _norm_rows(cols, rows):
     return sorted_cols, out
 
 
+_GATE_PATH = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                          "gate_result.json")
+
+
+def _write_gate(doc: dict) -> None:
+    tmp = _GATE_PATH + ".tmp"
+    with open(tmp, "w") as fh:
+        fh.write(json.dumps(doc, indent=1) + "\n")
+    os.replace(tmp, _GATE_PATH)
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -57,6 +76,24 @@ def main() -> int:
     oracles = entrymod.oracle_sql()
 
     failures = []
+    doc: dict = {
+        "sf_dir": sf_dir,
+        "complete": False,
+        "failures": failures,
+        "results": {},
+    }
+
+    def record(name, status, rows, t0, detail=None):
+        entry = {
+            "status": status,
+            "rows": rows,
+            "seconds": round(time.time() - t0, 2),
+        }
+        if detail:
+            entry["detail"] = detail[:500]
+        doc["results"][name] = entry
+        _write_gate(doc)
+
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -68,10 +105,12 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {e}")
             failures.append(name)
+            record(name, "FAIL", None, t0, f"spark error: {e}")
             continue
         if name not in oracles:
             print(f"SKIP  {name}: no oracle (rows-only: {len(s_rows)} rows, "
                   f"{time.time()-t0:.1f}s)")
+            record(name, "SKIP", len(s_rows), t0)
             continue
         try:
             res = con.execute(oracles[name])
@@ -80,6 +119,7 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {e}")
             failures.append(name)
+            record(name, "FAIL", len(s_rows), t0, f"duckdb error: {e}")
             continue
 
         sc, sr = _norm_rows(s_cols, s_rows)
@@ -94,10 +134,14 @@ def main() -> int:
             status = f"VALUE MISMATCH first-diffs={diffs}"
         if status == "ok":
             print(f"PASS  {name} ({len(sr)} rows, {time.time()-t0:.1f}s)")
+            record(name, "PASS", len(sr), t0)
         else:
             print(f"FAIL  {name}: {status}")
             failures.append(name)
+            record(name, "FAIL", len(sr), t0, status)
 
+    doc["complete"] = True
+    _write_gate(doc)
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
     return 1 if failures else 0
 
