@@ -52,16 +52,21 @@ def connected_components(
     ``max_iter`` bounds the label-propagation rounds (diameter bound);
     convergence short-circuits as soon as a round changes no label.
 
-    Graphs at or under ``driver_max_edges`` (known for free — the edge
-    list is materialized anyway) resolve with union-find on the driver:
-    near-dup pair sets are typically tiny next to the corpus, and the
-    distributed loop's cost is per-round JOB overhead, not data, so a
-    sub-second exact union-find beats 3+ rounds of join+checkpoint by
-    ~10×. The iterative path is the ≥millions-of-edges scale story; the
-    cutover costs one `count()` on already-materialized rows. Both paths
-    produce identical (node, min-reachable-id) labels.
+    Graphs at or under ``driver_max_edges`` raw pair rows (known for free
+    — the pair list is materialized anyway) resolve with union-find on
+    the driver: near-dup pair sets are typically tiny next to the corpus,
+    and the distributed loop's cost is per-round JOB overhead, not data,
+    so a sub-second exact union-find beats 3+ rounds of join+checkpoint
+    by ~10×. The fast path deliberately does NOT symmetrize or
+    deduplicate first (union-find is direction- and multiplicity-
+    insensitive, so the extra union + exchange would be pure overhead —
+    measured ~0.5 s of fixed job cost on a 1k-pair graph); the
+    symmetrized-distinct edge list is built only for the distributed
+    path, whose per-round joins re-read it. The iterative path is the
+    ≥millions-of-edges scale story. Both paths produce identical
+    (node, min-reachable-id) labels.
     """
-    e = edges.select(
+    e0 = edges.select(
         F.col(src).try_cast("long").alias("u"),
         F.col(dst).try_cast("long").alias("v"),
     ).filter("u is not null and v is not null")
@@ -71,14 +76,8 @@ def connected_components(
     # path and the distributed min-propagation path the SAME edge set: the
     # fast path would otherwise raise comparing None while the distributed
     # path silently ignored such rows.
-    # Symmetrize once; both directions materialized together because every
-    # round re-reads the full edge list.
-    e = (
-        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    if e.count() <= driver_max_edges:
+    e0 = e0.localCheckpoint(eager=True)
+    if e0.count() <= driver_max_edges:
         parent: dict[int, int] = {}
 
         def find(x: int) -> int:
@@ -89,7 +88,9 @@ def connected_components(
                 parent[x], x = r, parent[x]
             return r
 
-        for row in e.toLocalIterator():
+        # bounded by driver_max_edges rows → one collect job (a
+        # toLocalIterator here costs one round-trip per partition)
+        for row in e0.collect():
             u, v = row.u, row.v
             parent.setdefault(u, u)
             parent.setdefault(v, v)
@@ -99,7 +100,16 @@ def connected_components(
                 lo, hi = (ru, rv) if ru < rv else (rv, ru)
                 parent[hi] = lo
         rows = [(n, find(n)) for n in parent]
-        return e.sparkSession.createDataFrame(rows, "node long, comp long")
+        return e0.sparkSession.createDataFrame(rows, "node long, comp long")
+    # Symmetrize once for the distributed rounds; both directions
+    # materialized together because every round re-reads the full edge
+    # list, and distinct() keeps near-clique detectors from inflating
+    # every per-round join.
+    e = (
+        e0.unionByName(e0.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     # Fold the first propagation round into initialization: the symmetric
     # edge list already holds every node as `u`, so min(self, min neighbor)
     # is both the node inventory and round 1 in a single aggregation.
@@ -149,12 +159,16 @@ def dup_clusters(
     deterministic; callers wanting keep-longest should join their own
     quality signal against this table and re-pick).
     """
+    from pyspark.sql.window import Window
+
     cc = connected_components(pairs, src, dst, max_iter=max_iter)
-    sizes = cc.groupBy("comp").agg(F.count(F.lit(1)).alias("cluster_size"))
-    return cc.join(sizes, "comp").select(
+    # one shuffle on comp (window count) instead of groupBy + join back —
+    # same exchange the join would need anyway, minus the join stage
+    size = F.count(F.lit(1)).over(Window.partitionBy("comp"))
+    return cc.select(
         "node",
         F.col("comp").alias("cluster_id"),
-        "cluster_size",
+        size.alias("cluster_size"),
         (F.col("node") == F.col("comp")).alias("is_canonical"),
     )
 
