@@ -150,10 +150,18 @@ class Catalog:
 
     def append(self, df: DataFrame, layer: str, table: str) -> None:
         """S3/S4 sink — bulk columnar append (replaces the reference's
-        per-row INSERT loop, ``bronze.py:495-527``)."""
-        df.write.mode("append").format("parquet").saveAsTable(
-            self.qualified(layer, table)
-        )
+        per-row INSERT loop, ``bronze.py:495-527``). Appends into a
+        partitioned table restate its partition columns (saveAsTable
+        refuses a writer whose partitioning differs from the table's)."""
+        q = self.qualified(layer, table)
+        writer = df.write.mode("append").format("parquet")
+        if self.spark.catalog.tableExists(q):
+            pcols = [
+                c.name for c in self.spark.catalog.listColumns(q) if c.isPartition
+            ]
+            if pcols:
+                writer = writer.partitionBy(*pcols)
+        writer.saveAsTable(q)
 
     def overwrite(
         self,

@@ -532,14 +532,20 @@ def run_gold_incremental(catalog, *, run_context=None) -> dict:
         dim_customers = catalog.read("gold", "dim_customers")
         dim_products = catalog.read("gold", "dim_products")
         month_vals = [m for m in months if m is not None]
-        month_expr = F.trunc("sls_order_dt", "month")
+        # when silver sales is month-partitioned (SILVER_PARTITIONING),
+        # filter on the partition column itself → partition PRUNING: the
+        # rebuild lists only the affected months' directories; otherwise
+        # the derived-month predicate still pushes down to row-group
+        # stats. Either way every silver row of those months (all
+        # batches) is read, so each rebuilt partition is complete.
+        month_expr = (
+            F.col("_order_month")
+            if "_order_month" in sales.columns
+            else F.trunc("sls_order_dt", "month")
+        )
         cond = month_expr.isin(month_vals) if month_vals else F.lit(False)
         if any(m is None for m in months):
             cond = cond | month_expr.isNull()
-        # the month filter sits on the silver scan (pushdown) — the
-        # rebuild reads only the affected months' silver rows, and every
-        # silver row of those months (all batches), so each rebuilt
-        # partition is complete
         scoped = sales.filter(cond)
         fact_new = build_fact_sales(
             scoped, dim_products, dim_customers

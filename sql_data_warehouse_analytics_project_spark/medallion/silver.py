@@ -221,6 +221,19 @@ SILVER_INCREMENTAL = {
 #: logs-layer ledger of bronze batches already reflected in silver
 BATCH_LOG_TABLE = "silver_batch_log"
 
+# Directory partitioning for fact-scale silver tables: the sales fact is
+# partitioned by a derived order month (the same grain as gold.fact_sales),
+# so month-scoped consumers — the incremental gold rebuild above all —
+# prune to 1/N of the table instead of scanning 100 TB of silver. The
+# column is derived at write time (underscore-prefixed: infrastructure,
+# not data; excluded from row hashes by being added after metadata).
+# Dimension-sized tables stay unpartitioned. A table first created by an
+# older unpartitioned build keeps appending unpartitioned (partitioning is
+# a create-time property); rebuild to adopt it.
+SILVER_PARTITIONING = {
+    "crm_sales": ("_order_month", lambda: F.trunc("sls_order_dt", "month")),
+}
+
 
 def run_silver(catalog, *, run_context=None) -> dict[str, int]:
     """Bronze → silver for every registered transform. Reads only current
@@ -244,9 +257,14 @@ def run_silver(catalog, *, run_context=None) -> dict[str, int]:
         cleaned = with_medallion_metadata(
             fn(src), source_system=raw_table.split("_")[0], created_by="silver"
         )
+        parts: list = []
+        if silver_table in SILVER_PARTITIONING:
+            part_name, part_expr = SILVER_PARTITIONING[silver_table]
+            cleaned = cleaned.withColumn(part_name, part_expr())
+            parts = [part_name]
         catalog.create_table("silver", silver_table, cleaned.schema,
-                             medallion_metadata=False)
-        catalog.overwrite(cleaned, "silver", silver_table)
+                             medallion_metadata=False, partition_by=parts)
+        catalog.overwrite(cleaned, "silver", silver_table, partition_by=parts)
         n = catalog.spark.table(catalog.qualified("silver", silver_table)).count()
         results[silver_table] = n
         if run_context is not None:
@@ -366,6 +384,7 @@ def run_silver_incremental(
             # which of the new batches already landed in silver? (crash
             # between append and ledger write — skip, don't double-apply)
             applied: set = set()
+            tcols: list = []
             if not first_run:
                 tcols = spark.table(
                     catalog.qualified("silver", silver_table)
@@ -386,19 +405,30 @@ def run_silver_incremental(
                         .distinct()
                         .collect()
                     }
+            part_name = part_expr = None
+            if silver_table in SILVER_PARTITIONING and (
+                first_run or SILVER_PARTITIONING[silver_table][0] in tcols
+            ):
+                # partitioning is a create-time property: first runs adopt
+                # it; a legacy unpartitioned table keeps its shape
+                part_name, part_expr = SILVER_PARTITIONING[silver_table]
             todo = [b for b in new_batches if b not in applied]
+
             # per-batch clean so each silver row carries its provenance
             # batch id (the row-local cleaners project fixed columns, so
             # the id is re-attached per batch; the batch-id filter pushes
             # down to the bronze scan — each batch reads only its own
             # row groups, total work stays new-data-sized)
-            parts = [
-                with_medallion_metadata(
+            def _clean_batch(b):
+                out = with_medallion_metadata(
                     fn(strip(new.filter(F.col("_ingestion_batch_id") == b))),
                     **meta,
                 ).withColumn("_ingestion_batch_id", F.lit(b))
-                for b in todo
-            ]
+                if part_name is not None:
+                    out = out.withColumn(part_name, part_expr())
+                return out
+
+            parts = [_clean_batch(b) for b in todo]
             n = 0
             if parts:
                 cleaned = parts[0]
@@ -407,6 +437,7 @@ def run_silver_incremental(
                 catalog.create_table(
                     "silver", silver_table, cleaned.schema,
                     medallion_metadata=False,
+                    partition_by=[part_name] if part_name else [],
                 )
                 catalog.append(cleaned, "silver", silver_table)
                 n = cleaned.count()

@@ -328,6 +328,18 @@ def test_incremental_gold_matches_full_and_skips_untouched_partitions(spark, cat
     feb_row = fact.filter(F.col("order_number") == "O2").collect()[0]
     assert feb_row.customer_key == 3 and feb_row.product_key is not None
 
+    # silver sales is month-partitioned and the month-scoped rebuild reads
+    # it through a partition-pruned scan (the 100 TB lever: a one-month
+    # refresh lists one directory, not the whole silver fact)
+    sales = spark.table(inc.qualified("silver", "crm_sales"))
+    assert "_order_month" in sales.columns
+    plan = (
+        sales.filter(F.col("_order_month") == date(2025, 2, 1))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    m = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert m and "_order_month" in m[0], plan
+
 
 def test_incremental_gold_dim_key_shift_rebuilds_referencing_months(spark, cats):
     """The hard case for row_number surrogates: a new customer that sorts
