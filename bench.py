@@ -56,6 +56,10 @@ BENCH_EXCLUDE = {
     "qd20_tfidf_top_terms",
     "qd26_lsh_ann_recall_gate",
     "qd27_ivf_ann_recall_gate",
+    # write-pipeline correctness replay (two full incremental medallion
+    # rounds = ~15 tiny managed-table writes of fixed job overhead on
+    # inline rows — a gate artifact, not a data-scaled query)
+    "q80_gold_incremental_replay",
 }
 
 _RESULT_PATH = os.path.join(

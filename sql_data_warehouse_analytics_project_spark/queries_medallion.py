@@ -682,3 +682,216 @@ def q79_category_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("_rev").over(w_all).cast("double")
         ).alias("revenue_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q80: incremental-medallion replay (round 5) — the ledger-driven
+# bronze→silver→gold INCREMENTAL path (run_silver_incremental +
+# run_gold_incremental, medallion/silver.py:283 / medallion/gold.py:324)
+# must converge to exactly the star a declarative full rebuild specifies.
+# The oracle re-derives that star in SQL over the same two batches of
+# inline rows (every cleansing rule + surrogate keys, reusing _GOLD_CTES),
+# so the driver's comparator checks incremental == full-rebuild semantics
+# bit-exactly. Inline data → sf-invariant, like q68–q79.
+# ---------------------------------------------------------------------------
+
+_Q80_CUST = [
+    # batch 1
+    ("b1", 1, "K1", " Ann", "Lee ", "M", "F", "2025-01-01"),
+    ("b1", 2, "K2", "Bob", "Ray", "S", "M", "2025-01-01"),
+    ("b1", None, "K0", "X", "Y", "S", "", "2025-01-01"),
+    # batch 2 (newer dup of id 1 + a brand-new customer)
+    ("b2", 1, "K1", "Ann2", "Lee", "S", "F", "2025-02-01"),
+    ("b2", 3, "K3", "Cyd", "Zed", "", "F", "2025-02-02"),
+]
+_Q80_PROD = [
+    ("b1", 10, "CO-RF-X1", "Thing", 5, "R", "2025-01-01"),
+    ("b2", 11, "CO-RF-X1", "Thing v2", 6, "R", "2025-03-01"),  # SCD2 closes 10
+]
+_Q80_SALES = [
+    ("b1", "O1", "X1", 1, 20250105, 20250110, 20250115, 10, 2, 5),
+    ("b2", "O2", "X1", 3, 20250210, 20250215, 20250220, 0, 3, 4),  # bad sales
+    ("b2", "O3", "X1", 1, 0, 20250210, 20250215, None, 2, 6),  # bad date
+]
+
+
+def q80_gold_incremental_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two bronze batches through the REAL incremental medallion: batch 1
+    seeds silver+gold, batch 2 flows through the batch ledgers
+    (dedup-keep-latest update, SCD2 closure, late-arriving customer,
+    NULL-month sale) with a partition-scoped fact rebuild. Returns the
+    final ``gold.fact_sales`` data columns."""
+    from sql_data_warehouse_analytics_project_spark.catalog import Catalog
+    from sql_data_warehouse_analytics_project_spark.medallion.silver import (
+        run_silver_incremental,
+    )
+    from sql_data_warehouse_analytics_project_spark.medallion.gold import (
+        run_gold_incremental,
+    )
+
+    cat = Catalog(spark, prefix="q80ic_")
+    cat.drop_layers()
+    cat.create_layers()
+
+    def bronze(rows, schema, batch):
+        data = [r[1:] for r in rows if r[0] == batch]
+        return (
+            spark.createDataFrame(data, schema)
+            .withColumn("_ingestion_batch_id", F.lit(batch))
+            .withColumn("_is_current", F.lit(True))
+        )
+
+    cust_s = (
+        "cst_id int, cst_key string, cst_firstname string, cst_lastname "
+        "string, cst_marital_status string, cst_gndr string, cst_create_date string"
+    )
+    prod_s = (
+        "prd_id int, prd_key string, prd_nm string, prd_cost int, "
+        "prd_line string, prd_start_dt string"
+    )
+    sales_s = (
+        "sls_ord_num string, sls_prd_key string, sls_cust_id int, "
+        "sls_order_dt long, sls_ship_dt long, sls_due_dt long, "
+        "sls_sales long, sls_quantity long, sls_price long"
+    )
+    for batch in ("b1", "b2"):
+        cat.append(
+            bronze(_Q80_CUST, cust_s, batch).withColumn(
+                "cst_create_date", F.col("cst_create_date").cast("date")
+            ),
+            "bronze", "crm_customers_raw",
+        )
+        cat.append(
+            bronze(_Q80_PROD, prod_s, batch)
+            .withColumn("prd_start_dt", F.col("prd_start_dt").cast("date"))
+            .withColumn("prd_end_dt", F.lit(None).cast("date")),
+            "bronze", "crm_products_raw",
+        )
+        cat.append(bronze(_Q80_SALES, sales_s, batch), "bronze", "crm_sales_raw")
+        if batch == "b1":
+            cat.append(
+                bronze([("b1", "K1", "1980-03-03", "F")],
+                       "CID string, BDATE string, GEN string", batch)
+                .withColumn("BDATE", F.col("BDATE").cast("date")),
+                "bronze", "erp_customers_raw",
+            )
+            cat.append(
+                bronze([("b1", "K1", "US")], "CID string, CNTRY string", batch),
+                "bronze", "erp_locations_raw",
+            )
+            cat.append(
+                bronze(
+                    [("b1", "CO_RF", "Bikes", "Road", "Yes")],
+                    "ID string, CAT string, SUBCAT string, MAINTENANCE string",
+                    batch,
+                ),
+                "bronze", "erp_product_categories_raw",
+            )
+        run_silver_incremental(cat)
+        run_gold_incremental(cat)
+
+    fact = spark.table(cat.qualified("gold", "fact_sales"))
+    return fact.select(
+        "order_number", "product_key", "customer_key", "order_date",
+        "sales_amount", "quantity", "price", "order_month",
+    )
+
+
+_Q80_ORACLE = """
+WITH cust_raw(cst_id, cst_key, cst_firstname, cst_lastname,
+              cst_marital_status, cst_gndr, cst_create_date) AS (
+  VALUES (1, 'K1', ' Ann', 'Lee ', 'M', 'F', DATE '2025-01-01'),
+         (2, 'K2', 'Bob', 'Ray', 'S', 'M', DATE '2025-01-01'),
+         (NULL, 'K0', 'X', 'Y', 'S', '', DATE '2025-01-01'),
+         (1, 'K1', 'Ann2', 'Lee', 'S', 'F', DATE '2025-02-01'),
+         (3, 'K3', 'Cyd', 'Zed', '', 'F', DATE '2025-02-02')
+), cust_rn AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY cst_id ORDER BY cst_create_date DESC) AS _rn
+  FROM cust_raw WHERE cst_id IS NOT NULL
+), cust AS (
+  SELECT CAST(cst_id AS INT) AS cst_id,
+         trim(cst_key) AS cst_key,
+         trim(cst_firstname) AS cst_firstname,
+         trim(cst_lastname) AS cst_lastname,
+         CASE upper(trim(cst_marital_status))
+           WHEN 'M' THEN 'Married' WHEN 'S' THEN 'Single'
+           ELSE 'n/a' END AS cst_marital_status,
+         CASE upper(trim(cst_gndr))
+           WHEN 'M' THEN 'Male' WHEN 'F' THEN 'Female'
+           WHEN 'MALE' THEN 'Male' WHEN 'FEMALE' THEN 'Female'
+           ELSE 'n/a' END AS cst_gndr,
+         cst_create_date
+  FROM cust_rn WHERE _rn = 1
+), prod_raw(prd_id, prd_key, prd_nm, prd_cost, prd_line, prd_start_dt) AS (
+  VALUES (10, 'CO-RF-X1', 'Thing', 5, 'R', DATE '2025-01-01'),
+         (11, 'CO-RF-X1', 'Thing v2', 6, 'R', DATE '2025-03-01')
+), prod_scd AS (
+  SELECT *, CAST(lead(prd_start_dt) OVER (
+      PARTITION BY prd_key ORDER BY prd_start_dt) - INTERVAL 1 DAY AS DATE)
+      AS _new_end
+  FROM prod_raw
+), prod AS (
+  SELECT CAST(prd_id AS INT) AS prd_id,
+         replace(substring(prd_key, 1, 5), '-', '_') AS cat_id,
+         substring(prd_key, 7) AS prd_key,
+         prd_nm,
+         COALESCE(CAST(prd_cost AS INT), 0) AS prd_cost,
+         CASE upper(trim(prd_line))
+           WHEN 'M' THEN 'Mountain' WHEN 'R' THEN 'Road'
+           WHEN 'S' THEN 'Other Sales' WHEN 'T' THEN 'Touring'
+           ELSE 'n/a' END AS prd_line,
+         prd_start_dt,
+         _new_end AS prd_end_dt
+  FROM prod_scd
+), sales_raw(sls_ord_num, sls_prd_key, sls_cust_id, sls_order_dt,
+             sls_ship_dt, sls_due_dt, sls_sales, sls_quantity, sls_price) AS (
+  VALUES ('O1', 'X1', 1, 20250105, 20250110, 20250115, 10, 2, 5),
+         ('O2', 'X1', 3, 20250210, 20250215, 20250220, 0, 3, 4),
+         ('O3', 'X1', 1, 0, 20250210, 20250215, NULL, 2, 6)
+), sales_fix AS (
+  SELECT *,
+         CASE WHEN CAST(sls_sales AS DOUBLE) IS NULL
+                OR CAST(sls_sales AS DOUBLE) <= 0
+                OR CAST(sls_sales AS DOUBLE)
+                   != CAST(sls_quantity AS INT) * abs(CAST(sls_price AS DOUBLE))
+           THEN CAST(sls_quantity AS INT) * abs(CAST(sls_price AS DOUBLE))
+           ELSE CAST(sls_sales AS DOUBLE) END AS _sales_fixed
+  FROM sales_raw
+), sales AS (
+  SELECT sls_ord_num, sls_prd_key,
+         CAST(sls_cust_id AS INT) AS sls_cust_id,
+         CASE WHEN length(CAST(sls_order_dt AS VARCHAR)) = 8
+                AND sls_order_dt > 19000101 AND sls_order_dt < 21000101
+           THEN CAST(try_strptime(CAST(sls_order_dt AS VARCHAR), '%Y%m%d') AS DATE)
+           END AS sls_order_dt,
+         CASE WHEN length(CAST(sls_ship_dt AS VARCHAR)) = 8
+                AND sls_ship_dt > 19000101 AND sls_ship_dt < 21000101
+           THEN CAST(try_strptime(CAST(sls_ship_dt AS VARCHAR), '%Y%m%d') AS DATE)
+           END AS sls_ship_dt,
+         CASE WHEN length(CAST(sls_due_dt AS VARCHAR)) = 8
+                AND sls_due_dt > 19000101 AND sls_due_dt < 21000101
+           THEN CAST(try_strptime(CAST(sls_due_dt AS VARCHAR), '%Y%m%d') AS DATE)
+           END AS sls_due_dt,
+         _sales_fixed AS sls_sales,
+         CAST(sls_quantity AS INT) AS sls_quantity,
+         CASE WHEN CAST(sls_price AS DOUBLE) IS NULL
+                OR CAST(sls_price AS DOUBLE) <= 0
+           THEN (CASE WHEN CAST(sls_quantity AS INT) = 0 THEN NULL
+                      ELSE _sales_fixed / CAST(sls_quantity AS INT) END)
+           ELSE CAST(sls_price AS DOUBLE) END AS sls_price
+  FROM sales_fix
+), ec AS (
+  SELECT 'K1' AS cid, DATE '1980-03-03' AS bdate, 'Female' AS gen
+), el AS (
+  SELECT 'K1' AS cid, 'United States' AS cntry
+), epc AS (
+  SELECT 'CO_RF' AS id, 'Bikes' AS cat, 'Road' AS subcat, 'Yes' AS maintenance
+)""" + _GOLD_CTES + """
+SELECT order_number, product_key, customer_key, order_date,
+       sales_amount, quantity, price,
+       CAST(date_trunc('month', order_date) AS DATE) AS order_month
+FROM fact
+"""
+
+register("q80_gold_incremental_replay", _Q80_ORACLE)(q80_gold_incremental_replay)
