@@ -731,6 +731,17 @@ def q80_gold_incremental_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cat = Catalog(spark, prefix="q80ic_")
     cat.drop_layers()
+    # a PREVIOUS process's run leaves q80ic_* directories the fresh
+    # in-memory metastore doesn't know about — drop_layers can't see
+    # them, and saveAsTable refuses to reuse the location; scrub the
+    # scratch layer dirs on disk too
+    import shutil
+
+    wh = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    for layer in ("bronze", "silver", "gold", "logs"):
+        shutil.rmtree(os.path.join(wh, f"q80ic_{layer}.db"), ignore_errors=True)
     cat.create_layers()
 
     def bronze(rows, schema, batch):
