@@ -462,9 +462,27 @@ def run_silver_incremental(
                 return d
 
             dirty = with_norm_keys(new).select(*sk).distinct()
+
+            def null_safe_cond(left_alias, right_alias, lcols, rcols):
+                # NULL normalized keys (e.g. a NULL source CID) must ride
+                # the refresh like any other key — a plain equi join drops
+                # them, silently losing the row vs a full rebuild
+                cond = None
+                for lc, rc in zip(lcols, rcols):
+                    c = F.col(f"{left_alias}.{lc}").eqNullSafe(
+                        F.col(f"{right_alias}.{rc}")
+                    )
+                    cond = c if cond is None else cond & c
+                return cond
+
             scope = (
                 with_norm_keys(bronze_all)
-                .join(F.broadcast(dirty), sk, "semi")
+                .alias("_b")
+                .join(
+                    F.broadcast(dirty).alias("_d"),
+                    null_safe_cond("_b", "_d", sk, sk),
+                    "semi",
+                )
                 .drop(*sk)
             )
             recleaned = with_medallion_metadata(fn(strip(scope)), **meta)
@@ -473,7 +491,11 @@ def run_silver_incremental(
             # two coincide while bronze is append-only, but dirty also
             # covers a key whose rows were all retired via _is_current
             dirty_s = dirty.toDF(*skeys)
-            keep = target.join(F.broadcast(dirty_s), skeys, "left_anti")
+            keep = target.alias("_t").join(
+                F.broadcast(dirty_s).alias("_ds"),
+                null_safe_cond("_t", "_ds", skeys, skeys),
+                "left_anti",
+            )
             catalog.overwrite(
                 keep.unionByName(recleaned), "silver", silver_table
             )

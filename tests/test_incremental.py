@@ -365,3 +365,27 @@ def test_incremental_gold_dim_key_shift_rebuilds_referencing_months(spark, cats)
     gold.run_gold(full)
     for t in GOLD_TABLES:
         assert _data_rows(inc, t, layer="gold") == _data_rows(full, t, layer="gold"), t
+
+
+def test_incremental_keyed_null_keys_match_full_rebuild(spark, cats):
+    """NULL normalized keys must ride the keyed refresh too: plain equi
+    semi/anti joins drop NULLs, which would leave a NULL-cid bronze row
+    out of scope (never cleaned into silver) or duplicate its silver row
+    on the next refresh. The scoping joins must be null-safe."""
+    inc, full = cats
+    erp_b1 = [(None, date(1980, 1, 1), "M"), ("NAS7", date(1990, 2, 2), "F")]
+    erp_b2 = [(None, date(1985, 5, 5), "F"), ("7", date(1991, 3, 3), "M")]
+
+    for cat in (inc, full):
+        cat.append(_bronze(spark, erp_b1, ERP_CUST_SCHEMA, "b1"),
+                   "bronze", "erp_customers_raw")
+    silver.run_silver_incremental(inc)
+    for cat in (inc, full):
+        cat.append(_bronze(spark, erp_b2, ERP_CUST_SCHEMA, "b2"),
+                   "bronze", "erp_customers_raw")
+    silver.run_silver_incremental(inc)
+    silver.run_silver(full)
+    assert _data_rows(inc, "erp_customers") == _data_rows(full, "erp_customers")
+    # a replay changes nothing (null keys neither lost nor duplicated)
+    silver.run_silver_incremental(inc)
+    assert _data_rows(inc, "erp_customers") == _data_rows(full, "erp_customers")
