@@ -406,6 +406,12 @@ def run_gold_incremental(catalog, *, run_context=None) -> dict:
         catalog.table_exists("gold", t)
         for t in ("dim_customers", "dim_products", "fact_sales")
     )
+    if have_gold and "order_month" not in spark.table(
+        catalog.qualified("gold", "fact_sales")
+    ).columns:
+        # legacy fact without the month partition column: a partition-
+        # scoped swap has nothing to scope on — rebuild once to adopt it
+        have_gold = False
     has_provenance = "_ingestion_batch_id" in sales.columns
     if not have_gold or not has_provenance:
         tables = run_gold(catalog, run_context=run_context)
