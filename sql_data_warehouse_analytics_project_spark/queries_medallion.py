@@ -906,3 +906,139 @@ FROM fact
 """
 
 register("q80_gold_incremental_replay", _Q80_ORACLE)(q80_gold_incremental_replay)
+
+
+@register(
+    "q81_product_yoy_performance",
+    _SILVER_CTES
+    + _GOLD_CTES
+    + """
+    , yearly AS (
+      SELECT dp.product_key, dp.product_name,
+             year(f.order_date) AS order_year,
+             sum(CAST(f.sales_amount AS DECIMAL(18,2))) AS _rev
+      FROM fact f JOIN dim_p dp ON f.product_key = dp.product_key
+      WHERE f.order_date IS NOT NULL
+      GROUP BY 1, 2, 3
+    )
+    SELECT product_key, product_name,
+           CAST(order_year AS INT) AS order_year,
+           CAST(_rev AS DOUBLE) AS current_revenue,
+           CAST(sum(_rev) OVER (PARTITION BY product_key) AS DOUBLE)
+             / count(*) OVER (PARTITION BY product_key) AS avg_revenue,
+           CAST(_rev AS DOUBLE)
+             - CAST(sum(_rev) OVER (PARTITION BY product_key) AS DOUBLE)
+               / count(*) OVER (PARTITION BY product_key) AS avg_diff,
+           CAST(lag(_rev) OVER (PARTITION BY product_key ORDER BY order_year)
+                AS DOUBLE) AS prev_revenue,
+           CAST(_rev - lag(_rev) OVER (PARTITION BY product_key
+                                       ORDER BY order_year) AS DOUBLE)
+             AS yoy_change,
+           CASE WHEN CAST(_rev AS DOUBLE)
+                     > CAST(sum(_rev) OVER (PARTITION BY product_key) AS DOUBLE)
+                       / count(*) OVER (PARTITION BY product_key)
+                THEN 'Above Avg'
+                WHEN CAST(_rev AS DOUBLE)
+                     < CAST(sum(_rev) OVER (PARTITION BY product_key) AS DOUBLE)
+                       / count(*) OVER (PARTITION BY product_key)
+                THEN 'Below Avg' ELSE 'Avg' END AS avg_flag,
+           CASE WHEN _rev > lag(_rev) OVER (PARTITION BY product_key
+                                            ORDER BY order_year)
+                THEN 'Increase'
+                WHEN _rev < lag(_rev) OVER (PARTITION BY product_key
+                                            ORDER BY order_year)
+                THEN 'Decrease'
+                WHEN lag(_rev) OVER (PARTITION BY product_key
+                                     ORDER BY order_year) IS NULL THEN NULL
+                ELSE 'No Change' END AS trend_flag
+    FROM yearly
+    """,
+)
+def q81_product_yoy_performance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gold performance analysis end-to-end from the CSVs: yearly revenue
+    per product vs the product's own multi-year average and vs the prior
+    year (the classic warehouse YoY script over the star schema). Money
+    rides DECIMAL through the yearly sums AND the per-product window sum
+    (order-independent exact), with exactly one double division for the
+    average and double subtraction for the diffs — the same IEEE
+    operations on both engines. Comparisons for the flags happen on
+    exact DECIMALs where possible (trend) or on the identical doubles
+    (avg), so the CASE branches cannot diverge."""
+    from pyspark.sql.window import Window
+
+    g = _gold_tables(spark)
+    dp = F.broadcast(g["dim_products"].select("product_key", "product_name"))
+    yearly = (
+        g["fact_sales"]
+        .filter(F.col("order_date").isNotNull())
+        .join(dp, "product_key")
+        .groupBy(
+            "product_key", "product_name",
+            F.year("order_date").cast("int").alias("order_year"),
+        )
+        .agg(F.sum(F.col("sales_amount").cast("decimal(18,2)")).alias("_rev"))
+    )
+    wp = Window.partitionBy("product_key")
+    wo = Window.partitionBy("product_key").orderBy("order_year")
+    rev_d = F.col("_rev").cast("double")
+    avg_d = F.sum("_rev").over(wp).cast("double") / F.count(F.lit(1)).over(wp)
+    prev = F.lag("_rev").over(wo)
+    return yearly.select(
+        "product_key",
+        "product_name",
+        "order_year",
+        rev_d.alias("current_revenue"),
+        avg_d.alias("avg_revenue"),
+        (rev_d - avg_d).alias("avg_diff"),
+        prev.cast("double").alias("prev_revenue"),
+        (F.col("_rev") - prev).cast("double").alias("yoy_change"),
+        F.when(rev_d > avg_d, "Above Avg")
+        .when(rev_d < avg_d, "Below Avg")
+        .otherwise("Avg")
+        .alias("avg_flag"),
+        F.when(F.col("_rev") > prev, "Increase")
+        .when(F.col("_rev") < prev, "Decrease")
+        .when(prev.isNull(), F.lit(None).cast("string"))
+        .otherwise("No Change")
+        .alias("trend_flag"),
+    )
+
+
+@register(
+    "q82_product_cost_segments",
+    _SILVER_CTES
+    + _GOLD_CTES
+    + """
+    SELECT CASE WHEN cost < 100 THEN 'Below 100'
+                WHEN cost BETWEEN 100 AND 500 THEN '100-500'
+                WHEN cost BETWEEN 501 AND 1000 THEN '501-1000'
+                ELSE 'Above 1000' END AS cost_range,
+           CAST(count(*) AS BIGINT) AS total_products,
+           CAST(min(cost) AS INT) AS min_cost,
+           CAST(max(cost) AS INT) AS max_cost
+    FROM dim_p
+    GROUP BY 1
+    """,
+)
+def q82_product_cost_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gold data-segmentation analysis end-to-end from the CSVs: products
+    bucketed into cost ranges with counts and bounds (the classic
+    segmentation script over the product dimension). Integer costs →
+    fully deterministic buckets."""
+    g = _gold_tables(spark)
+    cost = F.col("cost")
+    bucket = (
+        F.when(cost < 100, "Below 100")
+        .when((cost >= 100) & (cost <= 500), "100-500")
+        .when((cost >= 501) & (cost <= 1000), "501-1000")
+        .otherwise("Above 1000")
+    )
+    return (
+        g["dim_products"]
+        .groupBy(bucket.alias("cost_range"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("total_products"),
+            F.min(cost).cast("int").alias("min_cost"),
+            F.max(cost).cast("int").alias("max_cost"),
+        )
+    )
