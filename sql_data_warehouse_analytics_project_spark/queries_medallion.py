@@ -1042,3 +1042,165 @@ def q82_product_cost_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(cost).cast("int").alias("max_cost"),
         )
     )
+
+
+@register(
+    "q83_yearly_cumulative",
+    _SILVER_CTES
+    + _GOLD_CTES
+    + """
+    , yearly AS (
+      SELECT year(order_date) AS _yr,
+             sum(CAST(sales_amount AS DECIMAL(18,2))) AS _rev,
+             sum(CAST(price AS DECIMAL(18,2))) AS _price_sum,
+             CAST(count(price) AS BIGINT) AS _n
+      FROM fact WHERE order_date IS NOT NULL
+      GROUP BY 1
+    )
+    SELECT CAST(_yr AS INT) AS order_year,
+           CAST(_rev AS DOUBLE) AS yearly_revenue,
+           CAST(sum(_rev) OVER w AS DOUBLE) AS running_revenue,
+           CAST(sum(_price_sum) OVER w AS DOUBLE) / sum(_n) OVER w
+             AS moving_avg_price
+    FROM yearly
+    WINDOW w AS (ORDER BY _yr ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW)
+    """,
+)
+def q83_yearly_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gold cumulative analysis end-to-end from the CSVs: yearly revenue
+    with running total and the cumulative moving average unit price (the
+    classic cumulative-analysis script, yearly grain). Revenue AND the
+    price numerator stay DECIMAL through the running window sums
+    (order-independent exact); the moving average is one double division
+    of exact window sums, so both engines perform the identical IEEE
+    operation. The window is over a handful of year rows — the
+    single-partition WindowExec is trivially cheap; the fact aggregates
+    distributed first."""
+    from pyspark.sql.window import Window
+
+    g = _gold_tables(spark)
+    yearly = (
+        g["fact_sales"]
+        .filter(F.col("order_date").isNotNull())
+        .groupBy(F.year("order_date").alias("_yr"))
+        .agg(
+            F.sum(F.col("sales_amount").cast("decimal(18,2)")).alias("_rev"),
+            F.sum(F.col("price").cast("decimal(18,2)")).alias("_price_sum"),
+            F.count("price").cast("long").alias("_n"),
+        )
+    )
+    w = Window.orderBy("_yr").rowsBetween(Window.unboundedPreceding, 0)
+    return yearly.select(
+        F.col("_yr").cast("int").alias("order_year"),
+        F.col("_rev").cast("double").alias("yearly_revenue"),
+        F.sum("_rev").over(w).cast("double").alias("running_revenue"),
+        (
+            F.sum("_price_sum").over(w).cast("double") / F.sum("_n").over(w)
+        ).alias("moving_avg_price"),
+    )
+
+
+@register(
+    "q84_revenue_by_geography",
+    _SILVER_CTES
+    + _GOLD_CTES
+    + """
+    SELECT COALESCE(dc.country, 'n/a') AS country,
+           CAST(count(DISTINCT f.customer_key) AS BIGINT) AS n_customers,
+           CAST(sum(f.quantity) AS BIGINT) AS total_quantity,
+           CAST(sum(CAST(f.sales_amount AS DECIMAL(18,2))) AS DOUBLE)
+             AS revenue
+    FROM fact f LEFT JOIN dim_c dc ON f.customer_key = dc.customer_key
+    GROUP BY 1
+    """,
+)
+def q84_revenue_by_geography(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gold magnitude analysis end-to-end from the CSVs: customers,
+    quantity and revenue by country (the classic magnitude script over
+    the customer geography). The dim broadcasts; the fact shuffles once
+    into the groupBy. Fact rows that missed the dim (NULL surrogate)
+    fold into 'n/a' — matching the dim's own unknown-country default —
+    identically on both engines."""
+    g = _gold_tables(spark)
+    return (
+        g["fact_sales"]
+        .join(
+            F.broadcast(g["dim_customers"].select("customer_key", "country")),
+            "customer_key",
+            "left",
+        )
+        .groupBy(F.coalesce("country", F.lit("n/a")).alias("country"))
+        .agg(
+            F.countDistinct("customer_key").cast("long").alias("n_customers"),
+            F.sum("quantity").cast("long").alias("total_quantity"),
+            F.sum(F.col("sales_amount").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+@register(
+    "q85_top_products_per_category",
+    _SILVER_CTES
+    + _GOLD_CTES
+    + """
+    , pr AS (
+      SELECT COALESCE(dp.category, 'unknown') AS category,
+             dp.product_key, dp.product_name,
+             sum(CAST(f.sales_amount AS DECIMAL(18,2))) AS _rev
+      FROM fact f JOIN dim_p dp ON f.product_key = dp.product_key
+      GROUP BY 1, 2, 3
+    )
+    SELECT category, product_key, product_name,
+           CAST(_rev AS DOUBLE) AS revenue,
+           CAST(rn AS INT) AS rank_in_category
+    FROM (SELECT *, row_number() OVER (PARTITION BY category
+                    ORDER BY _rev DESC, product_key) AS rn
+          FROM pr)
+    WHERE rn <= 3
+    """,
+)
+def q85_top_products_per_category(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gold ranking analysis end-to-end from the CSVs: top-3 products by
+    revenue within each category (the classic ranking script). Revenue
+    is an exact DECIMAL through the ranking comparison and the tie-break
+    is the surrogate key, so the row_number is fully deterministic on
+    both engines; the window partitions by category over the
+    already-aggregated per-product rows."""
+    from pyspark.sql.window import Window
+
+    g = _gold_tables(spark)
+    pr = (
+        g["fact_sales"]
+        .join(
+            F.broadcast(
+                g["dim_products"].select(
+                    "product_key", "product_name", "category"
+                )
+            ),
+            "product_key",
+            "inner",
+        )
+        .groupBy(
+            F.coalesce("category", F.lit("unknown")).alias("category"),
+            "product_key",
+            "product_name",
+        )
+        .agg(F.sum(F.col("sales_amount").cast("decimal(18,2)")).alias("_rev"))
+    )
+    w = Window.partitionBy("category").orderBy(
+        F.col("_rev").desc(), F.col("product_key")
+    )
+    return (
+        pr.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "category",
+            "product_key",
+            "product_name",
+            F.col("_rev").cast("double").alias("revenue"),
+            F.col("rn").cast("int").alias("rank_in_category"),
+        )
+    )
