@@ -58,6 +58,7 @@ def stream_bronze_ingest(
     run_context=None,
     available_now: bool = False,
     refresh_silver: bool = False,
+    refresh_gold: bool = False,
 ) -> StreamingQuery:
     """foreachBatch bronze sink: per micro-batch — enrich (same columnar
     path as batch ingestion) → append → audit row. Exactly-once at the
@@ -72,9 +73,20 @@ def stream_bronze_ingest(
     scoped), so silver continuously tracks the drop zone. Restart-safe by
     composition: the silver ledger makes a replayed batch an exact no-op,
     and the refresh also runs on the bronze-side replay-skip path, closing
-    the crash window between a bronze commit and its silver refresh."""
+    the crash window between a bronze commit and its silver refresh.
+
+    ``refresh_gold=True`` (requires ``refresh_silver``) completes the
+    continuous medallion: after the silver refresh, the gold-ledger-driven
+    :func:`medallion.gold.run_gold_incremental` rebuilds only the
+    ``order_month`` fact partitions the micro-batch touched (plus dims on
+    content change). Restart-safe for the same reason — the gold ledger and
+    its noop detection make a replayed refresh converge — and it too runs
+    on the replay-skip path, closing the crash window between the silver
+    refresh and the gold refresh. The warehouse must already hold all six
+    silver tables (the full-rebuild fallback reads every gold input)."""
     sink = bronze_batch_sink(
-        catalog, table, run_context, refresh_silver=refresh_silver
+        catalog, table, run_context,
+        refresh_silver=refresh_silver, refresh_gold=refresh_gold,
     )
     writer = stream.writeStream.foreachBatch(sink).option(
         "checkpointLocation", checkpoint_dir
@@ -85,10 +97,19 @@ def stream_bronze_ingest(
 
 
 def bronze_batch_sink(
-    catalog: Catalog, table: str, run_context=None, *, refresh_silver: bool = False
+    catalog: Catalog,
+    table: str,
+    run_context=None,
+    *,
+    refresh_silver: bool = False,
+    refresh_gold: bool = False,
 ):
     """The foreachBatch callable itself, exposed so tests can drive replay
     scenarios directly (same (batch_df, batch_id) signature Spark uses)."""
+    if refresh_gold and not refresh_silver:
+        # gold reads silver: refreshing gold over a stale silver would pin
+        # the lag into gold rather than shrink it
+        raise ValueError("refresh_gold requires refresh_silver")
 
     def _silver_refresh() -> None:
         from sql_data_warehouse_analytics_project_spark.medallion import (
@@ -100,6 +121,14 @@ def bronze_batch_sink(
             silver_mod.run_silver_incremental(
                 catalog, run_context=run_context, tables=[table]
             )
+        if refresh_gold:
+            from sql_data_warehouse_analytics_project_spark.medallion import (
+                gold as gold_mod,
+            )
+
+            # the gold batch ledger + dim hash-diff make this a cheap noop
+            # when the micro-batch changed nothing gold reads
+            gold_mod.run_gold_incremental(catalog, run_context=run_context)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         bid = f"stream-{batch_id}"

@@ -572,3 +572,166 @@ def test_stream_bronze_to_silver_refresh(spark, dropzone):
         for c in (cat, full):
             c.drop_layers()
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def _seed_medallion_bronze(cat, spark, *, include_sales: bool = True) -> None:
+    """Minimal six-table bronze seed (one consistent star): the gold
+    refresh's full-rebuild fallback reads every gold input, so the
+    streaming-to-gold test needs a complete warehouse to stream into.
+    Seeds through the SAME ``enrich_bronze`` metadata path the stream
+    sink uses, so the streamed appends land in a matching schema."""
+    from datetime import date
+
+    from sql_data_warehouse_analytics_project_spark.medallion.bronze import (
+        enrich_bronze,
+    )
+
+    def bronze(rows, schema):
+        return enrich_bronze(spark.createDataFrame(rows, schema), batch_id="b1")
+
+    cat.append(bronze(
+        [(1, "K1", "Ann", "Lee", "M", "F", date(2025, 1, 1)),
+         (2, "K2", "Bob", "Ray", "S", "M", date(2025, 1, 1))],
+        "cst_id int, cst_key string, cst_firstname string, cst_lastname string, "
+        "cst_marital_status string, cst_gndr string, cst_create_date date",
+    ), "bronze", "crm_customers_raw")
+    cat.append(bronze(
+        [(10, "CO-RF-X1", "Thing", 5, "R", date(2025, 1, 1), None)],
+        "prd_id int, prd_key string, prd_nm string, prd_cost int, "
+        "prd_line string, prd_start_dt date, prd_end_dt date",
+    ), "bronze", "crm_products_raw")
+    if include_sales:
+        cat.append(bronze(
+            [("O1", "X1", 1, 20250105, 20250110, 20250115, 10, 2, 5)],
+            SALES_DDL,
+        ), "bronze", "crm_sales_raw")
+    cat.append(bronze(
+        [("K1", date(1980, 3, 3), "F")], "CID string, BDATE date, GEN string",
+    ), "bronze", "erp_customers_raw")
+    cat.append(bronze(
+        [("K1", "US")], "CID string, CNTRY string",
+    ), "bronze", "erp_locations_raw")
+    cat.append(bronze(
+        [("CO_RF", "Bikes", "Road", "Yes")],
+        "ID string, CAT string, SUBCAT string, MAINTENANCE string",
+    ), "bronze", "erp_product_categories_raw")
+
+
+def _gold_partition_files(cat, part_dir: str):
+    loc = cat.table_stats("gold", "fact_sales")["location"]
+    root = os.path.join(loc.removeprefix("file:"), part_dir)
+    out = set()
+    for dirpath, _, files in os.walk(root):
+        for f in files:
+            p = os.path.join(dirpath, f)
+            st = os.stat(p)
+            out.add((os.path.relpath(p, root), st.st_size, st.st_mtime_ns))
+    return out
+
+
+def _gold_rows(cat, table: str):
+    from sql_data_warehouse_analytics_project_spark.catalog import (
+        MEDALLION_METADATA_COLUMNS,
+    )
+
+    df = cat.spark.table(cat.qualified("gold", table))
+    cols = sorted(
+        c for c in df.columns
+        if (c not in MEDALLION_METADATA_COLUMNS or c == "row_hash")
+        and not c.startswith("_")
+    )
+    return sorted(tuple(str(v) for v in r) for r in df.select(*cols).collect())
+
+
+def test_stream_bronze_to_gold_refresh(spark, dropzone):
+    """refresh_gold=True completes the continuous medallion: streamed sales
+    micro-batches land in bronze, the scoped silver refresh applies them,
+    and the gold-ledger incremental refresh rebuilds only the touched
+    order_month partitions — across a restart, converging bit-for-bit to a
+    batch full rebuild, with no duplicate gold-ledger entries and the
+    seeded (untouched) month's partition files never rewritten."""
+    import time
+
+    from sql_data_warehouse_analytics_project_spark.medallion import gold, silver
+
+    cat, full = Catalog(spark, prefix="stgld_"), Catalog(spark, prefix="stgldf_")
+    for c in (cat, full):
+        c.drop_layers()
+        c.create_layers()
+    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    try:
+        _seed_medallion_bronze(cat, spark)
+        silver.run_silver_incremental(cat)
+        assert gold.run_gold_incremental(cat)["mode"] == "full"  # seeds ledgers
+        jan = _gold_partition_files(cat, "order_month=2025-01-01")
+        assert jan
+
+        _write_sales_csv(dropzone, "a.csv", [
+            "O2,X1,2,20250210,20250215,20250220,12,3,4",
+        ])
+        q = stream_bronze_ingest(
+            stream_csv_drop_zone(spark, dropzone, SALES_DDL),
+            cat, "crm_sales_raw",
+            checkpoint_dir=ckpt, available_now=True,
+            refresh_silver=True, refresh_gold=True,
+        )
+        q.awaitTermination(120)
+        assert spark.table(cat.qualified("gold", "fact_sales")).count() == 2
+
+        time.sleep(2)  # file-source mtime-tick hazard (see module docstring)
+        _write_sales_csv(dropzone, "b.csv", [
+            "O3,X1,1,20250305,20250310,20250315,,2,6",  # null sales → recompute
+        ])
+        q2 = stream_bronze_ingest(
+            stream_csv_drop_zone(spark, dropzone, SALES_DDL),
+            cat, "crm_sales_raw",
+            checkpoint_dir=ckpt, available_now=True,
+            refresh_silver=True, refresh_gold=True,
+        )
+        q2.awaitTermination(120)
+        assert spark.table(cat.qualified("gold", "fact_sales")).count() == 3
+        # January was seeded by batch and never touched by the stream: its
+        # partition files survived BOTH streamed gold refreshes byte-for-byte
+        assert _gold_partition_files(cat, "order_month=2025-01-01") == jan
+        # gold ledger: one entry per batch, never duplicated across restarts
+        glog = spark.table(cat.qualified("logs", gold.GOLD_BATCH_LOG_TABLE))
+        assert (
+            glog.groupBy("table_name", "_ingestion_batch_id").count()
+            .filter("count > 1").count() == 0
+        )
+
+        # no-new-data restart: stream converges, gold untouched
+        q3 = stream_bronze_ingest(
+            stream_csv_drop_zone(spark, dropzone, SALES_DDL),
+            cat, "crm_sales_raw",
+            checkpoint_dir=ckpt, available_now=True,
+            refresh_silver=True, refresh_gold=True,
+        )
+        q3.awaitTermination(120)
+        assert spark.table(cat.qualified("gold", "fact_sales")).count() == 3
+
+        # bit-for-bit vs a batch full rebuild over the same bronze
+        _seed_medallion_bronze(full, spark, include_sales=False)
+        full.append(
+            spark.table(cat.qualified("bronze", "crm_sales_raw")),
+            "bronze", "crm_sales_raw",
+        )
+        silver.run_silver(full)
+        gold.run_gold(full)
+        for t in ("dim_customers", "dim_products", "fact_sales",
+                  "report_customers", "report_products"):
+            assert _gold_rows(cat, t) == _gold_rows(full, t), t
+    finally:
+        for c in (cat, full):
+            c.drop_layers()
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_refresh_gold_requires_refresh_silver(spark):
+    from sql_data_warehouse_analytics_project_spark.streaming.ingest import (
+        bronze_batch_sink,
+    )
+
+    cat = Catalog(spark, prefix="stgldv_")
+    with pytest.raises(ValueError, match="refresh_silver"):
+        bronze_batch_sink(cat, "crm_sales_raw", refresh_gold=True)
