@@ -1,0 +1,90 @@
+"""Calibration-normalized diff of two bench artifacts.
+
+Every round the judge (and NOTES_r*) compares per-query times across
+rounds by hand, dividing each side by its own ``cpu_calibration_sec`` to
+cancel box-speed drift — this round's artifacts record per-pass
+calibrations precisely so that comparison is honest. This tool automates
+it: common queries are compared on ``best_normalized`` when present
+(per-pass-calibrated best-of, the most drift-resistant number) else on
+``best / cpu_calibration_sec``.
+
+Usage: python tools/bench_diff.py OLD.json NEW.json [--top N] [--pct P]
+
+Prints the total normalized delta over common queries, queries only in
+one artifact, and the top-N improvements/regressions beyond ±P%
+(default 15% — below that is calibration noise per NOTES_r4/r5).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def _unwrap(doc: dict) -> dict:
+    # the driver's BENCH_r{N}.json wraps the bench line under "parsed"
+    if "queries" not in doc and isinstance(doc.get("parsed"), (dict, str)):
+        p = doc["parsed"]
+        return json.loads(p) if isinstance(p, str) else p
+    return doc
+
+
+def _normalized(doc: dict) -> dict[str, float]:
+    qn = doc.get("queries_normalized")
+    if isinstance(qn, dict) and qn:
+        return dict(qn)
+    # match bench.py's convention exactly (raw * 0.40 / calib) so a
+    # fallback side is comparable with a queries_normalized side
+    calib = doc.get("cpu_calibration_sec") or 0.40
+    return {k: v * (0.40 / calib) for k, v in doc.get("queries", {}).items()}
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("old")
+    ap.add_argument("new")
+    ap.add_argument("--top", type=int, default=10)
+    ap.add_argument("--pct", type=float, default=15.0,
+                    help="noise band: hide |delta| below this percent")
+    args = ap.parse_args()
+
+    with open(args.old) as fh:
+        old = _unwrap(json.load(fh))
+    with open(args.new) as fh:
+        new = _unwrap(json.load(fh))
+
+    o, n = _normalized(old), _normalized(new)
+    common = sorted(set(o) & set(n))
+    only_old, only_new = sorted(set(o) - set(n)), sorted(set(n) - set(o))
+
+    to, tn = sum(o[k] for k in common), sum(n[k] for k in common)
+    print(f"common queries: {len(common)}")
+    pct_total = f"  ({(tn - to) / to * 100.0:+.1f}%)" if to else ""
+    print(f"normalized total  old={to:.1f}  new={tn:.1f}{pct_total}")
+    print(f"calibration       old={old.get('cpu_calibration_sec')}  "
+          f"new={new.get('cpu_calibration_sec')}")
+    if only_old:
+        print(f"only in old ({len(only_old)}): {', '.join(only_old)}")
+    if only_new:
+        print(f"only in new ({len(only_new)}): {', '.join(only_new)}")
+
+    deltas = sorted(
+        ((n[k] - o[k]) / o[k] * 100.0, k) for k in common if o[k] > 0
+    )
+    regress = [(p, k) for p, k in reversed(deltas) if p >= args.pct]
+    improve = [(p, k) for p, k in deltas if p <= -args.pct]
+    print(f"\nregressions beyond +{args.pct:.0f}% (top {args.top}):")
+    for p, k in regress[: args.top]:
+        print(f"  {k:40s} {o[k]:7.2f} -> {n[k]:7.2f}  ({p:+.0f}%)")
+    if not regress:
+        print("  none")
+    print(f"\nimprovements beyond -{args.pct:.0f}% (top {args.top}):")
+    for p, k in improve[: args.top]:
+        print(f"  {k:40s} {o[k]:7.2f} -> {n[k]:7.2f}  ({p:+.0f}%)")
+    if not improve:
+        print("  none")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
