@@ -41,6 +41,7 @@ def curate_corpus(
     splits: Mapping[str, float] | None = None,
     filter_kwargs: Mapping[str, Any] | None = None,
     materialize: bool = False,
+    write_through: str | None = None,
 ) -> dict[str, DataFrame]:
     """Run the full curation chain; returns every intermediate stage so
     callers can audit/write any of them:
@@ -68,6 +69,16 @@ def curate_corpus(
     the lazy graph lets Catalyst fuse stages, and at full scale
     persisting intermediates is a caller-owned budget decision.
 
+    ``write_through=<dir>`` is the 100 TB audit-trail mode: every stage
+    boundary (plus the resolved ``clusters`` table) is PERSISTED as a
+    parquet dataset under ``<dir>/<stage>`` via ``write_dataset`` and
+    read back, so downstream stages consume the durable copy — a crash
+    resumes from the last written stage, each intermediate is
+    independently queryable/auditable after the run, and nothing relies
+    on executor-local checkpoint storage. The corpus stages keep their
+    materialized ``_toks`` arrays on disk (the single-tokenizer-pass
+    contract survives the round-trip). Supersedes ``materialize``.
+
     The chain pays the tokenizer regex — the CPU hot spot of every
     text-derived stage — exactly ONCE: the exact-dedup survivors carry a
     materialized token-array column, the shingle index for MinHash
@@ -77,16 +88,41 @@ def curate_corpus(
     split keys (both previously re-ran connected components).
     """
 
+    spark = docs.sparkSession
+
+    def _persist(df: DataFrame, stage: str) -> DataFrame:
+        from sql_data_warehouse_analytics_project_spark.sources.writers import (
+            write_dataset,
+        )
+
+        path = f"{write_through.rstrip('/')}/{stage}"
+        write_dataset(df, path)
+        # explicit schema: an all-rows-filtered stage can legally write
+        # zero part files, where schema inference would fail
+        return spark.read.schema(df.schema).parquet(path)
+
     def _mat(df: DataFrame) -> DataFrame:
         return df.localCheckpoint() if materialize else df
+
+    def _boundary(df: DataFrame, stage: str) -> DataFrame:
+        return _persist(df, stage) if write_through is not None else _mat(df)
+
+    def _always(df: DataFrame, stage: str) -> DataFrame:
+        # pairs/clusters feed multiple consumers: always materialized
+        return (
+            _persist(df, stage)
+            if write_through is not None
+            else df.localCheckpoint()
+        )
 
     # one tokenizer pass over the survivors; the checkpoint materializes
     # the arrays so every downstream stage reads them instead of re-running
     # the regex split (three passes before this sharing, one after)
-    exact_tok = _mat(
+    exact_tok = _boundary(
         D.exact_dedup(docs, id_col, text_col).withColumn(
             "_toks", T.tokens(text_col)
-        )
+        ),
+        "exact",
     )
     exact = exact_tok.drop("_toks")
     sh = D.shingle_index(
@@ -95,23 +131,32 @@ def curate_corpus(
     # pairs are tiny (near-dup density, not corpus size) and feed BOTH the
     # near-dedup anti-join and the split keys — materialize once so the
     # 64-hash MinHash pipeline never re-executes downstream
-    pairs = D.minhash_dedup_pairs(
-        exact, id_col, threshold=near_dup_threshold, index=sh
-    ).localCheckpoint()
+    pairs = _always(
+        D.minhash_dedup_pairs(
+            exact, id_col, threshold=near_dup_threshold, index=sh
+        ),
+        "pairs",
+    )
     # one connected-components resolution serves the anti-join AND the
     # split keys (clusters table is pairs-sized: checkpoint is cheap)
-    clusters = dup_clusters(pairs, "id_a", "id_b").localCheckpoint()
-    near_tok = _mat(dedup_by_pairs(exact_tok, pairs, id_col, clusters=clusters))
+    clusters = _always(dup_clusters(pairs, "id_a", "id_b"), "clusters")
+    near_tok = _boundary(
+        dedup_by_pairs(exact_tok, pairs, id_col, clusters=clusters), "near"
+    )
     near = near_tok.drop("_toks")
-    decisions = _mat(
+    decisions = _boundary(
         T.corpus_filter(
             near_tok, id_col, text_col, tokens_col="_toks", **(filter_kwargs or {})
-        )
+        ),
+        "decisions",
     )
     kept = near.join(
         decisions.filter(F.col("keep")).select(id_col), id_col, "left_semi"
     )
-    curated = leakage_safe_split(kept, pairs, id_col, splits, clusters=clusters)
+    curated = _boundary(
+        leakage_safe_split(kept, pairs, id_col, splits, clusters=clusters),
+        "curated",
+    )
     return {
         "exact": exact,
         "pairs": pairs,

@@ -4,8 +4,12 @@ fact_sales + KPI aggregates per ``README.md:69-73``).
 
 Surrogate keys: the reference uses SERIAL (``customer_key SERIAL``,
 ``setup_orchestrator.py:488``). A contiguous global sequence needs a total
-order — acceptable for dimension tables (small), expressed as
-``row_number()`` over the natural key; fact tables reference dims via the
+order over the natural key; it is minted by
+:func:`~..operators.windows.contiguous_rank` — a two-phase
+range-partitioned rank (parallel per-partition sorts + broadcast
+cumulative offsets), bit-identical to ``row_number() OVER (ORDER BY ...)``
+but with no single-partition sort, so a 100M-row dim builds across the
+cluster instead of through one task. Fact tables reference dims via the
 natural key join, never a global sequence (SURVEY.md §7.2 risk 3).
 """
 
@@ -13,7 +17,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
+
+from sql_data_warehouse_analytics_project_spark.operators.windows import (
+    contiguous_rank,
+)
 
 
 def build_dim_customers(
@@ -23,7 +30,8 @@ def build_dim_customers(
 ) -> DataFrame:
     """CRM master + ERP birthdate/gender + ERP country. CRM gender wins
     unless n/a (CRM is the system of record). Dimension-sized data →
-    broadcast joins."""
+    broadcast joins; the surrogate key is a two-phase contiguous rank
+    (no single-partition window — see module docstring)."""
     c = crm_customers.alias("c")
     e = F.broadcast(erp_customers).alias("e")
     l = F.broadcast(erp_locations).alias("l")
@@ -31,9 +39,7 @@ def build_dim_customers(
         c.join(e, F.col("c.cst_key") == F.col("e.cid"), "left")
         .join(l, F.col("c.cst_key") == F.col("l.cid"), "left")
     )
-    w = Window.orderBy(F.col("c.cst_id"))
-    return joined.select(
-        F.row_number().over(w).alias("customer_key"),
+    base = joined.select(
         F.col("c.cst_id").alias("customer_id"),
         F.col("c.cst_key").alias("customer_number"),
         F.col("c.cst_firstname").alias("first_name"),
@@ -46,18 +52,30 @@ def build_dim_customers(
         F.col("e.bdate").alias("birthdate"),
         F.col("c.cst_create_date").alias("create_date"),
     )
+    return contiguous_rank(base, ["customer_id"], "customer_key").select(
+        "customer_key",
+        "customer_id",
+        "customer_number",
+        "first_name",
+        "last_name",
+        "country",
+        "marital_status",
+        "gender",
+        "birthdate",
+        "create_date",
+    )
 
 
 def build_dim_products(
     crm_products: DataFrame, erp_product_categories: DataFrame
 ) -> DataFrame:
-    """Current product versions (SCD2 end date NULL) + category attributes."""
+    """Current product versions (SCD2 end date NULL) + category
+    attributes. Surrogate key: two-phase contiguous rank over
+    (start_date, product_number)."""
     p = crm_products.filter(F.col("prd_end_dt").isNull()).alias("p")
     cat = F.broadcast(erp_product_categories).alias("cat")
     joined = p.join(cat, F.col("p.cat_id") == F.col("cat.id"), "left")
-    w = Window.orderBy(F.col("p.prd_start_dt"), F.col("p.prd_key"))
-    return joined.select(
-        F.row_number().over(w).alias("product_key"),
+    base = joined.select(
         F.col("p.prd_id").alias("product_id"),
         F.col("p.prd_key").alias("product_number"),
         F.col("p.prd_nm").alias("product_name"),
@@ -69,19 +87,107 @@ def build_dim_products(
         F.col("p.prd_line").alias("product_line"),
         F.col("p.prd_start_dt").alias("start_date"),
     )
+    return contiguous_rank(
+        base, ["start_date", "product_number"], "product_key"
+    ).select(
+        "product_key",
+        "product_id",
+        "product_number",
+        "product_name",
+        "category_id",
+        "category",
+        "subcategory",
+        "maintenance",
+        "cost",
+        "product_line",
+        "start_date",
+    )
+
+
+def fact_key_skew(crm_sales: DataFrame, *, top_n: int = 20) -> DataFrame:
+    """Pre-flight skew probe for the fact→dim join keys: heavy hitters and
+    global skew ratio per join side (``customer`` / ``product``), via
+    :func:`~..operators.aggregates.key_skew_stats`. Run this before a
+    non-broadcast fact build — a ``skew_ratio`` in the hundreds on the
+    customer side says pick ``dim_strategy="salted"`` (one whale customer
+    would otherwise pin the whole sort-merge join on one task)."""
+    from sql_data_warehouse_analytics_project_spark.operators.aggregates import (
+        key_skew_stats,
+    )
+
+    def side(name, col):
+        return key_skew_stats(
+            crm_sales.select(F.col(col).cast("string").alias("key_value")),
+            ["key_value"],
+            top_n=top_n,
+        ).select(F.lit(name).alias("join_side"), "*")
+
+    return side("customer", "sls_cust_id").unionByName(
+        side("product", "sls_prd_key")
+    )
 
 
 def build_fact_sales(
-    crm_sales: DataFrame, dim_products: DataFrame, dim_customers: DataFrame
+    crm_sales: DataFrame,
+    dim_products: DataFrame,
+    dim_customers: DataFrame,
+    *,
+    dim_strategy: str = "broadcast",
+    salt_buckets: int = 16,
 ) -> DataFrame:
-    """Sales facts keyed to the dims' surrogate keys. Dims broadcast; the
-    fact table never shuffles on a join at scale."""
+    """Sales facts keyed to the dims' surrogate keys.
+
+    ``dim_strategy`` picks the join physical shape (output is identical):
+
+    - ``"broadcast"`` (default): dims ride a broadcast hint — the fact
+      never shuffles. Right whenever each dim fits in executor memory
+      (the reference dataset, and most real dims).
+    - ``"shuffle"``: plain equi joins — sort-merge at scale, with AQE's
+      skew-join splitting absorbing moderate hot keys at runtime. For
+      dims too large to broadcast (a 100M-row customer dim).
+    - ``"salted"``: like ``"shuffle"`` but the customer join is salted
+      (:func:`~..operators.joins.salted_join`, ``salt_buckets`` splits
+      per key) — the pathological case where one customer dominates the
+      fact and even an AQE-split partition exceeds executor memory.
+      Probe first with :func:`fact_key_skew`.
+    """
+    if dim_strategy not in ("broadcast", "shuffle", "salted"):
+        raise ValueError(f"unknown dim_strategy: {dim_strategy!r}")
+    dp_sel = dim_products.select("product_key", "product_number")
+    dc_sel = dim_customers.select("customer_key", "customer_id")
     s = crm_sales.alias("s")
-    dp = F.broadcast(dim_products.select("product_key", "product_number")).alias("dp")
-    dc = F.broadcast(dim_customers.select("customer_key", "customer_id")).alias("dc")
+    if dim_strategy == "broadcast":
+        dp_sel, dc_sel = F.broadcast(dp_sel), F.broadcast(dc_sel)
+    dp = dp_sel.alias("dp")
+    joined = s.join(
+        dp, F.col("s.sls_prd_key") == F.col("dp.product_number"), "left"
+    )
+    if dim_strategy == "salted":
+        from sql_data_warehouse_analytics_project_spark.operators.joins import (
+            salted_join,
+        )
+
+        joined = salted_join(
+            joined.withColumnRenamed("sls_cust_id", "customer_id"),
+            dc_sel,
+            ["customer_id"],
+            "left",
+            salt_buckets=salt_buckets,
+        ).withColumnRenamed("customer_id", "sls_cust_id")
+        return joined.select(
+            F.col("sls_ord_num").alias("order_number"),
+            F.col("product_key"),
+            F.col("customer_key"),
+            F.col("sls_order_dt").alias("order_date"),
+            F.col("sls_ship_dt").alias("shipping_date"),
+            F.col("sls_due_dt").alias("due_date"),
+            F.col("sls_sales").alias("sales_amount"),
+            F.col("sls_quantity").alias("quantity"),
+            F.col("sls_price").alias("price"),
+        )
+    dc = dc_sel.alias("dc")
     return (
-        s.join(dp, F.col("s.sls_prd_key") == F.col("dp.product_number"), "left")
-        .join(dc, F.col("s.sls_cust_id") == F.col("dc.customer_id"), "left")
+        joined.join(dc, F.col("s.sls_cust_id") == F.col("dc.customer_id"), "left")
         .select(
             F.col("s.sls_ord_num").alias("order_number"),
             F.col("dp.product_key").alias("product_key"),
@@ -248,6 +354,52 @@ GOLD_INPUTS = {
 #: logs-layer ledger of silver sales batches already reflected in gold
 GOLD_BATCH_LOG_TABLE = "gold_batch_log"
 
+#: logs-layer durable worklist of an in-flight incremental gold refresh:
+#: written BEFORE the first destructive step (dim swap), cleared after the
+#: last (ledger write). A crash in between leaves the affected-month list
+#: on disk, so a replay rebuilds exactly those fact months + reports even
+#: though the dim diff now reads as "unchanged" against the already-
+#: swapped dims (round-6 ADVICE: the in-memory worklist hole).
+GOLD_PENDING_TABLE = "gold_pending_months"
+
+_PENDING_SCHEMA = "kind string, order_month date"
+
+
+def _read_pending(catalog) -> tuple[list, bool]:
+    """(pending month values, refresh-in-flight flag) from a prior
+    crashed incremental run; ([], False) when none."""
+    if not catalog.table_exists("logs", GOLD_PENDING_TABLE):
+        return [], False
+    rows = (
+        catalog.spark.table(catalog.qualified("logs", GOLD_PENDING_TABLE))
+        .select("kind", "order_month")
+        .collect()
+    )
+    months = [r["order_month"] for r in rows if r["kind"] == "month"]
+    return months, bool(rows)
+
+
+def _write_pending(catalog, months) -> None:
+    """Durably record the refresh worklist: one 'sync' sentinel (reports
+    must be rebuilt) plus one 'month' row per affected fact month."""
+    rows = [("sync", None)] + [("month", m) for m in months]
+    df = catalog.spark.createDataFrame(rows, _PENDING_SCHEMA).withColumn(
+        "recorded_at", F.current_timestamp()
+    )
+    catalog.create_table(
+        "logs", GOLD_PENDING_TABLE, df.schema, medallion_metadata=False
+    )
+    catalog.overwrite(df, "logs", GOLD_PENDING_TABLE)
+
+
+def _clear_pending(catalog) -> None:
+    if not catalog.table_exists("logs", GOLD_PENDING_TABLE):
+        return
+    empty = catalog.spark.createDataFrame(
+        [], _PENDING_SCHEMA + ", recorded_at timestamp"
+    )
+    catalog.overwrite(empty, "logs", GOLD_PENDING_TABLE)
+
 
 def _write_gold(catalog, name: str, df, *, run_context=None) -> int:
     from sql_data_warehouse_analytics_project_spark.catalog import (
@@ -383,9 +535,15 @@ def run_gold_incremental(catalog, *, run_context=None) -> dict:
     partition swap is a dynamic-partition overwrite, so untouched month
     directories keep their files byte-for-byte.
 
-    Crash-safety: the ledger is written LAST; every earlier step is
-    idempotent (dim staged swaps, deterministic partition rebuilds), so
-    a replayed run converges to the same state. Falls back to the full
+    Crash-safety: the affected-month worklist is persisted to
+    ``logs.gold_pending_months`` BEFORE the first destructive step (the
+    dim swap) and cleared only after the last (the ledger write). Every
+    step in between is idempotent (dim staged swaps, deterministic
+    partition rebuilds), and a replay after a crash unions the durable
+    worklist into its own — so even the window where the dims are
+    already swapped (and the dim diff reads "unchanged") still rebuilds
+    the fact months whose surrogate keys shifted, plus the reports.
+    The ledger itself is written LAST. Falls back to the full
     :func:`run_gold` when gold does not exist yet or silver sales lacks
     batch provenance (built by the full ``run_silver``), seeding the
     ledger when provenance is available.
@@ -426,6 +584,8 @@ def run_gold_incremental(catalog, *, run_context=None) -> dict:
             _record_batches(
                 catalog, "crm_sales", batches, table=GOLD_BATCH_LOG_TABLE
             )
+        # a full rebuild supersedes any crashed incremental's worklist
+        _clear_pending(catalog)
         return {
             "mode": "full",
             "batches": None,
@@ -442,6 +602,9 @@ def run_gold_incremental(catalog, *, run_context=None) -> dict:
         "crm_sales",
         sales.filter(F.col("_ingestion_batch_id").isNotNull()),
     )
+
+    # durable worklist of a refresh that crashed mid-swap (see docstring)
+    carry_months, in_flight = _read_pending(catalog)
 
     # Rebuild the dims (small) and materialize once: the change probe,
     # the mapping diff, and the possible rewrite all reuse the result.
@@ -514,7 +677,7 @@ def run_gold_incremental(catalog, *, run_context=None) -> dict:
         "dim_products", new_dim_p, "product_number", "product_key"
     )
 
-    if not new_batches and not c_changed and not p_changed:
+    if not new_batches and not c_changed and not p_changed and not in_flight:
         return {"mode": "noop", "batches": 0, "rebuilt_months": [], "tables": {}}
 
     # Affected months — each probe is a column-pruned scan of the fact's
@@ -548,7 +711,9 @@ def run_gold_incremental(catalog, *, run_context=None) -> dict:
     months_df = month_sets[0]
     for m in month_sets[1:]:
         months_df = months_df.union(m)
-    months = [r[0] for r in months_df.distinct().collect()]
+    months = list(
+        {r[0] for r in months_df.distinct().collect()} | set(carry_months)
+    )
 
     results: dict = {
         "mode": "incremental",
@@ -556,8 +721,12 @@ def run_gold_incremental(catalog, *, run_context=None) -> dict:
         "rebuilt_months": sorted(
             m.isoformat() if m is not None else "NULL" for m in months
         ),
+        "replayed_pending": in_flight,
         "tables": {},
     }
+    # persist the worklist BEFORE the first swap: a crash anywhere below
+    # leaves it on disk for the replay to pick up
+    _write_pending(catalog, months)
     if c_changed:
         results["tables"]["dim_customers"] = _write_gold(
             catalog, "dim_customers", new_dim_c, run_context=run_context
@@ -606,7 +775,7 @@ def run_gold_incremental(catalog, *, run_context=None) -> dict:
                     record_count=n,
                 )
 
-    if months or c_changed or p_changed:
+    if months or c_changed or p_changed or in_flight:
         fact_sales = catalog.read("gold", "fact_sales")
         dim_customers = catalog.read("gold", "dim_customers")
         dim_products = catalog.read("gold", "dim_products")
@@ -624,4 +793,5 @@ def run_gold_incremental(catalog, *, run_context=None) -> dict:
         )
 
     _record_batches(catalog, "crm_sales", new_batches, table=GOLD_BATCH_LOG_TABLE)
+    _clear_pending(catalog)
     return results

@@ -396,12 +396,17 @@ def run_silver_incremental(
                         "silver", silver_table, "_ingestion_batch_id", "string"
                     )
                 else:
+                    # probe ONLY the new batches' ids, not the whole fact:
+                    # the isin filter rides parquet row-group stats and
+                    # dictionary filters, so untouched files are skipped
+                    # and the probe stays new-batch-sized at a 100 TB fact
                     applied = {
                         r[0]
                         for r in spark.table(
                             catalog.qualified("silver", silver_table)
                         )
                         .select("_ingestion_batch_id")
+                        .filter(F.col("_ingestion_batch_id").isin(new_batches))
                         .distinct()
                         .collect()
                     }

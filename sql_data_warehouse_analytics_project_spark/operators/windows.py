@@ -220,6 +220,83 @@ def cohort_retention(
     )
 
 
+def _contiguous_local_ranks(
+    df: DataFrame, order_by: Sequence[str | Column], num_partitions: int | None
+) -> DataFrame:
+    """Phase 1+2 of :func:`contiguous_rank` as a lazy plan (exposed for
+    plan tests): range-repartition on the order key, stamp the partition
+    id, rank per partition. No single-partition exchange anywhere."""
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
+    part = (
+        df.repartitionByRange(num_partitions, *cols)
+        if num_partitions is not None
+        else df.repartitionByRange(*cols)
+    )
+    w = Window.partitionBy("_cr_pid").orderBy(*cols)
+    return (
+        part.withColumn("_cr_pid", F.spark_partition_id())
+        .withColumn("_cr_lrn", F.row_number().over(w))
+    )
+
+
+def contiguous_rank(
+    df: DataFrame,
+    order_by: Sequence[str | Column],
+    name: str,
+    *,
+    key_type: str = "int",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Globally contiguous 1-based rank in ``order_by`` order WITHOUT the
+    single-partition sort of ``row_number() OVER (ORDER BY ...)`` — the
+    scale-safe way to mint SERIAL-style surrogate keys (reference
+    ``setup/setup_orchestrator.py:488``: ``customer_key SERIAL``).
+
+    Two-phase rank: (1) range-repartition on the order key — every
+    partition holds a contiguous key range, all partitions sort in
+    parallel; (2) ``row_number()`` per partition id; (3) per-partition
+    row counts (one tiny job, ≤ numPartitions rows) become cumulative
+    offsets attached by broadcast join. ``rank = offset(pid) + local``.
+
+    Bit-identical to the global window whenever ``order_by`` is a total
+    order (unique keys): range partitioning keeps equal keys in one
+    partition and orders partitions by key range, so offset+local IS the
+    global rank regardless of where the sampled range boundaries fall.
+
+    The ranked frame is localCheckpointed (eager) before the counts
+    job: range boundaries come from sampling whose seed varies per RDD
+    instantiation, so the counts job and the consuming job MUST observe
+    one materialized partitioning — recomputation could legally shuffle
+    rows across partition borders between the two jobs and corrupt the
+    offsets. The checkpoint is dim-sized; the collect is bounded by the
+    partition count (cluster topology, not data volume).
+    """
+    for reserved in ("_cr_pid", "_cr_lrn", "_cr_off", name):
+        if reserved in df.columns:
+            raise ValueError(f"contiguous_rank: column {reserved!r} already exists")
+    ranked = _contiguous_local_ranks(df, order_by, num_partitions).localCheckpoint(
+        eager=True
+    )
+    counts = {
+        r["_cr_pid"]: r["_cr_n"]
+        for r in ranked.groupBy("_cr_pid")
+        .agg(F.count(F.lit(1)).alias("_cr_n"))
+        .collect()
+    }
+    offsets, acc = [], 0
+    for pid in sorted(counts):
+        offsets.append((pid, acc))
+        acc += counts[pid]
+    off = F.broadcast(
+        df.sparkSession.createDataFrame(offsets, "_cr_pid int, _cr_off long")
+    )
+    return (
+        ranked.join(off, "_cr_pid")
+        .withColumn(name, (F.col("_cr_off") + F.col("_cr_lrn")).cast(key_type))
+        .drop("_cr_pid", "_cr_lrn", "_cr_off")
+    )
+
+
 def date_spine(df: DataFrame, keys: Sequence[str], date_col: str) -> DataFrame:
     """Dense per-key calendar: one row per key per day across that key's
     [min, max] date range — the spine for gap-filling sparse time series

@@ -1204,3 +1204,48 @@ def q85_top_products_per_category(spark: SparkSession, sf_dir: str) -> DataFrame
             F.col("rn").cast("int").alias("rank_in_category"),
         )
     )
+
+
+@register(
+    "q86_fact_key_skew",
+    _SILVER_CTES
+    + """
+    , ck AS (
+      SELECT CAST(sls_cust_id AS VARCHAR) AS key_value, COUNT(*) AS n_rows
+      FROM sales GROUP BY 1
+    ), ct AS (
+      SELECT CAST(SUM(n_rows) AS DOUBLE) AS tot, AVG(n_rows) AS avg_n,
+             MAX(n_rows) AS max_n, COUNT(*) AS nk FROM ck
+    ), pk AS (
+      SELECT sls_prd_key AS key_value, COUNT(*) AS n_rows
+      FROM sales GROUP BY 1
+    ), pt AS (
+      SELECT CAST(SUM(n_rows) AS DOUBLE) AS tot, AVG(n_rows) AS avg_n,
+             MAX(n_rows) AS max_n, COUNT(*) AS nk FROM pk
+    ), cs AS (
+      SELECT 'customer' AS join_side, ck.key_value,
+             CAST(ck.n_rows AS BIGINT) AS n_rows,
+             ROUND(ck.n_rows / ct.tot, 6) AS share,
+             CAST(ct.nk AS BIGINT) AS n_distinct_keys,
+             ROUND(ct.max_n / ct.avg_n, 4) AS skew_ratio
+      FROM ck, ct
+      ORDER BY ck.n_rows DESC, ck.key_value ASC NULLS FIRST LIMIT 10
+    ), ps AS (
+      SELECT 'product' AS join_side, pk.key_value,
+             CAST(pk.n_rows AS BIGINT) AS n_rows,
+             ROUND(pk.n_rows / pt.tot, 6) AS share,
+             CAST(pt.nk AS BIGINT) AS n_distinct_keys,
+             ROUND(pt.max_n / pt.avg_n, 4) AS skew_ratio
+      FROM pk, pt
+      ORDER BY pk.n_rows DESC, pk.key_value ASC NULLS FIRST LIMIT 10
+    )
+    SELECT * FROM cs UNION ALL SELECT * FROM ps
+    """,
+)
+def q86_fact_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-flight join-key skew probe for the gold fact assembly
+    (``gold.fact_key_skew``): top heavy hitters + global skew ratio per
+    dim-join side over the silver-cleaned sales — the number that picks
+    ``build_fact_sales(dim_strategy=...)`` before a 100 TB shuffle."""
+    sales = _silver_tables(spark)["crm_sales"]
+    return gold.fact_key_skew(sales, top_n=10)

@@ -389,3 +389,55 @@ def test_incremental_keyed_null_keys_match_full_rebuild(spark, cats):
     # a replay changes nothing (null keys neither lost nor duplicated)
     silver.run_silver_incremental(inc)
     assert _data_rows(inc, "erp_customers") == _data_rows(full, "erp_customers")
+
+
+def test_incremental_gold_crash_between_dim_and_fact_swap_replays(
+    spark, cats, monkeypatch
+):
+    """Round-6 ADVICE (medium): a crash AFTER the dim swap but BEFORE the
+    fact partition overwrite used to lose the affected-month worklist —
+    the replay's dim diff runs against the already-swapped dims, sees no
+    change, and never rebuilds the months referencing the old shifted
+    surrogate keys. The durable ``logs.gold_pending_months`` worklist
+    closes the hole: the replay must converge to the full-rebuild state."""
+    inc, full = cats
+
+    _seed_bronze_b1(inc, spark)
+    silver.run_silver_incremental(inc)
+    gold.run_gold_incremental(inc)
+
+    # key-shift batch: new customer sorts before every existing id
+    shifted = [(0, "K0B", "Zed", "Early", "M", "F", date(2025, 2, 1))] + CUST_B2
+    _seed_bronze_b2(inc, spark, cust_rows=shifted)
+    silver.run_silver_incremental(inc)
+
+    # crash exactly at the fact partition swap (dims already rewritten)
+    def boom(catalog, df):
+        raise RuntimeError("simulated crash before fact swap")
+
+    monkeypatch.setattr(gold, "_overwrite_fact_partitions", boom)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        gold.run_gold_incremental(inc)
+    monkeypatch.undo()
+
+    # the durable worklist survived the crash
+    pending = spark.table(inc.qualified("logs", "gold_pending_months"))
+    kinds = {r["kind"] for r in pending.collect()}
+    assert "sync" in kinds and "month" in kinds
+
+    r = gold.run_gold_incremental(inc)
+    assert r["mode"] == "incremental" and r["replayed_pending"]
+    # January (old-key referencing month) is in the replayed worklist
+    assert "2025-01-01" in r["rebuilt_months"]
+    # worklist cleared after the successful replay
+    assert spark.table(inc.qualified("logs", "gold_pending_months")).count() == 0
+
+    _seed_bronze_b1(full, spark)
+    _seed_bronze_b2(full, spark, cust_rows=shifted)
+    silver.run_silver(full)
+    gold.run_gold(full)
+    for t in GOLD_TABLES:
+        assert _data_rows(inc, t, layer="gold") == _data_rows(full, t, layer="gold"), t
+
+    # a further replay with nothing new is a clean noop
+    assert gold.run_gold_incremental(inc)["mode"] == "noop"

@@ -825,3 +825,45 @@ def test_prebuilt_shingle_index_rejects_mismatched_n(spark):
     assert dedup.ngram_jaccard_pairs(df, "doc_id", n=3, index=idx).count() >= 0
     foreign = idx.select("doc", F.col("shingle").cast("long").alias("shingle"))
     assert dedup.ngram_jaccard_pairs(df, "doc_id", n=2, index=foreign).count() >= 0
+
+
+def test_curate_corpus_write_through_mode(spark, tmp_path):
+    """Round-6 verdict #7: ``write_through=<dir>`` persists every stage
+    boundary as a parquet dataset and downstream consumes the durable
+    copy — read-back stages equal the in-memory run's stages, and each
+    per-stage dataset is independently re-readable after the run."""
+    from sql_data_warehouse_analytics_project_spark.llm import curate
+
+    base = (
+        "The quick brown fox jumps over the lazy dog while the other animals "
+        "watch from the comfortable shade of a large tree near the old farm. "
+        "It is a calm and pleasant afternoon in the quiet countryside there."
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),
+            (3, base.replace("pleasant", "lovely")),
+            (4, "junk!!"),
+            (5, base.replace("fox", "cat").replace("dog", "bird")),
+        ],
+        "doc_id long, text string",
+    )
+    out = str(tmp_path / "curated")
+    wt = curate.curate_corpus(docs, write_through=out)
+    mem = curate.curate_corpus(docs, materialize=True)
+
+    def rows(df, cols):
+        return sorted(tuple(str(v) for v in r) for r in df.select(*cols).collect())
+
+    import os
+
+    for stage in ("exact", "pairs", "near", "decisions", "curated"):
+        assert os.path.isdir(os.path.join(out, stage)), stage
+        cols = sorted(set(mem[stage].columns) & set(wt[stage].columns))
+        assert rows(wt[stage], cols) == rows(mem[stage], cols), stage
+    # the clusters resolution is persisted too (audit trail)
+    assert os.path.isdir(os.path.join(out, "clusters"))
+    # per-stage datasets are independently re-readable after the run
+    back = spark.read.parquet(os.path.join(out, "curated"))
+    assert {r.doc_id for r in back.select("doc_id").collect()} == {1, 5}

@@ -936,3 +936,58 @@ def test_reserved_internal_column_guards(spark):
         relational.paginate(rn, ["k"], 1, 10)
     with pytest.raises(ValueError, match="_rn"):
         cleansing.dedup_keep_latest(rn, ["k"], "k")
+
+
+def test_contiguous_rank_matches_global_row_number(spark):
+    """Two-phase surrogate-key rank (round-6 verdict #1): bit-identical
+    to ``row_number() OVER (ORDER BY ...)`` on a total order, including
+    composite keys and NULL order values, with no single-partition sort."""
+    import random
+
+    from pyspark.sql import Window
+
+    rng = random.Random(7)
+    rows = [(i, rng.random(), f"s{i%7}") for i in range(1, 1501)]
+    rng.shuffle(rows)
+    rows[0] = (None, rows[0][1], rows[0][2])  # NULL order key rides too
+    df = spark.createDataFrame(rows, "k int, v double, s string").repartition(13)
+
+    by_rank = lambda rows: sorted((tuple(r) for r in rows), key=lambda t: t[-1])
+    got = by_rank(windows.contiguous_rank(df, ["k"], "rk").collect())
+    ref = by_rank(
+        df.withColumn("rk", F.row_number().over(Window.orderBy("k"))).collect()
+    )
+    assert got == ref
+
+    # composite order key
+    got2 = by_rank(windows.contiguous_rank(df, ["s", "k"], "rk").collect())
+    ref2 = by_rank(
+        df.withColumn(
+            "rk", F.row_number().over(Window.orderBy("s", "k"))
+        ).collect()
+    )
+    assert got2 == ref2
+
+
+def test_contiguous_rank_empty_and_guards(spark):
+    empty = spark.createDataFrame([], "k int, v string")
+    out = windows.contiguous_rank(empty, ["k"], "rk")
+    assert out.count() == 0
+    assert out.schema.simpleString() == "struct<k:int,v:string,rk:int>"
+    taken = spark.createDataFrame([(1, 2)], "k int, _cr_pid int")
+    with pytest.raises(ValueError, match="_cr_pid"):
+        windows.contiguous_rank(taken, ["k"], "rk")
+
+
+def test_contiguous_rank_plan_no_single_partition(spark):
+    """The scale contract: phase 1+2 plan range-partitions and ranks per
+    partition — no Exchange SinglePartition, no unpartitioned Window."""
+    df = spark.range(1000).withColumnRenamed("id", "k")
+    p = (
+        windows._contiguous_local_ranks(df, ["k"], None)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .treeString()
+    )
+    assert "SinglePartition" not in p, p
+    assert "rangepartitioning" in p, p

@@ -207,9 +207,18 @@ def test_chunking_has_no_hash_shuffle(plans):
 
 def test_vocab_topk_is_take_ordered(plans):
     """build_vocab(top_k=...) must cut with a distributed top-k, never a
-    global sort of the vocabulary."""
+    global sort of the vocabulary — and the rank window's single-partition
+    exchange must sit ABOVE the top-k cut (round-6 verdict #5: the global
+    window only ever sees the k survivors, so its input is bounded by the
+    requested k, not by the vocabulary size)."""
     p = plans("qd33_vocab_top_terms")
     assert "TakeOrderedAndProject" in p, p
+    if "Exchange SinglePartition" in p:
+        # treeString prints parents first: the rank window's exchange
+        # must be a parent of (appear before) the top-k cut
+        assert p.index("Exchange SinglePartition") < p.index(
+            "TakeOrderedAndProject"
+        ), p
 
 
 def test_key_skew_stats_plan(plans):
@@ -335,3 +344,13 @@ def test_silver_replay_csv_scans_have_declared_schema(spark):
     raw = qm._read_csv(spark, qm.CRM_DIR, "sales_details.csv")
     assert dict(raw.dtypes)["sls_order_dt"] == "bigint"   # declared, not inferred
     assert dict(dfs["crm_sales"].dtypes)["sls_order_dt"] == "date"
+
+
+def test_dim_builds_have_no_single_partition_window(plans):
+    """Round-6 verdict #1: the gold dim surrogate keys are minted by the
+    two-phase contiguous rank — the executed plan of the dim builds (and
+    of the operator's ranking phase, asserted in test_operators) must
+    never route the dimension through an Exchange SinglePartition."""
+    for name in ("q74_dim_customers_rows", "q75_dim_products_rows"):
+        p = plans(name)
+        assert "SinglePartition" not in p, name

@@ -9,10 +9,14 @@ it: common queries are compared on ``best_normalized`` when present
 ``best / cpu_calibration_sec``.
 
 Usage: python tools/bench_diff.py OLD.json NEW.json [--top N] [--pct P]
+       python tools/bench_diff.py OLD.json NEW.json --markdown
 
 Prints the total normalized delta over common queries, queries only in
 one artifact, and the top-N improvements/regressions beyond ±P%
 (default 15% — below that is calibration noise per NOTES_r4/r5).
+``--markdown`` instead emits the COMPLETE per-query delta table as
+GitHub markdown, ready to paste into NOTES_r{N} (round-6 verdict #3:
+the next verdict's regression section should be a one-command diff).
 """
 
 from __future__ import annotations
@@ -46,6 +50,8 @@ def main() -> int:
     ap.add_argument("--top", type=int, default=10)
     ap.add_argument("--pct", type=float, default=15.0,
                     help="noise band: hide |delta| below this percent")
+    ap.add_argument("--markdown", action="store_true",
+                    help="emit the complete per-query delta table as markdown")
     args = ap.parse_args()
 
     with open(args.old) as fh:
@@ -56,6 +62,22 @@ def main() -> int:
     o, n = _normalized(old), _normalized(new)
     common = sorted(set(o) & set(n))
     only_old, only_new = sorted(set(o) - set(n)), sorted(set(n) - set(o))
+
+    if args.markdown:
+        to, tn = sum(o[k] for k in common), sum(n[k] for k in common)
+        print(f"| query | old (norm s) | new (norm s) | delta |")
+        print("|---|---|---|---|")
+        for k in common:
+            d = f"{(n[k] - o[k]) / o[k] * 100.0:+.0f}%" if o[k] else "n/a"
+            print(f"| {k} | {o[k]:.2f} | {n[k]:.2f} | {d} |")
+        for k in only_new:
+            print(f"| {k} | — | {n[k]:.2f} | new |")
+        for k in only_old:
+            print(f"| {k} | {o[k]:.2f} | — | removed |")
+        pct = f" ({(tn - to) / to * 100.0:+.1f}%)" if to else ""
+        print(f"| **total (common)** | **{to:.1f}** | **{tn:.1f}** |"
+              f" **{pct.strip() or '—'}** |")
+        return 0
 
     to, tn = sum(o[k] for k in common), sum(n[k] for k in common)
     print(f"common queries: {len(common)}")

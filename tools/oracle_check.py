@@ -7,10 +7,14 @@ normalized to strings). Exact match required — this is intentionally at
 least as strict as any reasonable value-hash the driver computes.
 
 Besides the stdout log (which interleaves with Spark's console chatter),
-the per-key evidence is written to ``gate_result.json`` at the repo root
-after EVERY key (atomic replace) — machine-readable regardless of log
-noise, and still useful if the process is killed mid-run (``complete``
-flips to true only at the end).
+the per-key evidence is written to a PER-SCALE artifact at the repo root
+— ``gate_result.sf0_01.json`` for ``/root/testdata/sf0.01`` and so on —
+after EVERY key (atomic replace): machine-readable regardless of log
+noise, still useful if the process is killed mid-run (``complete``
+flips to true only at the end), and a run at one scale can never
+clobber the evidence of a completed run at another (round-6 verdict
+artifact-hygiene item). ``failures`` is always recomputed from the full
+merged ``results`` map, so a subset re-run cannot mask a prior FAIL.
 
 Usage: python tools/oracle_check.py [sf_dir] [query ...]
 """
@@ -50,20 +54,24 @@ def _norm_rows(cols, rows):
     return sorted_cols, out
 
 
-_GATE_PATH = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                          "gate_result.json")
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def _write_gate(doc: dict) -> None:
-    tmp = _GATE_PATH + ".tmp"
-    with open(tmp, "w") as fh:
-        fh.write(json.dumps(doc, indent=1) + "\n")
-    os.replace(tmp, _GATE_PATH)
+def gate_path(sf_dir: str) -> str:
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    return os.path.join(_REPO_ROOT, f"gate_result.{tag}.json")
 
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    path = gate_path(sf_dir)
+
+    def _write_gate(doc: dict) -> None:
+        tmp = path + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(json.dumps(doc, indent=1) + "\n")
+        os.replace(tmp, path)
 
     con = duckdb.connect()
     for t in TABLES:
@@ -75,20 +83,19 @@ def main() -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
 
-    failures = []
     doc: dict = {
         "sf_dir": sf_dir,
         "complete": False,
-        "failures": failures,
+        "failures": [],
         "results": {},
     }
     # Subset runs MERGE into an existing same-sf artifact instead of
     # truncating it: re-verifying two keys must not discard the other
     # 120 keys' evidence. Stale keys of a prior registry are dropped;
     # `complete` below means "every current registry key has a result".
-    if only and os.path.exists(_GATE_PATH):
+    if only and os.path.exists(path):
         try:
-            with open(_GATE_PATH) as fh:
+            with open(path) as fh:
                 prior = json.load(fh)
             if prior.get("sf_dir") == sf_dir:
                 doc["results"] = {
@@ -96,6 +103,13 @@ def main() -> int:
                 }
         except (OSError, ValueError):
             pass
+
+    def _merged_failures() -> list[str]:
+        # ALWAYS derived from the merged results map: a subset re-run
+        # must surface a prior full run's FAILs, not hide them
+        return sorted(
+            k for k, v in doc["results"].items() if v.get("status") == "FAIL"
+        )
 
     def record(name, status, rows, t0, detail=None):
         entry = {
@@ -106,8 +120,10 @@ def main() -> int:
         if detail:
             entry["detail"] = detail[:500]
         doc["results"][name] = entry
+        doc["failures"] = _merged_failures()
         _write_gate(doc)
 
+    failures = []  # this run's failures, for the console log
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -155,9 +171,12 @@ def main() -> int:
             record(name, "FAIL", len(sr), t0, status)
 
     doc["complete"] = set(doc["results"]) >= set(qs)
+    doc["failures"] = _merged_failures()
     _write_gate(doc)
-    print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
-    return 1 if failures else 0
+    merged = doc["failures"]
+    print(f"\n{len(merged)} failures (merged artifact)"
+          + (f": {merged}" if merged else ""))
+    return 1 if merged else 0
 
 
 if __name__ == "__main__":
