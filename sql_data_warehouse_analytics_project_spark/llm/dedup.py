@@ -57,6 +57,45 @@ def exact_dup_groups(df: DataFrame, id_col: str, text_col: str = "text") -> Data
     )
 
 
+def snapshot_fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Prior-corpus exact-dedup ledger: the DISTINCT normalized-content
+    fingerprints of a corpus snapshot — 32 bytes per distinct content,
+    the durable state an incremental refresh dedups against. Persist it
+    (``write_dataset``) once per snapshot; it never re-reads the text."""
+    return df.select(fingerprint(text_col).alias("fingerprint")).distinct()
+
+
+def dedup_against_snapshot(
+    new_docs: DataFrame,
+    prior_fingerprints: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental corpus refresh: exact-dedup a NEW document batch both
+    against a prior snapshot's fingerprint ledger (anti join) and within
+    itself (lowest id per fingerprint) — the cross-snapshot twin of
+    :func:`exact_dedup` for the recurring-crawl pipeline, where
+    re-fingerprinting the whole historical corpus per refresh would be
+    corpus-sized work.
+
+    Scale shape: only 32-byte hashes shuffle (the text never does); the
+    ledger side is distinct-content sized; the anti join + the
+    keep-lowest window both key on the same fingerprint, so the batch
+    shuffles once. Union the survivors' fingerprints into the ledger to
+    roll the snapshot forward."""
+    fresh = new_docs.withColumn("_fp", fingerprint(text_col)).join(
+        prior_fingerprints.select(F.col("fingerprint").alias("_fp")),
+        "_fp",
+        "left_anti",
+    )
+    w = Window.partitionBy("_fp").orderBy(F.col(id_col))
+    return (
+        fresh.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_fp", "_rn")
+    )
+
+
 # ---------------------------------------------------------------------------
 # n-gram Jaccard (inverted-index candidate join + exact verify)
 # ---------------------------------------------------------------------------
@@ -427,15 +466,7 @@ def simhash_portable(
     )
 
 
-def lsh_candidate_pairs(
-    signatures: DataFrame,
-    id_col: str,
-    num_bands: int = 16,
-    sig_col: str = "minhash_sig",
-) -> DataFrame:
-    """Banding: split the signature into bands, hash each band, join docs
-    sharing any band bucket → candidate pairs (id_a < id_b). With 64 hashes
-    and 16 bands (r=4) the S-curve crosses ~0.5 at j≈0.7."""
+def _sig_len(signatures: DataFrame, sig_col: str, num_bands: int) -> int:
     sig_len_row = signatures.select(F.size(sig_col).alias("n")).limit(1).collect()
     sig_len = sig_len_row[0]["n"] if sig_len_row else 0
     if sig_len and (num_bands <= 0 or sig_len % num_bands != 0):
@@ -445,29 +476,57 @@ def lsh_candidate_pairs(
             f"signature length ({sig_len}) must be a positive multiple of"
             f" num_bands ({num_bands})"
         )
+    return sig_len
+
+
+def _band_rows(
+    signatures: DataFrame,
+    id_col: str,
+    num_bands: int,
+    sig_col: str,
+    *,
+    portable: bool = False,
+) -> DataFrame:
+    """(doc, band, bucket) — one row per signature band. Production bucket
+    is ``xxhash64(concat of the band's hashes)`` (int64, joins cheap);
+    ``portable=True`` keeps the concat STRING so an md5-based SQL oracle
+    can reproduce the bucketing."""
+    sig_len = _sig_len(signatures, sig_col, num_bands)
     rows_per_band = sig_len // num_bands or 1
-    bands = signatures.select(
+
+    def bucket(b):
+        joined = F.concat_ws(
+            ",",
+            *[
+                F.element_at(F.col(sig_col), b * rows_per_band + r + 1)
+                for r in range(rows_per_band)
+            ],
+        )
+        return joined if portable else F.xxhash64(joined)
+
+    return signatures.select(
         F.col(id_col).alias("doc"),
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.element_at(F.col(sig_col), b * rows_per_band + r + 1)
-                                    for r in range(rows_per_band)
-                                ],
-                            )
-                        ).alias("bucket"),
-                    )
+                    F.struct(F.lit(b).alias("band"), bucket(b).alias("bucket"))
                     for b in range(num_bands)
                 ]
             )
         ).alias("bb"),
     ).select("doc", "bb.band", "bb.bucket")
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str,
+    num_bands: int = 16,
+    sig_col: str = "minhash_sig",
+) -> DataFrame:
+    """Banding: split the signature into bands, hash each band, join docs
+    sharing any band bucket → candidate pairs (id_a < id_b). With 64 hashes
+    and 16 bands (r=4) the S-curve crosses ~0.5 at j≈0.7."""
+    bands = _band_rows(signatures, id_col, num_bands, sig_col)
     a = bands.select(F.col("doc").alias("id_a"), "band", "bucket")
     b = bands.select(F.col("doc").alias("id_b"), "band", "bucket")
     return (
@@ -475,6 +534,78 @@ def lsh_candidate_pairs(
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
+    )
+
+
+def signature_agreement(a: Column, b: Column) -> Column:
+    """Fraction of agreeing positions between two equal-length MinHash
+    signatures — the standard unbiased estimator of Jaccard similarity
+    (each position agrees with probability J). Pure array expression,
+    codegen'd: no UDF, no explode."""
+    return (
+        F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x == y).cast("int")),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        ).cast("double")
+        / F.size(a)
+    )
+
+
+def near_dup_against_snapshot(
+    new_docs: DataFrame,
+    snapshot_sigs: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    *,
+    threshold: float = 0.7,
+    num_bands: int = 16,
+    n: int = 3,
+    portable: bool = False,
+) -> DataFrame:
+    """Near-dup pairs between a NEW document batch and a PRIOR corpus
+    snapshot represented ONLY by its persisted MinHash signatures —
+    the recurring-crawl companion of :func:`dedup_against_snapshot` for
+    near-duplicates: the historical text can live in cold storage, the
+    refresh probes the signature index.
+
+    Returns ``(id_new, id_snapshot, est_jaccard)`` where ``est_jaccard``
+    is the signature-agreement estimate (the production verify when the
+    snapshot text is unavailable; ±1/num_hashes resolution). Candidates
+    come from the same LSH banding as the in-corpus path — the new
+    batch's bands equi-join the snapshot's bands, so work scales with
+    the batch and the collision count, never |snapshot| × |batch|.
+
+    Signature parameters (``num_hashes``, inferred from the snapshot
+    signature length; ``num_bands``; shingle ``n``) must match the ones
+    the snapshot was built with — banding positions are positional.
+    ``portable=True`` switches both the signature hash (md5 60-bit,
+    :func:`minhash_signatures_portable`) and the band bucket (plain
+    string) so a SQL oracle can replay the whole probe bit-exactly; the
+    default is the fast xxhash64 production path."""
+    sig_col = "minhash_sig"
+    num_hashes = _sig_len(snapshot_sigs, sig_col, num_bands)
+    sig_fn = minhash_signatures_portable if portable else minhash_signatures
+    new_sigs = sig_fn(new_docs, id_col, text_col, num_hashes, n)
+    nb = _band_rows(new_sigs, id_col, num_bands, sig_col, portable=portable)
+    sb = _band_rows(snapshot_sigs, id_col, num_bands, sig_col, portable=portable)
+    cands = (
+        nb.select(F.col("doc").alias("id_new"), "band", "bucket")
+        .join(sb.select(F.col("doc").alias("id_snapshot"), "band", "bucket"),
+              ["band", "bucket"])
+        .select("id_new", "id_snapshot")
+        .distinct()
+    )
+    a = new_sigs.select(F.col(id_col).alias("id_new"), F.col(sig_col).alias("_sa"))
+    b = snapshot_sigs.select(
+        F.col(id_col).alias("id_snapshot"), F.col(sig_col).alias("_sb")
+    )
+    return (
+        cands.join(a, "id_new")
+        .join(b, "id_snapshot")
+        .withColumn("est_jaccard", signature_agreement(F.col("_sa"), F.col("_sb")))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_new", "id_snapshot", "est_jaccard")
     )
 
 

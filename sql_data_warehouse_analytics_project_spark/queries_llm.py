@@ -1540,3 +1540,104 @@ def qd40_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle index plan as qd02; only the verify formula differs."""
     docs = _docs(spark, sf_dir)
     return dedup.containment_pairs(docs, "doc_id", threshold=0.5)
+
+
+@register(
+    "qd41_cross_snapshot_dedup",
+    f"""
+    WITH prior AS (
+      SELECT DISTINCT {_FP} AS f FROM documents WHERE doc_id % 3 = 0
+    ), newb AS (
+      SELECT doc_id, lang, source, {_FP} AS f
+      FROM documents WHERE doc_id % 3 <> 0
+    ), fresh AS (
+      SELECT n.doc_id, n.lang, n.source,
+             row_number() OVER (PARTITION BY n.f ORDER BY n.doc_id) AS rn
+      FROM newb n LEFT JOIN prior p ON n.f = p.f
+      WHERE p.f IS NULL
+    )
+    SELECT doc_id, lang, source FROM fresh WHERE rn = 1
+    """,
+)
+def qd41_cross_snapshot_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus refresh (`dedup.dedup_against_snapshot`): a new
+    crawl batch (doc_id % 3 != 0) exact-dedups against the prior
+    snapshot's 32-byte fingerprint ledger (doc_id % 3 == 0,
+    `snapshot_fingerprints`) AND within itself — only hashes shuffle,
+    the historical text is never re-read."""
+    docs = _docs(spark, sf_dir)
+    prior = dedup.snapshot_fingerprints(docs.filter(F.col("doc_id") % 3 == 0))
+    new_batch = docs.filter(F.col("doc_id") % 3 != 0)
+    return dedup.dedup_against_snapshot(new_batch, prior, "doc_id").select(
+        "doc_id", "lang", "source"
+    )
+
+
+@register(
+    "qd42_near_dup_against_snapshot",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS t FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t)-1)]) AS shingles
+      FROM toks WHERE len(t) >= 3
+    ), ex AS (
+      SELECT doc_id, unnest(shingles) AS s FROM sh
+    ), sig AS (
+      SELECT doc_id,
+             CAST(MIN(CAST(concat('0x', substr(md5(s || '#0'), 1, 15)) AS UBIGINT)) AS BIGINT) AS h0,
+             CAST(MIN(CAST(concat('0x', substr(md5(s || '#1'), 1, 15)) AS UBIGINT)) AS BIGINT) AS h1,
+             CAST(MIN(CAST(concat('0x', substr(md5(s || '#2'), 1, 15)) AS UBIGINT)) AS BIGINT) AS h2,
+             CAST(MIN(CAST(concat('0x', substr(md5(s || '#3'), 1, 15)) AS UBIGINT)) AS BIGINT) AS h3,
+             CAST(MIN(CAST(concat('0x', substr(md5(s || '#4'), 1, 15)) AS UBIGINT)) AS BIGINT) AS h4,
+             CAST(MIN(CAST(concat('0x', substr(md5(s || '#5'), 1, 15)) AS UBIGINT)) AS BIGINT) AS h5,
+             CAST(MIN(CAST(concat('0x', substr(md5(s || '#6'), 1, 15)) AS UBIGINT)) AS BIGINT) AS h6,
+             CAST(MIN(CAST(concat('0x', substr(md5(s || '#7'), 1, 15)) AS UBIGINT)) AS BIGINT) AS h7
+      FROM ex GROUP BY doc_id
+    ), nsig AS (
+      SELECT * FROM sig WHERE doc_id % 3 <> 0
+    ), ssig AS (
+      SELECT * FROM sig WHERE doc_id % 3 = 0
+    ), nb AS (
+      SELECT doc_id, 0 AS band, concat(h0, ',', h1) AS bucket FROM nsig
+      UNION ALL SELECT doc_id, 1 AS band, concat(h2, ',', h3) AS bucket FROM nsig
+      UNION ALL SELECT doc_id, 2 AS band, concat(h4, ',', h5) AS bucket FROM nsig
+      UNION ALL SELECT doc_id, 3 AS band, concat(h6, ',', h7) AS bucket FROM nsig
+    ), sb AS (
+      SELECT doc_id, 0 AS band, concat(h0, ',', h1) AS bucket FROM ssig
+      UNION ALL SELECT doc_id, 1 AS band, concat(h2, ',', h3) AS bucket FROM ssig
+      UNION ALL SELECT doc_id, 2 AS band, concat(h4, ',', h5) AS bucket FROM ssig
+      UNION ALL SELECT doc_id, 3 AS band, concat(h6, ',', h7) AS bucket FROM ssig
+    ), cand AS (
+      SELECT DISTINCT nb.doc_id AS id_new, sb.doc_id AS id_snapshot
+      FROM nb JOIN sb ON nb.band = sb.band AND nb.bucket = sb.bucket
+    )
+    SELECT c.id_new, c.id_snapshot,
+           (CASE WHEN a.h0 = b.h0 THEN 1 ELSE 0 END + CASE WHEN a.h1 = b.h1 THEN 1 ELSE 0 END + CASE WHEN a.h2 = b.h2 THEN 1 ELSE 0 END + CASE WHEN a.h3 = b.h3 THEN 1 ELSE 0 END + CASE WHEN a.h4 = b.h4 THEN 1 ELSE 0 END + CASE WHEN a.h5 = b.h5 THEN 1 ELSE 0 END + CASE WHEN a.h6 = b.h6 THEN 1 ELSE 0 END + CASE WHEN a.h7 = b.h7 THEN 1 ELSE 0 END) / 8.0 AS est_jaccard
+    FROM cand c
+    JOIN nsig a ON c.id_new = a.doc_id
+    JOIN ssig b ON c.id_snapshot = b.doc_id
+    WHERE (CASE WHEN a.h0 = b.h0 THEN 1 ELSE 0 END + CASE WHEN a.h1 = b.h1 THEN 1 ELSE 0 END + CASE WHEN a.h2 = b.h2 THEN 1 ELSE 0 END + CASE WHEN a.h3 = b.h3 THEN 1 ELSE 0 END + CASE WHEN a.h4 = b.h4 THEN 1 ELSE 0 END + CASE WHEN a.h5 = b.h5 THEN 1 ELSE 0 END + CASE WHEN a.h6 = b.h6 THEN 1 ELSE 0 END + CASE WHEN a.h7 = b.h7 THEN 1 ELSE 0 END) / 8.0 >= 0.5
+    """,
+)
+def qd42_near_dup_against_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup probe of a new crawl batch (doc_id % 3 != 0) against a
+    prior snapshot represented ONLY by persisted MinHash signatures
+    (doc_id % 3 == 0): LSH band join for candidates, signature-agreement
+    Jaccard estimate as the verify (`dedup.near_dup_against_snapshot`,
+    portable twin — md5 signatures + string band buckets so the oracle
+    replays every stage bit-exactly; the xxhash64 production path shares
+    the same plumbing)."""
+    docs = _docs(spark, sf_dir)
+    snap_sigs = dedup.minhash_signatures_portable(
+        docs.filter(F.col("doc_id") % 3 == 0), "doc_id", num_hashes=8
+    )
+    return dedup.near_dup_against_snapshot(
+        docs.filter(F.col("doc_id") % 3 != 0),
+        snap_sigs,
+        "doc_id",
+        threshold=0.5,
+        num_bands=4,
+        portable=True,
+    )

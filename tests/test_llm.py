@@ -867,3 +867,61 @@ def test_curate_corpus_write_through_mode(spark, tmp_path):
     # per-stage datasets are independently re-readable after the run
     back = spark.read.parquet(os.path.join(out, "curated"))
     assert {r.doc_id for r in back.select("doc_id").collect()} == {1, 5}
+
+
+def test_dedup_against_snapshot(spark):
+    """Cross-snapshot incremental dedup: a new batch drops docs whose
+    normalized content already exists in the prior snapshot's ledger,
+    dedups within itself (lowest id wins), and keeps genuinely new text;
+    rolling the ledger forward makes a replayed batch a no-op."""
+    from sql_data_warehouse_analytics_project_spark.llm import dedup
+
+    prior = spark.createDataFrame(
+        [(1, "Old document about rivers."), (2, "Another   OLD document.")],
+        "doc_id long, text string",
+    )
+    ledger = dedup.snapshot_fingerprints(prior)
+    new = spark.createDataFrame(
+        [
+            (10, "old  document about rivers."),  # dup of 1 (normalized)
+            (11, "Fresh text one."),
+            (12, "Fresh text one."),              # intra-batch dup of 11
+            (13, "Fresh text two."),
+        ],
+        "doc_id long, text string",
+    )
+    out = dedup.dedup_against_snapshot(new, ledger, "doc_id")
+    assert {r.doc_id for r in out.collect()} == {11, 13}
+
+    rolled = ledger.unionByName(dedup.snapshot_fingerprints(out)).distinct()
+    again = dedup.dedup_against_snapshot(new, rolled, "doc_id")
+    assert again.count() == 0
+
+
+def test_near_dup_against_snapshot_production_path(spark):
+    """xxhash64 production probe: identical text across snapshot/new
+    estimates Jaccard 1.0; an unrelated doc produces no pair; signature
+    params are inferred from the stored snapshot signatures."""
+    from sql_data_warehouse_analytics_project_spark.llm import dedup
+
+    base = (
+        "the quick brown fox jumps over the lazy dog near the quiet river "
+        "bank while morning light settles across the open valley fields"
+    )
+    snap = spark.createDataFrame(
+        [(1, base), (2, "completely different content about machine tools "
+                        "and factory calibration schedules for inspectors")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(10, base), (11, "unrelated fresh text on oceanography and deep "
+                          "sea instrument moorings during winter storms")],
+        "doc_id long, text string",
+    )
+    sigs = dedup.minhash_signatures(snap, "doc_id", num_hashes=32)
+    out = dedup.near_dup_against_snapshot(
+        new, sigs, "doc_id", threshold=0.7, num_bands=8
+    ).collect()
+    pairs = {(r.id_new, r.id_snapshot): r.est_jaccard for r in out}
+    assert (10, 1) in pairs and pairs[(10, 1)] == 1.0
+    assert all(k == (10, 1) for k in pairs)

@@ -298,3 +298,43 @@ def test_incremental_stddev_merge_matches_full(spark, sales):
                 assert gm[k] is None  # single-row group -> NULL, like stddev_samp
             else:
                 assert abs(gm[k] - ref[k]) < 1e-9
+
+
+def test_compact_dataset_small_files(spark, tmp_path):
+    """Compaction folds a many-tiny-files dataset into the target file
+    count with identical rows, preserves partition directories when asked,
+    and leaves the live dataset untouched if the scratch write dies."""
+    import os
+
+    from sql_data_warehouse_analytics_project_spark.sources.writers import (
+        compact_dataset,
+        dataset_file_stats,
+    )
+
+    path = str(tmp_path / "ds")
+    df = spark.range(0, 10000).withColumn("part", (F.col("id") % 3).cast("int"))
+    # 64 tiny files per partition value
+    df.repartition(64).write.partitionBy("part").parquet(path)
+    before = dataset_file_stats(path)
+    assert before["n_files"] >= 100 and before["small_file_ratio"] == 1.0
+
+    res = compact_dataset(
+        spark, path, partition_by=["part"], sort_by=["id"],
+        target_bytes_per_file=128 * 1024 * 1024,
+    )
+    after = res["after"]
+    assert after["n_files"] <= 6  # one-ish file per partition dir
+    back = spark.read.parquet(path)
+    assert back.count() == 10000
+    assert sorted(r.part for r in back.select("part").distinct().collect()) == [0, 1, 2]
+    assert back.agg(F.sum("id")).collect()[0][0] == sum(range(10000))
+    # partition dirs survived
+    assert any(d.startswith("part=") for d in os.listdir(path))
+
+    # crash safety: a failing scratch write must not touch the live data
+    stats_live = dataset_file_stats(path)
+    try:
+        compact_dataset(spark, path + "_missing")
+    except Exception:
+        pass
+    assert dataset_file_stats(path) == stats_live
