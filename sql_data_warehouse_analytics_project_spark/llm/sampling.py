@@ -19,6 +19,7 @@ from collections.abc import Mapping
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from sql_data_warehouse_analytics_project_spark.llm.text import md5_60bit
 
@@ -133,4 +134,35 @@ def rebalance_mix(
         df.join(F.broadcast(rates), strata_col)
         .filter(hash_bucket(id_col, salt=salt, mod=mod) < F.col("_rate") * mod)
         .drop("_rate")
+    )
+
+
+def cap_per_stratum(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    cap: int,
+    *,
+    salt: str = "cap",
+) -> DataFrame:
+    """Hard per-stratum row cap: keep at most ``cap`` rows per stratum,
+    selected by deterministic content-addressed hash rank — the
+    domain-cap primitive ("at most N pages per domain/source",
+    C4/Gopher-style) that rate-based :func:`rebalance_mix` cannot express
+    on heavy-tailed strata, and that a naive "first cap rows seen" gets
+    partitioning-dependently wrong.
+
+    One shuffle on the stratum (the rank window); the md5 order makes the
+    selection a uniform without-replacement draw per stratum,
+    reproducible across engines and partitionings (same portability
+    contract as :func:`hash_sample`); the id tiebreak keeps the rank a
+    total order even on hash collisions."""
+    w = Window.partitionBy(strata_col).orderBy(
+        md5_60bit(F.concat(F.lit(f"{salt}#"), F.col(id_col).cast("string"))),
+        F.col(id_col),
+    )
+    return (
+        df.withColumn("_cap_rk", F.row_number().over(w))
+        .filter(F.col("_cap_rk") <= cap)
+        .drop("_cap_rk")
     )

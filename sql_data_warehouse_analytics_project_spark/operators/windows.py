@@ -224,18 +224,30 @@ def _contiguous_local_ranks(
     df: DataFrame, order_by: Sequence[str | Column], num_partitions: int | None
 ) -> DataFrame:
     """Phase 1+2 of :func:`contiguous_rank` as a lazy plan (exposed for
-    plan tests): range-repartition on the order key, stamp the partition
-    id, rank per partition. No single-partition exchange anywhere."""
+    plan tests): range-repartition on the order key, sort within each
+    partition, and read (partition id, 1-based ordinal) out of
+    ``monotonically_increasing_id`` — whose documented layout is
+    ``pid << 33 | row-ordinal-within-partition``, assigned in output
+    order above the sort. ONE exchange total: a per-pid ``row_number``
+    window would re-shuffle on pid (Spark cannot see that the range
+    exchange already clusters it); the id decode gets the same numbers
+    from the sorted stream for free. No single-partition exchange, no
+    Window anywhere."""
     cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
     part = (
         df.repartitionByRange(num_partitions, *cols)
         if num_partitions is not None
         else df.repartitionByRange(*cols)
-    )
-    w = Window.partitionBy("_cr_pid").orderBy(*cols)
+    ).sortWithinPartitions(*cols)
+    mid = F.monotonically_increasing_id()
     return (
-        part.withColumn("_cr_pid", F.spark_partition_id())
-        .withColumn("_cr_lrn", F.row_number().over(w))
+        part.withColumn("_cr_mid", mid)
+        .withColumn("_cr_pid", F.shiftright(F.col("_cr_mid"), 33).cast("int"))
+        .withColumn(
+            "_cr_lrn",
+            (F.col("_cr_mid").bitwiseAND(F.lit((1 << 33) - 1)) + 1).cast("int"),
+        )
+        .drop("_cr_mid")
     )
 
 
@@ -287,6 +299,27 @@ def contiguous_rank(
     for pid in sorted(counts):
         offsets.append((pid, acc))
         acc += counts[pid]
+    if len(offsets) <= 4096:
+        # literal-array lookup: offsets become a plan constant indexed by
+        # pid — no broadcast exchange, no join subtree (measured ~0.5 s of
+        # fixed overhead saved per build vs a broadcast join at local
+        # scale; identical output)
+        arr = [0] * (max(counts) + 1 if counts else 0)
+        for pid, off in offsets:
+            arr[pid] = off
+        off_expr = (
+            F.element_at(
+                F.array(*[F.lit(int(v)).cast("long") for v in arr]),
+                F.col("_cr_pid") + 1,
+            )
+            if arr
+            else F.lit(0).cast("long")
+        )
+        return (
+            ranked.withColumn(name, (off_expr + F.col("_cr_lrn")).cast(key_type))
+            .drop("_cr_pid", "_cr_lrn")
+        )
+    # thousands of partitions: keep the plan small, attach by broadcast
     off = F.broadcast(
         df.sparkSession.createDataFrame(offsets, "_cr_pid int, _cr_off long")
     )

@@ -1641,3 +1641,34 @@ def qd42_near_dup_against_snapshot(spark: SparkSession, sf_dir: str) -> DataFram
         num_bands=4,
         portable=True,
     )
+
+
+@register(
+    "qd43_per_source_cap",
+    """
+    WITH rk AS (
+      SELECT doc_id, lang, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY CAST(CAST(concat('0x',
+                   substr(md5(concat('cap#', CAST(doc_id AS VARCHAR))), 1, 15))
+                   AS UBIGINT) AS BIGINT),
+                 doc_id
+             ) AS rn
+      FROM documents
+    )
+    SELECT doc_id, lang, source FROM rk WHERE rn <= 40
+    """,
+)
+def qd43_per_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-cap primitive (`sampling.cap_per_stratum`): at most 40 docs
+    per source, selected by deterministic md5 rank — a uniform
+    without-replacement draw per stratum, reproducible across engines and
+    partitionings (the heavy-tail cap rate-based rebalancing can't
+    express)."""
+    from sql_data_warehouse_analytics_project_spark.llm import sampling
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return sampling.cap_per_stratum(docs, "doc_id", "source", 40).select(
+        "doc_id", "lang", "source"
+    )

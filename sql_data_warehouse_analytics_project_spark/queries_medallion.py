@@ -1249,3 +1249,67 @@ def q86_fact_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``build_fact_sales(dim_strategy=...)`` before a 100 TB shuffle."""
     sales = _silver_tables(spark)["crm_sales"]
     return gold.fact_key_skew(sales, top_n=10)
+
+
+@register(
+    "q87_new_vs_returning",
+    _SILVER_CTES
+    + _GOLD_CTES
+    + """
+    , fm AS (
+      SELECT customer_key, MIN(date_trunc('month', order_date)) AS first_month
+      FROM fact
+      WHERE order_date IS NOT NULL AND customer_key IS NOT NULL
+      GROUP BY 1
+    ), mm AS (
+      SELECT f.customer_key,
+             date_trunc('month', f.order_date) AS order_month,
+             f.sales_amount, fm.first_month
+      FROM fact f JOIN fm USING (customer_key)
+      WHERE f.order_date IS NOT NULL
+    )
+    SELECT order_month,
+           CAST(count(DISTINCT CASE WHEN first_month = order_month
+                                    THEN customer_key END) AS BIGINT)
+             AS new_customers,
+           CAST(sum(CASE WHEN first_month = order_month
+                         THEN CAST(sales_amount AS DECIMAL(18,2)) END)
+                AS DOUBLE) AS new_revenue,
+           CAST(count(DISTINCT CASE WHEN first_month < order_month
+                                    THEN customer_key END) AS BIGINT)
+             AS returning_customers,
+           CAST(sum(CASE WHEN first_month < order_month
+                         THEN CAST(sales_amount AS DECIMAL(18,2)) END)
+                AS DOUBLE) AS returning_revenue
+    FROM mm GROUP BY 1
+    """,
+)
+def q87_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gold acquisition-vs-retention analysis: monthly revenue and buyer
+    counts split into NEW (first-ever order that month) vs RETURNING
+    customers. One customer-keyed aggregate for first months, one join
+    back, one month aggregate — DECIMAL money until the final DOUBLE
+    cast, DATE month buckets (timezone-immune)."""
+    fact = _gold_tables(spark)["fact_sales"]
+    f = fact.filter(
+        F.col("order_date").isNotNull() & F.col("customer_key").isNotNull()
+    )
+    first = f.groupBy("customer_key").agg(
+        F.min(F.trunc("order_date", "month")).alias("first_month")
+    )
+    mm = f.withColumn("order_month", F.trunc("order_date", "month")).join(
+        first, "customer_key"
+    )
+    is_new = F.col("first_month") == F.col("order_month")
+    is_ret = F.col("first_month") < F.col("order_month")
+    dec = F.col("sales_amount").cast("decimal(18,2)")
+    return mm.groupBy("order_month").agg(
+        F.count_distinct(F.when(is_new, F.col("customer_key")))
+        .cast("long")
+        .alias("new_customers"),
+        F.sum(F.when(is_new, dec)).cast("double").alias("new_revenue"),
+        F.count_distinct(F.when(is_ret, F.col("customer_key")))
+        .cast("long")
+        .alias("returning_customers"),
+        F.sum(F.when(is_ret, dec)).cast("double").alias("returning_revenue"),
+    )
