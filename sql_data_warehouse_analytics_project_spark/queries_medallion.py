@@ -1290,15 +1290,17 @@ def q87_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
     customers. One customer-keyed aggregate for first months, one join
     back, one month aggregate — DECIMAL money until the final DOUBLE
     cast, DATE month buckets (timezone-immune)."""
+    from pyspark.sql import Window
+
     fact = _gold_tables(spark)["fact_sales"]
     f = fact.filter(
         F.col("order_date").isNotNull() & F.col("customer_key").isNotNull()
     )
-    first = f.groupBy("customer_key").agg(
-        F.min(F.trunc("order_date", "month")).alias("first_month")
-    )
-    mm = f.withColumn("order_month", F.trunc("order_date", "month")).join(
-        first, "customer_key"
+    # first-order month via a customer-partitioned window: one shuffle on
+    # customer_key where a groupBy+join-back would shuffle the fact twice
+    mm = f.withColumn("order_month", F.trunc("order_date", "month")).withColumn(
+        "first_month",
+        F.min("order_month").over(Window.partitionBy("customer_key")),
     )
     is_new = F.col("first_month") == F.col("order_month")
     is_ret = F.col("first_month") < F.col("order_month")

@@ -399,3 +399,49 @@ def read_rollup(catalog: Catalog, table: str, keys, measures, *, layer: str = "g
     return incremental.finalize(
         state.drop("_last_batch_id", "_checkpoint_id"), list(keys), measures
     )
+
+
+def corpus_dedup_sink(
+    corpus_dir: str,
+    ledger_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """foreachBatch sink giving a streaming document feed CORPUS-LIFETIME
+    exact dedup: every micro-batch dedups against the durable
+    cross-snapshot fingerprint ledger
+    (``llm.dedup.dedup_against_snapshot``), appends the survivors to the
+    corpus dataset, and rolls the ledger forward — where
+    :func:`dedup_stream`'s watermark state only suppresses redelivery
+    within its horizon, this suppresses content seen EVER, with state on
+    disk (32 bytes per distinct content), not in stream memory.
+
+    Replay-idempotent by layout: both the corpus survivors and their
+    fingerprints land in per-batch partition directories
+    (``.../batch_id=N``) written with overwrite, so a replayed batch
+    rewrites its own partitions byte-for-byte instead of double-
+    appending; the probe excludes the replaying batch's own ledger
+    partition (otherwise a replay would see its own fingerprints and
+    emit an empty partition — data loss). Per-batch work is
+    batch × ledger-probe sized; the ledger read prunes to fingerprint
+    columns and the anti-join ships only hashes."""
+    from pyspark.sql.utils import AnalysisException
+
+    from sql_data_warehouse_analytics_project_spark.llm import dedup
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            ledger = spark.read.parquet(ledger_dir)
+            prior = ledger.filter(F.col("batch_id") != batch_id).select(
+                "fingerprint"
+            )
+        except AnalysisException:  # first batch: no ledger yet
+            prior = spark.createDataFrame([], "fingerprint string")
+        fresh = dedup.dedup_against_snapshot(batch_df, prior, id_col, text_col)
+        fresh.write.mode("overwrite").parquet(f"{corpus_dir}/batch_id={batch_id}")
+        dedup.snapshot_fingerprints(fresh, text_col).write.mode(
+            "overwrite"
+        ).parquet(f"{ledger_dir}/batch_id={batch_id}")
+
+    return sink

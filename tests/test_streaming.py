@@ -735,3 +735,46 @@ def test_refresh_gold_requires_refresh_silver(spark):
     cat = Catalog(spark, prefix="stgldv_")
     with pytest.raises(ValueError, match="refresh_silver"):
         bronze_batch_sink(cat, "crm_sales_raw", refresh_gold=True)
+
+
+def test_corpus_dedup_sink_lifetime_dedup_and_replay(spark, tmp_path):
+    """Round-6: the streaming corpus sink dedups each micro-batch against
+    the durable fingerprint ledger (corpus-lifetime, not watermark-
+    bounded), and a replayed batch rewrites its own partitions instead of
+    double-appending or (the subtle failure) seeing its own fingerprints
+    and emitting an empty partition."""
+    from sql_data_warehouse_analytics_project_spark.streaming.ingest import (
+        corpus_dedup_sink,
+    )
+
+    corpus = str(tmp_path / "corpus")
+    ledger = str(tmp_path / "ledger")
+    sink = corpus_dedup_sink(corpus, ledger)
+
+    b0 = spark.createDataFrame(
+        [(1, "alpha doc"), (2, "alpha  DOC"), (3, "beta doc")],
+        "doc_id long, text string",
+    )
+    sink(b0, 0)  # 2 is an intra-batch dup of 1 (normalized)
+    b1 = spark.createDataFrame(
+        [(10, "beta doc"), (11, "gamma doc")],  # 10 dups batch 0's content
+        "doc_id long, text string",
+    )
+    sink(b1, 1)
+
+    out = spark.read.parquet(corpus)
+    assert {r.doc_id for r in out.select("doc_id").collect()} == {1, 3, 11}
+
+    # crash replay of batch 1: same survivors, no double-append, no wipe
+    sink(b1, 1)
+    out2 = spark.read.parquet(corpus)
+    assert {r.doc_id for r in out2.select("doc_id").collect()} == {1, 3, 11}
+    assert out2.count() == 3
+
+    # batch 2 still sees batch 1's content as dup after the replay
+    b2 = spark.createDataFrame(
+        [(20, "GAMMA doc"), (21, "delta doc")], "doc_id long, text string"
+    )
+    sink(b2, 2)
+    final = spark.read.parquet(corpus)
+    assert {r.doc_id for r in final.select("doc_id").collect()} == {1, 3, 11, 21}
