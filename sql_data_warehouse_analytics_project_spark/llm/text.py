@@ -613,3 +613,79 @@ def corpus_filter(
         drop_reasons.alias("drop_reasons"),
         (drop_reasons == "").alias("keep"),
     )
+
+
+def line_doc_frequency(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    *,
+    split_re: str = "\\n",
+) -> DataFrame:
+    """Per-line document frequency over the corpus: ``(line, n_docs)`` —
+    the boilerplate census behind :func:`line_dedup` (navigation chrome,
+    cookie banners, license headers repeat VERBATIM across pages; their
+    line-level doc frequency is how C4/Falcon-style pipelines find them).
+    One explode + one map-side-combined aggregate; only line strings
+    shuffle."""
+    lines = df.select(
+        F.col(id_col).alias("_doc"),
+        F.explode(F.split(F.col(text_col), split_re, -1)).alias("line"),
+    )
+    return lines.groupBy("line").agg(
+        F.count_distinct("_doc").cast("long").alias("n_docs")
+    )
+
+
+def line_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    *,
+    split_re: str = "\\n",
+    join_str: str = "\n",
+    max_doc_frequency: int = 1,
+) -> DataFrame:
+    """Corpus-level LINE dedup (the C4 move, done at line granularity like
+    Falcon/RefinedWeb): drop every line whose exact text occurs in more
+    than ``max_doc_frequency`` distinct documents — boilerplate repeats
+    verbatim across pages, prose doesn't — and reassemble each document's
+    surviving lines in their original order. Documents whose every line
+    was boilerplate come back with empty text (kept, so the caller's
+    row count is stable and a quality filter can drop them explicitly).
+
+    Plan shape: positional explode → line-keyed doc-frequency aggregate →
+    frequency filter via join on the line string → per-doc ordered
+    reassembly (``array_sort`` over collected (pos, line) structs — state
+    bounded by document size, same contract as :func:`chunk_text`). Only
+    line strings and (pos, line) pairs shuffle; at 100 TB consider
+    hashing lines to int64 first (same trick as the shingle index) if
+    line text is long."""
+    lines = df.select(
+        F.col(id_col).alias("_doc"),
+        F.posexplode(F.split(F.col(text_col), split_re, -1)).alias(
+            "_pos", "_line"
+        ),
+    )
+    freq = lines.groupBy("_line").agg(
+        F.count_distinct("_doc").alias("_df")
+    )
+    kept = (
+        lines.join(freq, "_line")
+        .filter(F.col("_df") <= max_doc_frequency)
+        .groupBy("_doc")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_pos", "_line"))),
+                    lambda s: s["_line"],
+                ),
+                join_str,
+            ).alias("_clean")
+        )
+    )
+    return (
+        df.join(kept, df[id_col] == kept["_doc"], "left")
+        .withColumn(text_col, F.coalesce(F.col("_clean"), F.lit("")))
+        .drop("_doc", "_clean")
+    )

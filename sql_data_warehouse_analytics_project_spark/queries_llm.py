@@ -1672,3 +1672,47 @@ def qd43_per_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampling.cap_per_stratum(docs, "doc_id", "source", 40).select(
         "doc_id", "lang", "source"
     )
+
+
+@register(
+    "qd44_line_dedup",
+    """
+    WITH ls AS (
+      SELECT doc_id, lang, source, string_split_regex(text, ' the ') AS parts
+      FROM documents
+    ), ex AS (
+      SELECT doc_id, lang, source, u.pos AS pos, u.line AS line
+      FROM (
+        SELECT doc_id, lang, source,
+               unnest([{'pos': i, 'line': parts[i]}
+                       FOR i IN range(1, len(parts)+1)]) AS u
+        FROM ls
+      )
+    ), fr AS (
+      SELECT line, count(DISTINCT doc_id) AS df FROM ex GROUP BY 1
+    ), kept AS (
+      SELECT e.doc_id, e.pos, e.line
+      FROM ex e JOIN fr ON e.line = fr.line
+      WHERE fr.df <= 3
+    ), agg AS (
+      SELECT doc_id, string_agg(line, ' the ' ORDER BY pos) AS t
+      FROM kept GROUP BY 1
+    )
+    SELECT d.doc_id, d.lang, d.source, coalesce(a.t, '') AS text
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def qd44_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level line dedup (`text.line_dedup`, the C4/Falcon
+    boilerplate-removal move): drop every line occurring in more than 3
+    distinct documents, reassemble survivors in order (docs reduced to
+    nothing come back empty, row count stable). The synthetic corpus has
+    no newlines, so the gate splits on a frequent token (' the ') — the
+    operator's split/join delimiters are parameters; the unit test
+    exercises real newline-delimited text."""
+    from sql_data_warehouse_analytics_project_spark.llm import text as T
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return T.line_dedup(
+        docs, "doc_id", split_re=" the ", join_str=" the ", max_doc_frequency=3
+    ).select("doc_id", "lang", "source", "text")

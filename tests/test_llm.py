@@ -925,3 +925,34 @@ def test_near_dup_against_snapshot_production_path(spark):
     pairs = {(r.id_new, r.id_snapshot): r.est_jaccard for r in out}
     assert (10, 1) in pairs and pairs[(10, 1)] == 1.0
     assert all(k == (10, 1) for k in pairs)
+
+
+def test_line_dedup_removes_boilerplate_keeps_order(spark):
+    """Line-level corpus dedup: a footer repeated across 3 docs is removed
+    at max_doc_frequency=2, unique prose lines survive in original order,
+    and a doc made entirely of boilerplate comes back empty (row kept)."""
+    from sql_data_warehouse_analytics_project_spark.llm import text as T
+
+    footer = "(c) example corp - all rights reserved"
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha prose line\n{footer}\nsecond alpha line"),
+            (2, f"{footer}\nbeta unique line"),
+            (3, f"gamma one\ngamma two\n{footer}"),
+            (4, footer),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r.text
+        for r in T.line_dedup(docs, "doc_id", max_doc_frequency=2).collect()
+    }
+    assert out[1] == "alpha prose line\nsecond alpha line"
+    assert out[2] == "beta unique line"
+    assert out[3] == "gamma one\ngamma two"
+    assert out[4] == ""
+    freq = {
+        r.line: r.n_docs
+        for r in T.line_doc_frequency(docs, "doc_id").collect()
+    }
+    assert freq[footer] == 4 and freq["beta unique line"] == 1
