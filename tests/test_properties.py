@@ -168,3 +168,23 @@ def test_cumulative_distinct_matches_running_set(spark, vals):
     for i, v in enumerate(vals):
         seen.add(v)
         assert out[i] == len(seen), (i, vals)
+
+
+@SET
+@given(
+    keys=st.lists(st.integers(-1000, 1000), min_size=0, max_size=60, unique=True),
+    nparts=st.integers(1, 7),
+)
+def test_contiguous_rank_matches_sorted_enumeration(spark, keys, nparts):
+    """contiguous_rank == enumerate(sorted(keys)) for ANY unique key set
+    and ANY input partitioning — the model the two-phase implementation
+    (range partition → per-partition ordinal → offsets) must collapse to."""
+    rows = [Row(k=k) for k in keys] or [Row(k=0)]
+    df = spark.createDataFrame(rows, "k int")
+    df = (df.limit(0) if not keys else df).repartition(nparts)
+    got = {
+        r["k"]: r["rk"]
+        for r in windows.contiguous_rank(df, ["k"], "rk").collect()
+    }
+    model = {k: i + 1 for i, k in enumerate(sorted(keys))}
+    assert got == model
