@@ -354,3 +354,28 @@ def test_dim_builds_have_no_single_partition_window(plans):
     for name in ("q74_dim_customers_rows", "q75_dim_products_rows"):
         p = plans(name)
         assert "SinglePartition" not in p, name
+
+
+def test_round6_new_query_plans(plans):
+    """Plan shapes of the round-6 additions: candidate generation stays
+    bucketed/keyed — never a cartesian or nested-loop fallback — and the
+    per-stratum cap is exactly one stratum-keyed exchange."""
+    p = plans("qd41_cross_snapshot_dedup")
+    assert "LeftAnti" in p, p  # ledger probe is an anti join on the hash
+    assert "CartesianProduct" not in p
+
+    p = plans("qd42_near_dup_against_snapshot")
+    # band-bucket equi joins only: a nested-loop here would be |snap|x|batch|
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+    p = plans("qd43_per_source_cap")
+    assert p.count("Exchange hashpartitioning") == 1, p
+    assert "SinglePartition" not in p
+
+    p = plans("qd44_line_dedup")
+    assert "CartesianProduct" not in p
+    assert "Generate" in p  # the positional explode
+
+    p = plans("q87_new_vs_returning")
+    assert "CartesianProduct" not in p
+    assert "Window" in p  # first-month via window, not a join-back
