@@ -1716,3 +1716,58 @@ def qd44_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.line_dedup(
         docs, "doc_id", split_re=" the ", join_str=" the ", max_doc_frequency=3
     ).select("doc_id", "lang", "source", "text")
+
+
+@register(
+    "qd45_bm25_topk",
+    f"""
+    WITH tok AS (
+      SELECT doc_id AS doc, unnest({{toks}}) AS term FROM documents
+    ), tf AS (
+      SELECT doc, term, count(*) AS tf FROM tok GROUP BY 1, 2
+    ), dl AS (
+      SELECT doc, count(*) AS dl FROM tok GROUP BY 1
+    ), summary AS (
+      SELECT count(*) AS n_docs,
+             CAST(SUM(dl) AS DOUBLE) / count(*) AS avgdl
+      FROM dl
+    ), idf AS (
+      SELECT d.term,
+             ln(1.0 + (s.n_docs - d.df_ + 0.5) / (d.df_ + 0.5)) AS idf,
+             s.avgdl
+      FROM (SELECT term, count(*) AS df_ FROM tf GROUP BY 1) d, summary s
+    ), q AS (
+      SELECT doc_id AS query_id, unnest(list_distinct({{toks}})) AS term
+      FROM documents WHERE doc_id IN (1, 7, 13)
+    ), contrib AS (
+      SELECT q.query_id, tf.doc,
+             idf.idf * (tf.tf * (1.2 + 1.0))
+               / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / idf.avgdl)) AS c
+      FROM q
+      JOIN tf ON q.term = tf.term
+      JOIN idf ON tf.term = idf.term
+      JOIN dl ON tf.doc = dl.doc
+    ), sc AS (
+      SELECT query_id, doc AS doc_id, round(SUM(c), 6) AS score
+      FROM contrib GROUP BY 1, 2
+    ), rk AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+      FROM sc
+    )
+    SELECT query_id, doc_id, score, CAST(rank AS INT) AS rank
+    FROM rk WHERE rank <= 10
+    """.replace("{toks}", _TOKS),
+)
+def qd45_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical retrieval (`retrieval.bm25_topk`): top-10 BM25 hits per
+    query (three corpus documents reused as queries) — inverted-index
+    join on the query's terms only, Robertson idf, rounded-then-ranked
+    scores with doc-id tiebreak so the ranking is engine-portable."""
+    from sql_data_warehouse_analytics_project_spark.llm import retrieval
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    queries = docs.filter(F.col("doc_id").isin(1, 7, 13)).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    return retrieval.bm25_topk(docs, queries, k=10)

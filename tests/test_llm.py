@@ -956,3 +956,33 @@ def test_line_dedup_removes_boilerplate_keeps_order(spark):
         for r in T.line_doc_frequency(docs, "doc_id").collect()
     }
     assert freq[footer] == 4 and freq["beta unique line"] == 1
+
+
+def test_bm25_ranks_self_and_relevant_first(spark):
+    """BM25 sanity: a document used as its own query ranks itself #1; a
+    query with terms only in one doc retrieves exactly that doc; scores
+    are positive and ranks contiguous."""
+    from sql_data_warehouse_analytics_project_spark.llm import retrieval
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark shuffles data between executors during wide joins"),
+            (2, "cats purr softly in the warm afternoon sun"),
+            (3, "executors spill shuffle data to disk under pressure"),
+        ],
+        "doc_id long, text string",
+    )
+    queries = spark.createDataFrame(
+        [(1, "spark shuffles data between executors during wide joins"),
+         (2, "cats purr")],
+        "query_id long, text string",
+    )
+    out = retrieval.bm25_topk(docs, queries, k=3).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    q1 = sorted(by_q[1], key=lambda r: r.rank)
+    assert q1[0].doc_id == 1 and q1[0].score > 0
+    assert [r.rank for r in q1] == list(range(1, len(q1) + 1))
+    q2 = sorted(by_q[2], key=lambda r: r.rank)
+    assert q2[0].doc_id == 2
