@@ -72,12 +72,16 @@ def curate_corpus(
     ``write_through=<dir>`` is the 100 TB audit-trail mode: every stage
     boundary (plus the resolved ``clusters`` table) is PERSISTED as a
     parquet dataset under ``<dir>/<stage>`` via ``write_dataset`` and
-    read back, so downstream stages consume the durable copy — a crash
-    resumes from the last written stage, each intermediate is
-    independently queryable/auditable after the run, and nothing relies
-    on executor-local checkpoint storage. The corpus stages keep their
-    materialized ``_toks`` arrays on disk (the single-tokenizer-pass
-    contract survives the round-trip). Supersedes ``materialize``.
+    read back, so downstream stages consume the durable copy — each
+    intermediate is independently queryable/auditable after the run, a
+    crash leaves every completed stage on disk for inspection or a
+    manual restart from its dataset, and nothing relies on
+    executor-local checkpoint storage. (Each invocation recomputes all
+    stages — there is deliberately no skip-if-exists: silently reusing a
+    stage written from DIFFERENT input would be wrong, and this function
+    cannot know.) The corpus stages keep their materialized ``_toks``
+    arrays on disk (the single-tokenizer-pass contract survives the
+    round-trip). Supersedes ``materialize``.
 
     The chain pays the tokenizer regex — the CPU hot spot of every
     text-derived stage — exactly ONCE: the exact-dedup survivors carry a

@@ -83,6 +83,11 @@ def dedup_against_snapshot(
     keep-lowest window both key on the same fingerprint, so the batch
     shuffles once. Union the survivors' fingerprints into the ledger to
     roll the snapshot forward."""
+    for reserved in ("_fp", "_rn"):
+        if reserved in new_docs.columns:
+            raise ValueError(
+                f"dedup_against_snapshot: column {reserved!r} already exists"
+            )
     fresh = new_docs.withColumn("_fp", fingerprint(text_col)).join(
         prior_fingerprints.select(F.col("fingerprint").alias("_fp")),
         "_fp",
@@ -586,7 +591,12 @@ def near_dup_against_snapshot(
     sig_col = "minhash_sig"
     num_hashes = _sig_len(snapshot_sigs, sig_col, num_bands)
     sig_fn = minhash_signatures_portable if portable else minhash_signatures
-    new_sigs = sig_fn(new_docs, id_col, text_col, num_hashes, n)
+    # the batch's signature pipeline (tokenize + shingle + k hashes — the
+    # CPU hot spot) feeds BOTH the band join and the agreement join:
+    # materialize once, like every multi-consumer intermediate here
+    new_sigs = sig_fn(new_docs, id_col, text_col, num_hashes, n).localCheckpoint(
+        eager=True
+    )
     nb = _band_rows(new_sigs, id_col, num_bands, sig_col, portable=portable)
     sb = _band_rows(snapshot_sigs, id_col, num_bands, sig_col, portable=portable)
     cands = (

@@ -157,6 +157,8 @@ def cap_per_stratum(
     reproducible across engines and partitionings (same portability
     contract as :func:`hash_sample`); the id tiebreak keeps the rank a
     total order even on hash collisions."""
+    if "_cap_rk" in df.columns:
+        raise ValueError("cap_per_stratum: column '_cap_rk' already exists")
     w = Window.partitionBy(strata_col).orderBy(
         md5_60bit(F.concat(F.lit(f"{salt}#"), F.col(id_col).cast("string"))),
         F.col(id_col),

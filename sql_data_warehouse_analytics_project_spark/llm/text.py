@@ -661,6 +661,9 @@ def line_dedup(
     line strings and (pos, line) pairs shuffle; at 100 TB consider
     hashing lines to int64 first (same trick as the shingle index) if
     line text is long."""
+    for reserved in ("_doc", "_pos", "_line", "_df", "_clean"):
+        if reserved in df.columns:
+            raise ValueError(f"line_dedup: column {reserved!r} already exists")
     lines = df.select(
         F.col(id_col).alias("_doc"),
         F.posexplode(F.split(F.col(text_col), split_re, -1)).alias(

@@ -1668,7 +1668,10 @@ def qd43_per_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     express)."""
     from sql_data_warehouse_analytics_project_spark.llm import sampling
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # raw read on purpose (like qd19): no tokenizer hot path here, and the
+    # cap's stratum window is the plan's ONLY exchange (plan-asserted) —
+    # _docs' round-robin repartition would add a pointless second one
+    docs = load_table(spark, sf_dir, "documents")
     return sampling.cap_per_stratum(docs, "doc_id", "source", 40).select(
         "doc_id", "lang", "source"
     )
@@ -1712,7 +1715,7 @@ def qd44_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     exercises real newline-delimited text."""
     from sql_data_warehouse_analytics_project_spark.llm import text as T
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs(spark, sf_dir)  # line split is a tokenizer-class hot path
     return T.line_dedup(
         docs, "doc_id", split_re=" the ", join_str=" the ", max_doc_frequency=3
     ).select("doc_id", "lang", "source", "text")
@@ -1766,7 +1769,7 @@ def qd45_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scores with doc-id tiebreak so the ranking is engine-portable."""
     from sql_data_warehouse_analytics_project_spark.llm import retrieval
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs(spark, sf_dir)  # two full-corpus token explodes
     queries = docs.filter(F.col("doc_id").isin(1, 7, 13)).select(
         F.col("doc_id").alias("query_id"), "text"
     )

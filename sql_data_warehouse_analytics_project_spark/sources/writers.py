@@ -158,11 +158,16 @@ def compact_dataset(
     partition.
 
     Write-then-swap: the compacted copy lands in ``<path>.__compact__``
-    first and replaces the original only after a fully successful write,
-    so a crash mid-compaction leaves the live dataset untouched (the
-    orphaned scratch dir is re-used/overwritten by the next run). Returns
-    before/after file stats. On Delta this is OPTIMIZE; here it is the
-    parquet-native equivalent."""
+    first; only after a fully successful write does the swap run — the
+    live dataset moves aside to ``<path>.__old__``, the compacted copy
+    renames in, and the old copy is deleted LAST. A crash during the
+    write leaves the live dataset untouched; a crash inside the swap
+    leaves BOTH complete copies on disk (recover by renaming whichever
+    dir back to ``path``) — at no point is the only copy of the data a
+    half-written directory. Directory renames are not atomic to
+    concurrent readers: run in a maintenance window, like
+    ``Catalog.vacuum_staging``. Returns before/after file stats. On
+    Delta this is OPTIMIZE; here it is the parquet-native equivalent."""
     import math
     import os
     import shutil
@@ -183,7 +188,10 @@ def compact_dataset(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.save(scratch)
-    shutil.rmtree(path)
+    old = path.rstrip("/") + ".__old__"
+    shutil.rmtree(old, ignore_errors=True)
+    os.replace(path, old)
     os.replace(scratch, path)
+    shutil.rmtree(old)
     after = dataset_file_stats(path)
     return {"before": before, "after": after, "target_files": n_out}

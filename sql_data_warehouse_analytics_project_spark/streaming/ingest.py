@@ -406,6 +406,8 @@ def corpus_dedup_sink(
     ledger_dir: str,
     id_col: str = "doc_id",
     text_col: str = "text",
+    *,
+    checkpoint_id: "str | None" = None,
 ):
     """foreachBatch sink giving a streaming document feed CORPUS-LIFETIME
     exact dedup: every micro-batch dedups against the durable
@@ -417,31 +419,50 @@ def corpus_dedup_sink(
     disk (32 bytes per distinct content), not in stream memory.
 
     Replay-idempotent by layout: both the corpus survivors and their
-    fingerprints land in per-batch partition directories
-    (``.../batch_id=N``) written with overwrite, so a replayed batch
-    rewrites its own partitions byte-for-byte instead of double-
+    fingerprints land in per-(checkpoint, batch) partition directories
+    (``.../cp=<id>/batch_id=N``) written with overwrite, so a replayed
+    batch rewrites its own partitions byte-for-byte instead of double-
     appending; the probe excludes the replaying batch's own ledger
     partition (otherwise a replay would see its own fingerprints and
     emit an empty partition — data loss). Per-batch work is
     batch × ledger-probe sized; the ledger read prunes to fingerprint
-    columns and the anti-join ships only hashes."""
+    columns and the anti-join ships only hashes. As the per-batch ledger
+    partitions accumulate, fold them with
+    ``sources.writers.compact_dataset`` (the partition columns survive
+    as data columns, so the self-exclusion filter keeps working).
+
+    ``foreachBatch`` batch ids restart at 0 when the checkpoint is wiped
+    (which also replays the source): pass ``checkpoint_id`` (the
+    checkpoint DIRECTORY, like :func:`rollup_batch_sink`) and partitions
+    are keyed by the stream's stable query uuid — a reset lineage writes
+    under a NEW ``cp=`` prefix instead of silently overwriting the old
+    lineage's batch 0, and its replayed documents dedup against the
+    accumulated ledger. Without it, all batches share one ``cp=default``
+    lineage and a checkpoint reset must come with fresh output dirs."""
     from pyspark.sql.utils import AnalysisException
 
     from sql_data_warehouse_analytics_project_spark.llm import dedup
 
+    resolved: dict = {}
+
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        if checkpoint_id is not None and "id" not in resolved:
+            # lazy: <checkpoint>/metadata exists once the stream started
+            resolved["id"] = _checkpoint_identity(spark, checkpoint_id)
+        cp = resolved.get("id") or "default"
         try:
             ledger = spark.read.parquet(ledger_dir)
-            prior = ledger.filter(F.col("batch_id") != batch_id).select(
-                "fingerprint"
-            )
+            prior = ledger.filter(
+                ~((F.col("cp") == cp) & (F.col("batch_id") == batch_id))
+            ).select("fingerprint")
         except AnalysisException:  # first batch: no ledger yet
             prior = spark.createDataFrame([], "fingerprint string")
         fresh = dedup.dedup_against_snapshot(batch_df, prior, id_col, text_col)
-        fresh.write.mode("overwrite").parquet(f"{corpus_dir}/batch_id={batch_id}")
+        part = f"cp={cp}/batch_id={batch_id}"
+        fresh.write.mode("overwrite").parquet(f"{corpus_dir}/{part}")
         dedup.snapshot_fingerprints(fresh, text_col).write.mode(
             "overwrite"
-        ).parquet(f"{ledger_dir}/batch_id={batch_id}")
+        ).parquet(f"{ledger_dir}/{part}")
 
     return sink

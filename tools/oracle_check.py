@@ -174,7 +174,10 @@ def main() -> int:
     doc["failures"] = _merged_failures()
     _write_gate(doc)
     merged = doc["failures"]
-    print(f"\n{len(merged)} failures (merged artifact)"
+    if only:
+        print(f"\nthis run: {len(failures)} failures"
+              + (f": {failures}" if failures else ""))
+    print(f"{len(merged)} failures (merged artifact)"
           + (f": {merged}" if merged else ""))
     return 1 if merged else 0
 
