@@ -1315,3 +1315,60 @@ def q87_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("returning_customers"),
         F.sum(F.when(is_ret, dec)).cast("double").alias("returning_revenue"),
     )
+
+
+@register(
+    "q88_order_fulfillment",
+    _SILVER_CTES
+    + """
+    SELECT date_trunc('month', sls_order_dt) AS order_month,
+           CAST(count(DISTINCT sls_ord_num) AS BIGINT) AS n_orders,
+           round(avg(CASE WHEN sls_ship_dt IS NOT NULL
+                          THEN date_diff('day', sls_order_dt, sls_ship_dt)
+                     END), 4) AS avg_ship_days,
+           CAST(sum(CASE WHEN sls_ship_dt IS NOT NULL
+                          AND sls_due_dt IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_shipped,
+           CAST(sum(CASE WHEN sls_ship_dt IS NOT NULL
+                          AND sls_due_dt IS NOT NULL
+                          AND sls_ship_dt > sls_due_dt THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_late,
+           round(sum(CASE WHEN sls_ship_dt IS NOT NULL
+                           AND sls_due_dt IS NOT NULL
+                           AND sls_ship_dt > sls_due_dt THEN 1 ELSE 0 END)
+                 / sum(CASE WHEN sls_ship_dt IS NOT NULL
+                             AND sls_due_dt IS NOT NULL THEN 1 ELSE 0 END),
+                 6) AS late_rate
+    FROM sales
+    WHERE sls_order_dt IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def q88_order_fulfillment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gold fulfillment analysis over the fact's shipping/due dates:
+    monthly order counts, average order→ship lag, and the late-shipment
+    rate (shipped after due). Exact integer day-diffs aggregate before
+    the final double division; one month-keyed aggregate."""
+    fact = _gold_tables(spark)["fact_sales"]
+    f = fact.filter(F.col("order_date").isNotNull()).withColumn(
+        "order_month", F.trunc("order_date", "month")
+    )
+    shipped = F.col("shipping_date").isNotNull() & F.col("due_date").isNotNull()
+    late = shipped & (F.col("shipping_date") > F.col("due_date"))
+    return f.groupBy("order_month").agg(
+        F.count_distinct("order_number").cast("long").alias("n_orders"),
+        F.round(
+            F.avg(
+                F.when(
+                    F.col("shipping_date").isNotNull(),
+                    F.datediff("shipping_date", "order_date"),
+                )
+            ),
+            4,
+        ).alias("avg_ship_days"),
+        F.sum(shipped.cast("long")).cast("long").alias("n_shipped"),
+        F.sum(late.cast("long")).cast("long").alias("n_late"),
+        F.round(
+            F.sum(late.cast("long")) / F.sum(shipped.cast("long")), 6
+        ).alias("late_rate"),
+    )
