@@ -48,7 +48,15 @@ def build_vocab(
     if top_k is None:
         return counts
     top = counts.orderBy(F.desc("n_occurrences"), F.asc("term")).limit(top_k)
-    w = Window.orderBy(F.desc("n_occurrences"), F.asc("term"))
+    # deliberate global window over an ALREADY top-k-cut frame (≤ top_k
+    # rows by construction; plan-asserted parent/child order in tests)
+    from sql_data_warehouse_analytics_project_spark.operators.windows import window_spec
+
+    w = window_spec(
+        None,
+        [F.desc("n_occurrences"), F.asc("term")],
+        allow_unpartitioned=True,
+    )
     return top.select(
         "term", "n_occurrences", "n_docs", F.row_number().over(w).cast("int").alias("rank")
     )

@@ -202,7 +202,11 @@ def paginate(
     if "_rn" in df.columns:
         # the row-number helper column would silently replace (and drop) it
         raise ValueError("paginate reserves the internal column name '_rn'")
-    w = Window.orderBy(*order_by)
+    # deliberate global window — inherent to OFFSET pagination semantics
+    # (keyset_paginate below is the scale path); greppable opt-in
+    from sql_data_warehouse_analytics_project_spark.operators.windows import window_spec
+
+    w = window_spec(None, list(order_by), allow_unpartitioned=True)
     lo = (page - 1) * page_size
     hi = lo + page_size
     return (

@@ -56,13 +56,18 @@ def running_totals(
     reset_frequency: str | None = None,
     *,
     value_expr: Column | None = None,
+    allow_unpartitioned: bool = False,
 ) -> DataFrame:
     """W2 — running SUM + running AVG over date order
     (reference ``compute_running_totals`` ``common_queries.py:344-396``:
     ``ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW``, optional reset
     partitions by EXTRACT(YEAR/MONTH/QUARTER)).
 
-    Adds ``running_total`` and ``running_avg`` columns.
+    Adds ``running_total`` and ``running_avg`` columns. With neither
+    ``partition_columns`` nor ``reset_frequency`` the window would
+    collapse to one task — refused unless ``allow_unpartitioned=True``
+    (same policy as :func:`window_spec`; opt in only for small
+    post-aggregation frames).
     """
     d = F.col(date_column)
     parts: list[Column] = [F.col(c) for c in partition_columns]
@@ -72,12 +77,11 @@ def running_totals(
         except KeyError:
             raise ValueError(f"unknown reset_frequency: {reset_frequency!r}") from None
     v = value_expr if value_expr is not None else F.col(value_column)
-    w = (
-        Window.partitionBy(*parts)
-        .orderBy(d)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ) if parts else (
-        Window.orderBy(d).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w = window_spec(
+        parts or None,
+        [d],
+        rows_between=(Window.unboundedPreceding, Window.currentRow),
+        allow_unpartitioned=allow_unpartitioned,
     )
     return df.withColumn("running_total", F.sum(v).over(w)).withColumn(
         "running_avg", F.avg(v).over(w)
@@ -90,16 +94,22 @@ def lag_lead(
     date_column: str,
     partition_columns: Sequence[str] = (),
     periods: Sequence[int] = (1,),
+    *,
+    allow_unpartitioned: bool = False,
 ) -> DataFrame:
     """W3 — multi-period LAG/LEAD with absolute and % change
     (reference ``analyze_lag_lead`` ``common_queries.py:399-445``; NULLIF
     divide guard at :433).
 
-    Per period k adds: lag_k, lead_k, change_k, pct_change_k.
+    Per period k adds: lag_k, lead_k, change_k, pct_change_k. Empty
+    ``partition_columns`` is refused unless ``allow_unpartitioned=True``
+    (single-task global sort — opt in only for small frames).
     """
-    base = Window.partitionBy(*[F.col(c) for c in partition_columns]).orderBy(
-        F.col(date_column)
-    ) if partition_columns else Window.orderBy(F.col(date_column))
+    base = window_spec(
+        [F.col(c) for c in partition_columns] or None,
+        [F.col(date_column)],
+        allow_unpartitioned=allow_unpartitioned,
+    )
     v = F.col(value_column)
     out = df
     for k in periods:
@@ -127,25 +137,29 @@ def detect_gaps(
     date_column: str,
     partition_columns: Sequence[str] = (),
     expected_frequency: str = "daily",
+    *,
+    allow_unpartitioned: bool = False,
 ) -> DataFrame:
     """W4 — time-series gap detection via LEAD
     (reference ``detect_time_series_gaps`` ``common_queries.py:514-580``).
 
     Emits one row per gap: partition cols + gap_start, gap_end,
     gap_length_days (strictly-greater-than-frequency rule, matching the
-    reference's ``next - curr > INTERVAL freq``).
+    reference's ``next - curr > INTERVAL freq``). Empty
+    ``partition_columns`` is refused unless ``allow_unpartitioned=True``
+    — the LEAD window runs over the (distinct-date-reduced) series, but
+    a global series still sorts in one task.
     """
     if expected_frequency not in _FREQ_DAYS:
         raise ValueError(f"unknown expected_frequency: {expected_frequency!r}")
     thresh = _FREQ_DAYS[expected_frequency]
     d = F.to_date(F.col(date_column))
-    base = Window.partitionBy(*[F.col(c) for c in partition_columns]).orderBy(d) if (
-        partition_columns
-    ) else Window.orderBy(d)
     # distinct dates per partition first: gaps are between observed dates
     dcols = [*partition_columns]
     dates = df.select(*dcols, d.alias("_d")).distinct()
-    w = Window.partitionBy(*dcols).orderBy(F.col("_d")) if dcols else Window.orderBy("_d")
+    w = window_spec(
+        dcols or None, [F.col("_d")], allow_unpartitioned=allow_unpartitioned
+    )
     nxt = F.lead(F.col("_d")).over(w)
     return (
         dates.withColumn("_next", nxt)

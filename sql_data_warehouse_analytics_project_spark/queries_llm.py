@@ -558,36 +558,44 @@ def qd19_hash_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return split.select("doc_id", "lang", "split")
 
 
-# -- xxhash64-based operators: no SQL twin → rows-only driver check ---------
+# -- xxhash64-based operators: driver check is rows-only (its DuckDB can't
+# register UDFs), but the LOCAL gate value-checks them via the Spark-bit-
+# exact xxh64 twins in tools/local_oracles.py (133 PASS / 0 SKIP), and
+# the recall gates qd25/qd26/qd27 pin semantics vs exact ground truth. ---
 
 
 @register("qd09_minhash_lsh_pairs")
 def qd09_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup pairs (the 100 TB dedup path). Correctness is
-    gated in tests/test_llm.py: recall vs the exact qd02 pairs must be 100%
-    at this data scale."""
+    """MinHash+LSH near-dup pairs (the 100 TB dedup path). Value-checked
+    by the gate-local xxh64 twin (tools/local_oracles._qd09_sql — full
+    replay: seeded min-hashes, band buckets, Jaccard verify) and
+    recall-gated vs the exact qd02 pairs (qd25)."""
     docs = load_table(spark, sf_dir, "documents")  # repartitioned internally by key
     return dedup.minhash_dedup_pairs(docs, "doc_id", threshold=0.8)
 
 
 @register("qd10_simhash_pairs")
 def qd10_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (Hamming ≤ 3 on 64-bit signatures)."""
+    """SimHash near-dup pairs (Hamming ≤ 3 on 64-bit signatures).
+    Value-checked by the gate-local xxh64 twin (_qd10_sql)."""
     docs = load_table(spark, sf_dir, "documents")  # repartitioned internally by key
     return dedup.simhash_pairs(docs, "doc_id", max_hamming=3)
 
 
 @register("qd16_ivf_ann_topk")
 def qd16_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-bucketed approximate nearest neighbors (recall-gated in tests;
-    the second scale path the north-star brief asks for, next to LSH)."""
+    """IVF-bucketed approximate nearest neighbors. Value-checked by the
+    gate-local twin (_qd16_sql replays seeding, both spherical-Lloyd
+    iterations, cell assignment, probe and rerank) and recall-gated
+    (qd27)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.ivf_ann_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
 
 
 @register("qd11_lsh_ann_topk")
 def qd11_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate nearest neighbors (recall-gated in tests)."""
+    """LSH-bucketed approximate nearest neighbors. Value-checked by the
+    gate-local twin (_qd11_sql) and recall-gated (qd26)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.lsh_ann_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
 

@@ -619,7 +619,11 @@ def q78_sales_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("sales_amount").cast("decimal(18,2)")).alias("_rev"),
         )
     )
-    w = Window.orderBy("order_month")
+    # deliberate global window: monthly frame, ≤ a few hundred rows by
+    # construction (post-aggregation) — greppable opt-in
+    from sql_data_warehouse_analytics_project_spark.operators.windows import window_spec
+
+    w = window_spec(None, ["order_month"], allow_unpartitioned=True)
     return monthly.select(
         "order_month",
         "n_orders",
@@ -672,7 +676,11 @@ def q79_category_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("sales_amount").cast("decimal(18,2)")).alias("_rev"),
         )
     )
-    w_all = Window.partitionBy()
+    # deliberate global frame over post-aggregation category rows —
+    # greppable opt-in
+    from sql_data_warehouse_analytics_project_spark.operators.windows import window_spec
+
+    w_all = window_spec(None, None, allow_unpartitioned=True)
     return by_cat.select(
         "category",
         "n_sales",
@@ -1090,7 +1098,16 @@ def q83_yearly_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("price").cast("long").alias("_n"),
         )
     )
-    w = Window.orderBy("_yr").rowsBetween(Window.unboundedPreceding, 0)
+    # deliberate global window: yearly frame (a handful of rows) —
+    # greppable opt-in
+    from sql_data_warehouse_analytics_project_spark.operators.windows import window_spec
+
+    w = window_spec(
+        None,
+        ["_yr"],
+        rows_between=(Window.unboundedPreceding, 0),
+        allow_unpartitioned=True,
+    )
     return yearly.select(
         F.col("_yr").cast("int").alias("order_year"),
         F.col("_rev").cast("double").alias("yearly_revenue"),

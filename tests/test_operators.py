@@ -991,3 +991,28 @@ def test_contiguous_rank_plan_no_single_partition(spark):
     )
     assert "SinglePartition" not in p, p
     assert "rangepartitioning" in p, p
+
+
+def test_unpartitioned_window_policy_enforced(spark):
+    """W2/W3/W4 refuse a no-partition call (single-task global sort)
+    unless the caller explicitly opts in — the same policy window_spec
+    itself enforces (round-6 verdict item 2)."""
+    df = spark.createDataFrame(
+        [(1, "2024-01-01", 10.0), (2, "2024-01-05", 20.0)],
+        "id int, d string, v double",
+    ).withColumn("d", F.to_date("d"))
+    with pytest.raises(ValueError, match="unpartitioned"):
+        windows.running_totals(df, "v", "d")
+    with pytest.raises(ValueError, match="unpartitioned"):
+        windows.lag_lead(df, "v", "d")
+    with pytest.raises(ValueError, match="unpartitioned"):
+        windows.detect_gaps(df, "d")
+    # explicit opt-in works and computes the same values as partitioned
+    rt = windows.running_totals(df, "v", "d", allow_unpartitioned=True)
+    assert [r["running_total"] for r in rt.orderBy("d").collect()] == [10.0, 30.0]
+    ll = windows.lag_lead(df, "v", "d", allow_unpartitioned=True)
+    assert [r["lag_1"] for r in ll.orderBy("d").collect()] == [None, 10.0]
+    gaps = windows.detect_gaps(df, "d", allow_unpartitioned=True).collect()
+    assert len(gaps) == 1 and gaps[0]["gap_length_days"] == 4
+    # a reset frequency partitions by the extracted period — allowed
+    assert windows.running_totals(df, "v", "d", reset_frequency="yearly").count() == 2

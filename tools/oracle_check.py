@@ -79,9 +79,19 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
 
+    # Gate-local twins for the xxhash64 production paths (qd09/qd10/qd11/
+    # qd16): register the Spark-bit-exact xxh64 scalar/vector functions on
+    # THIS connection and value-check keys the driver can only rows-check
+    # (its DuckDB has no UDF registration hook, so these stay out of the
+    # driver-facing oracle_sql()).
+    from tools import local_oracles
+
+    local_oracles.register(con)
+    local = local_oracles.local_oracle_sql()
+
     spark = get_spark("oracle_check")
     qs = entrymod.queries()
-    oracles = entrymod.oracle_sql()
+    oracles = {**entrymod.oracle_sql(), **local}
 
     doc: dict = {
         "sf_dir": sf_dir,
@@ -117,6 +127,8 @@ def main() -> int:
             "rows": rows,
             "seconds": round(time.time() - t0, 2),
         }
+        if name in local:
+            entry["oracle"] = "local-xxh64-twin"
         if detail:
             entry["detail"] = detail[:500]
         doc["results"][name] = entry
