@@ -77,6 +77,11 @@ class Catalog:
         # prefix lets tests isolate their own set of layer databases
         self.spark = spark
         self.prefix = prefix
+        # optional auto-capture hook (RunContext.enable_auto_capture):
+        # an object with begin_write(df, layer, table, mode) ->
+        # (instrumented_df, finish_callable | None). See
+        # ops/lineage_capture.py for the contract.
+        self.observer = None
 
     def db(self, layer: str) -> str:
         return f"{self.prefix}{layer}"
@@ -154,6 +159,9 @@ class Catalog:
         partitioned table restate its partition columns (saveAsTable
         refuses a writer whose partitioning differs from the table's)."""
         q = self.qualified(layer, table)
+        finish = None
+        if self.observer is not None:
+            df, finish = self.observer.begin_write(df, layer, table, mode="append")
         writer = df.write.mode("append").format("parquet")
         if self.spark.catalog.tableExists(q):
             pcols = [
@@ -162,6 +170,8 @@ class Catalog:
             if pcols:
                 writer = writer.partitionBy(*pcols)
         writer.saveAsTable(q)
+        if finish is not None:
+            finish()
 
     def overwrite(
         self,
@@ -189,6 +199,12 @@ class Catalog:
         has to."""
         target = self.qualified(layer, table)
         staging = f"{target}__staging"
+        finish = None
+        if self.observer is not None:
+            # instrument BEFORE the staging write (the row count rides that
+            # job); finish fires only after the swap, so lineage/metrics
+            # describe the materialized TARGET, never a half-done staging
+            df, finish = self.observer.begin_write(df, layer, table, mode="overwrite")
         self.spark.sql(f"DROP TABLE IF EXISTS {staging}")
         writer = df.write.mode("overwrite").format("parquet")
         if partition_by:
@@ -205,6 +221,8 @@ class Catalog:
             # rebuild them from the (moved) directory tree or every read
             # silently sees zero rows
             self.spark.sql(f"MSCK REPAIR TABLE {target}")
+        if finish is not None:
+            finish()
 
     def vacuum_staging(self, layer: str) -> list[str]:
         """Drop abandoned ``__staging`` tables whose target exists — the

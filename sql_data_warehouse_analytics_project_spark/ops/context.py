@@ -110,7 +110,11 @@ class RunContext:
 
     def close(self) -> None:
         """Flush everything still buffered (call when done logging
-        outside a ``run``/``end_process`` lifecycle)."""
+        outside a ``run``/``end_process`` lifecycle); detaches this
+        context's auto-capture hook so a closed context never observes
+        later writes."""
+        if getattr(self.catalog, "observer", None) is self:
+            self.catalog.observer = None
         self.flush()
 
     def table(self, name: str) -> DataFrame:
@@ -389,6 +393,74 @@ class RunContext:
                 "created_timestamp": _now(),
             },
         )
+
+    # -- auto-capture: plan-derived lineage + metrics (SURVEY §4) -----------
+
+    def enable_auto_capture(self) -> "RunContext":
+        """Attach this context to its catalog so EVERY
+        ``Catalog.append``/``overwrite`` emits ``data_lineage`` edges and
+        ``performance_metrics`` rows derived from the executed plan —
+        zero explicit ``log_lineage`` calls required (the reference
+        demands one per movement, ``logs/data_lineage.py:179-307``; a
+        forgotten call silently loses the edge there, never here).
+        Returns self for chaining; :meth:`close` detaches."""
+        self.catalog.observer = self
+        return self
+
+    def begin_write(self, df: DataFrame, layer: str, table: str, *, mode: str):
+        """Catalog write hook: returns ``(instrumented_df, finish)``.
+
+        The returned df carries an ``observe`` aggregate so the row count
+        is computed BY the write job (no second scan); ``finish()`` —
+        called by the catalog only after the write (and swap) committed —
+        buffers the lineage edges and two metric rows. Writes into the
+        ``logs`` layer are never captured: the log tables are the
+        capture's own sink (recursion) and metadata, not data flow."""
+        if layer == "logs":
+            return df, None
+        from pyspark.sql import Observation
+
+        from sql_data_warehouse_analytics_project_spark.ops.lineage_capture import (
+            plan_sources,
+        )
+
+        sources = plan_sources(df)
+        target_schema = self.catalog.db(layer)
+        logs_db = self.catalog.db("logs")
+        obs = Observation()
+        instrumented = df.observe(obs, F.count(F.lit(1)).alias("rows"))
+        t0 = time.time()
+
+        def finish() -> None:
+            elapsed = time.time() - t0
+            try:
+                rows = int(obs.get["rows"])
+            except Exception:  # noqa: BLE001 — metrics are best-effort
+                rows = None
+            for src_schema, src_table in sources:
+                if src_schema == logs_db:
+                    continue  # log-table reads are metadata, not data flow
+                if (src_schema, src_table) == (target_schema, table):
+                    # reconcile reads (upsert/soft-delete scan the target
+                    # itself) are an implementation detail, not an edge
+                    continue
+                self.log_lineage(
+                    source_schema=src_schema,
+                    source_table=src_table,
+                    target_schema=target_schema,
+                    target_table=table,
+                    transformation_logic=f"auto:{mode}",
+                    record_count=rows,
+                )
+            if rows is not None:
+                self.record_metric(
+                    f"{layer}.{table}.rows_written", float(rows), "rows"
+                )
+            self.record_metric(
+                f"{layer}.{table}.write_time", elapsed, "seconds"
+            )
+
+        return instrumented, finish
 
     # -- L11: performance metrics (performance_monitor.py:184-334) ----------
 

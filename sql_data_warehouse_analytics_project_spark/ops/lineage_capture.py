@@ -1,0 +1,97 @@
+"""Automatic lineage capture from executed plans (SURVEY §4's
+strictly-better-than-reference move; reference contract is the MANUAL
+``log_data_movement`` call, ``logs/data_lineage.py:179-307``).
+
+The reference relies on every ETL author remembering to record lineage;
+forget one call and the graph silently loses an edge. On Spark the
+DataFrame being materialized *carries* its provenance: the analyzed
+logical plan's leaves are exactly the relations the write read. This
+module extracts them, and :class:`~..catalog.Catalog` + ``RunContext``
+use it to emit ``logs.data_lineage`` edges and ``performance_metrics``
+rows per materialization with ZERO caller involvement — enable once via
+``RunContext.enable_auto_capture()``.
+
+Cost discipline: source extraction is a driver-side walk of plan
+metadata (no job, no file listing — ``df.inputFiles()`` would list every
+file of a 100 TB table); the row count rides the write job itself via
+``df.observe`` (zero extra jobs, unlike the medallion builds' explicit
+post-write ``count()``); timing is a wall clock around the write.
+Capture must never break a write, so extraction failures degrade to "no
+edges", not an exception.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+#: schema recorded for path-based (non-catalog) relations, e.g. the raw
+#: CSV/parquet files a bronze load scans
+EXTERNAL_SCHEMA = "external"
+
+
+def _ident_from_option(opt) -> tuple[str, str] | None:
+    """(db, table) from a py4j Option[CatalogTable]-ish identifier."""
+    if not opt.isDefined():
+        return None
+    ident = opt.get().identifier()
+    db = ident.database()
+    return (db.get() if db.isDefined() else "", ident.table())
+
+
+def _path_leaf(path: str) -> str:
+    """`file:/a/b/region.parquet` → `region` — the dataset name a human
+    would use for the external source (mirrors bronze's manual calls,
+    ``medallion/bronze.py:101``)."""
+    leaf = path.rstrip("/").rsplit("/", 1)[-1]
+    return leaf.split(".")[0] if "." in leaf else leaf
+
+
+def plan_sources(df: DataFrame) -> list[tuple[str, str]]:
+    """The (schema, table) relations ``df``'s plan reads, in leaf order,
+    deduplicated.
+
+    Catalog tables (V1 ``LogicalRelation`` with a defined catalogTable,
+    Hive relations, V2 relations with an identifier) report their real
+    database + table name; path-based file relations report
+    ``(EXTERNAL_SCHEMA, <path leaf>)``; in-memory ``LocalRelation`` /
+    ``Range`` leaves are not data sources and are skipped. Walks plan
+    METADATA only via the JVM plan tree — never lists files, never runs
+    a job. Returns ``[]`` on any extraction failure (capture is
+    best-effort by contract)."""
+    out: list[tuple[str, str]] = []
+    seen: set[tuple[str, str]] = set()
+
+    def add(pair: tuple[str, str] | None) -> None:
+        if pair is not None and pair not in seen:
+            seen.add(pair)
+            out.append(pair)
+
+    try:
+        leaves = df._jdf.queryExecution().analyzed().collectLeaves()
+        for i in range(leaves.size()):
+            node = leaves.apply(i)
+            cls = node.getClass().getSimpleName()
+            if cls == "LogicalRelation":
+                pair = _ident_from_option(node.catalogTable())
+                if pair is not None:
+                    add(pair)
+                    continue
+                paths = node.relation().location().rootPaths()
+                for j in range(paths.size()):
+                    add((EXTERNAL_SCHEMA, _path_leaf(paths.apply(j).toString())))
+            elif cls == "HiveTableRelation":
+                ident = node.tableMeta().identifier()
+                db = ident.database()
+                add((db.get() if db.isDefined() else "", ident.table()))
+            elif cls == "DataSourceV2Relation":
+                ident = node.identifier()
+                if ident.isDefined():
+                    v2 = ident.get()
+                    ns = v2.namespace()
+                    db = ns[-1] if len(ns) else ""
+                    add((str(db), str(v2.name())))
+            # LocalRelation / OneRowRelation / Range / streaming sources:
+            # not persisted data sources — skipped on purpose
+    except Exception:  # noqa: BLE001 — capture never breaks a write
+        return []
+    return out

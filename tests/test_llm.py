@@ -986,3 +986,57 @@ def test_bm25_ranks_self_and_relevant_first(spark):
     assert [r.rank for r in q1] == list(range(1, len(q1) + 1))
     q2 = sorted(by_q[2], key=lambda r: r.rank)
     assert q2[0].doc_id == 2
+
+
+def test_bm25_index_roundtrip_matches_one_shot(spark, tmp_path):
+    """The persisted-index lifecycle (build → write_dataset → read →
+    search) returns bit-identical results to the one-shot ``bm25_topk``:
+    the corpus-statistics pass is reusable across jobs, which at scale is
+    the entire cost of retrieval."""
+    import json
+
+    from sql_data_warehouse_analytics_project_spark.llm import retrieval
+    from sql_data_warehouse_analytics_project_spark.sources.writers import (
+        write_dataset,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark shuffles data between executors during wide joins"),
+            (2, "cats purr softly in the warm afternoon sun"),
+            (3, "executors spill shuffle data to disk under pressure"),
+            (4, "the sun warms the disk of the galaxy"),
+        ],
+        "doc_id long, text string",
+    )
+    queries = spark.createDataFrame(
+        [(1, "spark executors shuffle data"), (2, "warm sun")],
+        "query_id long, text string",
+    )
+    one_shot = sorted(
+        map(tuple, retrieval.bm25_topk(docs, queries, k=3).collect())
+    )
+
+    index = retrieval.build_bm25_index(docs)
+    path = str(tmp_path / "bm25_index")
+    write_dataset(index["postings"], path, sort_by=["term"])
+    # scalars persist as plain JSON alongside the postings dataset
+    meta = json.loads(
+        json.dumps(
+            {
+                "n_docs": index["n_docs"],
+                "avgdl": index["avgdl"],
+                "id_type": index["id_type"],
+            }
+        )
+    )
+    reloaded = {"postings": spark.read.parquet(path), **meta}
+    via_index = sorted(
+        map(tuple, retrieval.search_bm25(reloaded, queries, k=3).collect())
+    )
+    assert via_index == one_shot
+    assert len(via_index) > 0
+    # k<=0 returns unranked scores for every matching pair
+    pairs = retrieval.search_bm25(reloaded, queries, k=0)
+    assert pairs.columns == ["query_id", "doc_id", "score"]
+    assert pairs.count() >= len(via_index)

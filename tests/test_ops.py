@@ -221,3 +221,129 @@ def test_flow_summary(edges):
     assert flows[("cust_raw", "customers")].flow_stage == "bronze→silver"
     assert flows[("customers", "dim_customers")].flow_stage == "silver→gold"
     assert flows[("cust_csv", "cust_raw")].flow_stage == "source→bronze"
+
+
+# -- auto-captured lineage + metrics (SURVEY §4, ops/lineage_capture.py) ----
+
+
+def test_plan_sources_extracts_catalog_and_external_relations(spark):
+    from sql_data_warehouse_analytics_project_spark.ops.lineage_capture import (
+        plan_sources,
+    )
+
+    cat = Catalog(spark, prefix="plansrc_")
+    cat.create_layers()
+    try:
+        cat.append(
+            spark.createDataFrame([(1, "x")], "id long, s string"),
+            "bronze", "t_src",
+        )
+        ext = spark.read.parquet("/root/testdata/sf0.001/region.parquet")
+        local = spark.createDataFrame([(1,)], "id long")
+        df = (
+            cat.read("bronze", "t_src")
+            .join(F.broadcast(ext), F.lit(True), "left")
+            .join(F.broadcast(local), "id", "left")
+        )
+        srcs = plan_sources(df)
+        assert ("plansrc_bronze", "t_src") in srcs
+        assert ("external", "region") in srcs
+        # the in-memory LocalRelation is not a data source
+        assert all(s != ("", "") for s in srcs) and len(srcs) == 2
+    finally:
+        cat.drop_layers()
+
+
+def test_auto_capture_emits_edges_and_metrics_without_explicit_calls(spark):
+    """A bronze→silver→gold build with auto-capture enabled produces the
+    full lineage graph and per-write metrics with ZERO log_lineage /
+    record_metric calls — and q34-style recursive traversal runs green
+    over the auto-captured edges."""
+    cat = Catalog(spark, prefix="autolin_")
+    cat.create_layers()
+    try:
+        ctx = RunContext(cat, created_by="autocap").enable_auto_capture()
+
+        # bronze: external parquet -> catalog table (append path)
+        raw = spark.read.parquet("/root/testdata/sf0.001/region.parquet")
+        cat.append(raw, "bronze", "raw_region")
+        # silver: bronze -> cleaned (overwrite path)
+        cleaned = cat.read("bronze", "raw_region").select(
+            "r_regionkey", F.upper("r_name").alias("region_name")
+        )
+        cat.overwrite(cleaned, "silver", "clean_region")
+        # gold: silver + a second external source -> mart
+        nations = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+        mart = cat.read("silver", "clean_region").join(
+            nations, F.col("r_regionkey") == F.col("n_regionkey")
+        ).groupBy("region_name").agg(F.count(F.lit(1)).alias("n_nations"))
+        cat.overwrite(mart, "gold", "region_mart")
+
+        edges = {
+            (r.source_schema, r.source_table, r.target_schema, r.target_table):
+                r
+            for r in ctx.table("data_lineage").collect()
+        }
+        e1 = ("external", "region", "autolin_bronze", "raw_region")
+        e2 = ("autolin_bronze", "raw_region", "autolin_silver", "clean_region")
+        e3 = ("autolin_silver", "clean_region", "autolin_gold", "region_mart")
+        e4 = ("external", "nation", "autolin_gold", "region_mart")
+        assert set(edges) == {e1, e2, e3, e4}
+        assert all(v.transformation_logic.startswith("auto:") for v in edges.values())
+        # row counts rode the write job (observe), bit-equal to the tables
+        assert edges[e2].record_count == cat.read("silver", "clean_region").count()
+        assert edges[e3].record_count == cat.read("gold", "region_mart").count()
+
+        metrics = {r.metric_name for r in ctx.table("performance_metrics").collect()}
+        assert "silver.clean_region.rows_written" in metrics
+        assert "gold.region_mart.write_time" in metrics
+        # the capture's own log writes must not capture themselves
+        assert not any(s.startswith("autolin_logs") for s, *_ in edges)
+
+        # recursive traversal (the q34 engine) over the auto-captured graph
+        up = {
+            r.node: r.depth
+            for r in lin.traverse(
+                ctx.table("data_lineage"), "autolin_gold.region_mart", "upstream"
+            ).collect()
+        }
+        assert up["autolin_silver.clean_region"] == 1
+        assert up["external.nation"] == 1
+        assert up["autolin_bronze.raw_region"] == 2
+        assert up["external.region"] == 3
+
+        # close() detaches: later writes are silent
+        ctx.close()
+        assert cat.observer is None
+        cat.append(raw, "bronze", "raw_region")
+        n_after = ctx.table("data_lineage").count()
+        assert n_after == 4
+    finally:
+        cat.drop_layers()
+
+
+def test_auto_capture_skips_self_reconcile_edge(spark):
+    """An upsert-style overwrite that READS the target table to reconcile
+    must not record a target->target self-edge (implementation detail,
+    not data flow) — but still records the true external source."""
+    cat = Catalog(spark, prefix="autoself_")
+    cat.create_layers()
+    try:
+        ctx = RunContext(cat, created_by="selftest").enable_auto_capture()
+        base = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+        cat.append(base, "silver", "t")
+        new = spark.createDataFrame([(2, "B"), (3, "c")], "id long, v string")
+        merged = (
+            cat.read("silver", "t")
+            .join(new, "id", "left_anti")
+            .unionByName(new)
+        )
+        cat.overwrite(merged, "silver", "t")
+        edges = [
+            (r.source_schema, r.source_table, r.target_schema, r.target_table)
+            for r in ctx.table("data_lineage").collect()
+        ]
+        assert ("autoself_silver", "t", "autoself_silver", "t") not in edges
+        ctx.close()
+    finally:
+        cat.drop_layers()
