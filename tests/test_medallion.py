@@ -148,6 +148,66 @@ def test_gold_star_schema(cat, loaded):
     assert facts.filter(F.col("order_month").isNotNull()).count() > 59000
 
 
+def test_month_scoped_gold_analytic_prunes_fact_partitions(cat, loaded):
+    """The engine's value at 100x is month-pruned reads of the PERSISTED
+    fact (the gate rebuilds from CSVs for oracle purposes, but production
+    reads go through Catalog.read): a q78/q81-style analytic — broadcast
+    dim join + revenue aggregate — filtered to one month must carry the
+    month predicate into the fact scan's PartitionFilters (directory
+    pruning), keep the dim join broadcast (no fact shuffle), and return
+    the same numbers as a post-hoc filter."""
+    from sql_data_warehouse_analytics_project_spark.medallion import (
+        gold as gold_mod,
+        silver as silver_mod,
+    )
+
+    if not cat.table_exists("gold", "fact_sales"):
+        silver_mod.run_silver(cat)
+        gold_mod.run_gold(cat)
+
+    facts = cat.read("gold", "fact_sales")
+    dims = F.broadcast(
+        cat.read("gold", "dim_products").select("product_key", "category")
+    )
+    month = "2013-06-01"
+    analytic = (
+        facts.filter(F.col("order_month") == month)
+        .join(dims, "product_key")
+        .groupBy("category")
+        .agg(
+            F.count(F.lit(1)).alias("n_sales"),
+            F.sum(F.col("sales_amount").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+    plan = analytic._jdf.queryExecution().executedPlan().treeString()
+    # month predicate reached the fact scan as a PARTITION filter
+    assert "PartitionFilters: [" in plan
+    pf = plan.split("PartitionFilters:")[1].split("]")[0]
+    assert "order_month" in pf
+    # dim join stayed broadcast: the month-pruned fact never shuffles
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # pruning is a plan optimization, not a semantics change
+    rows = {r.category: (r.n_sales, r.revenue) for r in analytic.collect()}
+    slow = (
+        facts.join(dims, "product_key")
+        .filter(F.col("order_month") == month)
+        .groupBy("category")
+        .agg(
+            F.count(F.lit(1)).alias("n_sales"),
+            F.sum(F.col("sales_amount").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+    assert rows == {
+        r.category: (r.n_sales, r.revenue) for r in slow.collect()
+    }
+    assert sum(n for n, _ in rows.values()) > 0
+
+
 def test_warehouse_orchestrator_end_to_end(spark):
     """Full --setup → --bronze → --silver → --gold run with the audit/
     lineage/metric side effects the reference verifies in its workflow

@@ -63,6 +63,15 @@ def main() -> int:
     common = sorted(set(o) & set(n))
     only_old, only_new = sorted(set(o) - set(n)), sorted(set(n) - set(o))
 
+    # Bronze-ingest control (round-6 verdict #5): the bronze loader code
+    # has been untouched since round 1, so its throughput ratio is a
+    # multi-core box-speed proxy that the single-thread calibration can't
+    # see (neighbor contention). ratio < 1 means the NEW run's box window
+    # was slower; dividing the new total by the ratio control-corrects it.
+    bo = old.get("bronze_rows_per_second")
+    bn = new.get("bronze_rows_per_second")
+    control = (bn / bo) if (bo and bn) else None
+
     if args.markdown:
         to, tn = sum(o[k] for k in common), sum(n[k] for k in common)
         print(f"| query | old (norm s) | new (norm s) | delta |")
@@ -77,6 +86,13 @@ def main() -> int:
         pct = f" ({(tn - to) / to * 100.0:+.1f}%)" if to else ""
         print(f"| **total (common)** | **{to:.1f}** | **{tn:.1f}** |"
               f" **{pct.strip() or '—'}** |")
+        if control:
+            corrected = tn * control
+            cpct = f"{(corrected - to) / to * 100.0:+.1f}%" if to else "—"
+            print(f"| **bronze control (rows/s)** | **{bo:.0f}** |"
+                  f" **{bn:.0f}** | **ratio {control:.2f}** |")
+            print(f"| **total, control-corrected** | **{to:.1f}** |"
+                  f" **{corrected:.1f}** | **{cpct}** |")
         return 0
 
     to, tn = sum(o[k] for k in common), sum(n[k] for k in common)
@@ -85,6 +101,12 @@ def main() -> int:
     print(f"normalized total  old={to:.1f}  new={tn:.1f}{pct_total}")
     print(f"calibration       old={old.get('cpu_calibration_sec')}  "
           f"new={new.get('cpu_calibration_sec')}")
+    if control:
+        corrected = tn * control
+        cpct = f"  ({(corrected - to) / to * 100.0:+.1f}%)" if to else ""
+        print(f"bronze control    old={bo:.0f}  new={bn:.0f} rows/s  "
+              f"ratio={control:.2f} (multi-core box proxy; loader untouched)")
+        print(f"control-corrected new total = {corrected:.1f}{cpct}")
     if only_old:
         print(f"only in old ({len(only_old)}): {', '.join(only_old)}")
     if only_new:
