@@ -1,7 +1,7 @@
-"""Lexical retrieval over the corpus: BM25 index build/search + top-k
-(north-star extension — no reference counterpart; nearest surface is the
-reference's aggregation catalog re-expressed as corpus statistics, like
-``vocab.py``).
+"""Lexical retrieval over the corpus: BM25 index build/update/search +
+top-k (north-star extension — no reference counterpart; nearest surface
+is the reference's aggregation catalog re-expressed as corpus
+statistics, like ``vocab.py``).
 
 Training-data pipelines use lexical retrieval constantly — eval-set
 decontamination beyond exact n-gram overlap, targeted corpus audits
@@ -9,19 +9,31 @@ decontamination beyond exact n-gram overlap, targeted corpus audits
 mining — and BM25 is the standard scorer. The plan is the classic
 inverted-index shape, split the way the IVF ANN path is
 (:func:`similarity.build_ivf_index` / ``search_ivf_index``): the corpus
-reduces ONCE to a persistable (term → postings+stats) index, each query
-batch equi-joins the postings on ITS terms only, and only those postings
-ever move — never |corpus| × |queries|, and never a corpus re-scan per
-query batch. At 100 TB the corpus-statistics pass IS the whole cost, so
-recomputing it per search call is the one unacceptable plan; the index
-is built once, written with :func:`sources.writers.write_dataset`
-(``sort_by=["term"]`` keeps parquet row-group min/max stats tight on the
-join key, so a query's terms prune row groups on read), and reused.
+reduces ONCE to a persistable index, each query batch equi-joins the
+postings on ITS terms only, and only those postings ever move — never
+|corpus| × |queries|, and never a corpus re-scan per query batch.
+
+The index is NORMALIZED on purpose — postings carry (tf, dl) but NOT
+idf: idf depends on the global (N, df), so baking it into postings would
+force rewriting every posting row whenever a document batch lands.
+Instead idf is computed at query time from the vocab-sized
+``term_stats`` table (restricted to the query's terms — a few rows), and
+:func:`update_bm25_index` can absorb a new batch by appending batch
+postings + merging df deltas + bumping two scalars, WITHOUT re-tokenizing
+or rewriting history — at 100 TB the historical re-tokenize is the whole
+cost, so this is the difference between an index you can maintain and
+one you rebuild nightly. Persist with
+:func:`sources.writers.write_dataset` (``sort_by=["term"]`` keeps
+parquet row-group min/max stats tight on the join key, so a query's
+terms prune row groups on read).
 
 Determinism contract (same as ``text.tfidf_top_terms``): scores round to
 6 decimals BEFORE ranking and ties break on doc id, so the top-k set and
 order are bit-stable across engines and partitionings (float summation
-order can differ by an ulp; the pre-rank rounding absorbs it).
+order can differ by an ulp; the pre-rank rounding absorbs it). The
+incremental path preserves it exactly: df/n_docs/total_dl arithmetic is
+all integer, so an updated index scores bit-identically to a rebuild —
+gate-checked (qd46's oracle is the FULL-corpus twin).
 """
 
 from __future__ import annotations
@@ -31,6 +43,16 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from sql_data_warehouse_analytics_project_spark.llm.text import tokens
+
+
+def _tokenize(corpus: DataFrame, id_col: str, text_col: str):
+    """(tf, dl) reductions of a document set: one explode, two aggs."""
+    tok = corpus.select(
+        F.col(id_col).alias("doc"), F.explode(tokens(text_col)).alias("term")
+    )
+    tf = tok.groupBy("doc", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tok.groupBy("doc").agg(F.count(F.lit(1)).alias("dl"))
+    return tf, dl
 
 
 def build_bm25_index(
@@ -45,48 +67,115 @@ def build_bm25_index(
 
     Returns a plain dict index (the IVF-index shape):
 
-    - ``"postings"`` — LAZY DataFrame ``(term, doc, tf, dl, idf)``: one
-      row per (term, document) with the term frequency, the document's
-      token length, and the term's Robertson idf
-      ``ln(1 + (N - df + 0.5)/(df + 0.5))`` (always positive) baked in at
-      build time. Denormalized on purpose: search is then ONE equi-join
-      on ``term`` with no second join for doc stats. Callers persist it
-      however they like — ``localCheckpoint`` for a session,
-      ``write_dataset(sort_by=["term"])`` for reuse across jobs (row
-      groups then prune on the query's terms).
-    - ``"n_docs"`` / ``"avgdl"`` — corpus size and mean document length
-      (json-serializable scalars; ``avgdl`` is an exact long sum divided
-      by an exact count, so every engine sees the identical double).
+    - ``"postings"`` — LAZY DataFrame ``(term, doc, tf, dl)``: one row
+      per (term, document) with the term frequency and the document's
+      token length. No global statistics baked in (see module docstring).
+    - ``"term_stats"`` — LAZY DataFrame ``(term, df)``: document
+      frequency per term; vocab-sized, the query-time idf source.
+    - ``"n_docs"`` / ``"total_dl"`` — corpus size and total token count
+      (json-serializable exact ints; ``avgdl = total_dl / n_docs`` is
+      then the identical IEEE double on every engine).
     - ``"id_type"`` — the id column's Spark type (output schema of
       searches, same contract as the IVF index).
 
-    ``k1``/``b`` are deliberately NOT baked in: they are query-time
-    scoring knobs, so one persisted index serves every tuning.
-    """
-    tok = corpus.select(
-        F.col(id_col).alias("doc"), F.explode(tokens(text_col)).alias("term")
-    )
-    tf = tok.groupBy("doc", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dl = tok.groupBy("doc").agg(F.count(F.lit(1)).alias("dl"))
+    Documents that tokenize to nothing contribute no postings and are
+    not counted in ``n_docs`` (they can never match a query). ``k1``/
+    ``b`` are query-time scoring knobs, so one persisted index serves
+    every tuning. Callers persist the two DataFrames however they like —
+    ``localCheckpoint`` for a session, ``write_dataset`` for reuse
+    across jobs."""
+    tf, dl = _tokenize(corpus, id_col, text_col)
     row = dl.agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_dl")
     ).collect()[0]
-    n_docs = int(row["n_docs"] or 0)
-    avgdl = (row["total_dl"] / n_docs) if n_docs else 0.0
-    idf = tf.groupBy("term").agg(
-        F.log(
-            1.0 + (F.lit(n_docs) - F.count(F.lit(1)) + 0.5)
-            / (F.count(F.lit(1)) + 0.5)
-        ).alias("idf")
+    term_stats = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    postings = tf.join(dl, "doc").select("term", "doc", "tf", "dl")
+    return {
+        "postings": postings,
+        "term_stats": term_stats,
+        "n_docs": int(row["n_docs"] or 0),
+        "total_dl": int(row["total_dl"] or 0),
+        "id_type": dict(corpus.dtypes)[id_col],
+    }
+
+
+def update_bm25_index(
+    index: dict,
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    assume_disjoint: bool = False,
+) -> dict:
+    """Absorb a document batch into an existing index WITHOUT
+    re-tokenizing history — scores from the returned index are
+    bit-identical to a full rebuild over old∪new (gate-checked, qd46).
+
+    Work ∝ batch + vocab, never ∝ corpus text:
+
+    - the batch tokenizes once (it's the only text read);
+    - re-ingested doc ids REPLACE their old postings (anti-join of the
+      old postings against the batch's broadcast-sized id set — a scan
+      of posting metadata, not a re-tokenize);
+    - ``term_stats`` merges df deltas (vocab-sized outer join);
+    - ``n_docs``/``total_dl`` adjust by exact integer deltas, so the
+      downstream idf/avgdl doubles can't drift from a rebuild's.
+
+    ``assume_disjoint=True`` skips the replaced-postings probe (the one
+    pass over old postings) when the caller guarantees the batch holds
+    only brand-new doc ids — the common append-only ingest. The returned
+    dict is a NEW index; the input is untouched (persist-and-swap like
+    every other snapshot in this engine)."""
+    tf_b, dl_b = _tokenize(new_docs, id_col, text_col)
+    # the batch reductions feed 2-4 downstream plans — pin them once
+    tf_b, dl_b = tf_b.localCheckpoint(), dl_b.localCheckpoint()
+    batch = dl_b.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("dl_sum")
+    ).collect()[0]
+    n_batch, dl_batch = int(batch["n"] or 0), int(batch["dl_sum"] or 0)
+
+    old_postings: DataFrame = index["postings"]
+    batch_ids = dl_b.select("doc")  # ids that tokenized to ≥1 term
+    if assume_disjoint:
+        n_gone, dl_gone = 0, 0
+        kept = old_postings
+        df_removed = None
+    else:
+        replaced = old_postings.join(F.broadcast(batch_ids), "doc", "semi")
+        gone = replaced.select("doc", "dl").distinct().agg(
+            F.count(F.lit(1)).alias("n"), F.sum("dl").alias("dl_sum")
+        ).collect()[0]
+        n_gone, dl_gone = int(gone["n"] or 0), int(gone["dl_sum"] or 0)
+        kept = old_postings.join(F.broadcast(batch_ids), "doc", "anti")
+        df_removed = (
+            replaced.groupBy("term")
+            .agg((-F.count(F.lit(1))).alias("delta"))
+        )
+
+    df_added = tf_b.groupBy("term").agg(F.count(F.lit(1)).alias("delta"))
+    deltas = (
+        df_added if df_removed is None
+        else df_added.unionByName(df_removed)
+    ).groupBy("term").agg(F.sum("delta").alias("delta"))
+    term_stats = (
+        index["term_stats"]
+        .join(deltas, "term", "full")
+        .select(
+            "term",
+            (F.coalesce(F.col("df"), F.lit(0))
+             + F.coalesce(F.col("delta"), F.lit(0))).alias("df"),
+        )
+        .filter(F.col("df") > 0)
     )
-    postings = tf.join(idf, "term").join(dl, "doc").select(
-        "term", "doc", "tf", "dl", "idf"
+    postings = kept.unionByName(
+        tf_b.join(dl_b, "doc").select("term", "doc", "tf", "dl")
     )
     return {
         "postings": postings,
-        "n_docs": n_docs,
-        "avgdl": float(avgdl),
-        "id_type": dict(corpus.dtypes)[id_col],
+        "term_stats": term_stats,
+        "n_docs": index["n_docs"] - n_gone + n_batch,
+        "total_dl": index["total_dl"] - dl_gone + dl_batch,
+        "id_type": index["id_type"],
     }
 
 
@@ -104,21 +193,29 @@ def search_bm25(
     """Top-k BM25 search against a prebuilt index:
     ``(query_id, <id_col>, score, rank)``.
 
-    Per-term contribution
+    Robertson idf ``ln(1 + (N - df + 0.5)/(df + 0.5))`` (always
+    positive) computed at query time from ``term_stats`` restricted to
+    the query's terms (a few vocab rows); per-term contribution
     ``idf · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))``; rank orders by
     the ROUNDED score (desc) then doc id — total-order deterministic,
-    engine-portable. The query side explodes to distinct terms and joins
-    the postings on ``term``: cost is the postings of the QUERY's terms
+    engine-portable. Cost is the postings of the QUERY's terms
     (row-group-pruned when the index was written term-sorted), not the
     corpus. ``k <= 0`` returns unranked scores for every matching pair.
     """
-    postings = index["postings"]
-    avgdl = float(index["avgdl"]) or 1.0  # empty corpus → no postings anyway
+    n_docs = int(index["n_docs"])
+    avgdl = (index["total_dl"] / n_docs) if n_docs else 1.0
     qterms = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.explode(F.array_distinct(tokens(query_text_col))).alias("term"),
     )
-    contrib = qterms.join(postings, "term").select(
+    qidf = qterms.join(index["term_stats"], "term").select(
+        "query_id",
+        "term",
+        F.log(
+            1.0 + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        ).alias("idf"),
+    )
+    contrib = qidf.join(index["postings"], "term").select(
         "query_id",
         "doc",
         (
@@ -159,14 +256,9 @@ def bm25_scores(
     ad-hoc path; repeated searches should build the index once."""
     index = build_bm25_index(corpus, id_col, text_col)
     return search_bm25(
-        index,
-        queries,
-        k=0,
-        id_col=id_col,
-        query_id_col=query_id_col,
-        query_text_col=query_text_col,
-        k1=k1,
-        b=b,
+        index, queries, k=0, id_col=id_col,
+        query_id_col=query_id_col, query_text_col=query_text_col,
+        k1=k1, b=b,
     )
 
 
@@ -187,12 +279,7 @@ def bm25_topk(
     gate key qd45 exercises exactly the plan a persisted index serves."""
     index = build_bm25_index(corpus, id_col, text_col)
     return search_bm25(
-        index,
-        queries,
-        k=k,
-        id_col=id_col,
-        query_id_col=query_id_col,
-        query_text_col=query_text_col,
-        k1=k1,
-        b=b,
+        index, queries, k=k, id_col=id_col,
+        query_id_col=query_id_col, query_text_col=query_text_col,
+        k1=k1, b=b,
     )

@@ -1782,3 +1782,70 @@ def qd45_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("query_id"), "text"
     )
     return retrieval.bm25_topk(docs, queries, k=10)
+
+
+@register(
+    "qd46_bm25_incremental",
+    f"""
+    WITH tok AS (
+      SELECT doc_id AS doc, unnest({{toks}}) AS term FROM documents
+    ), tf AS (
+      SELECT doc, term, count(*) AS tf FROM tok GROUP BY 1, 2
+    ), dl AS (
+      SELECT doc, count(*) AS dl FROM tok GROUP BY 1
+    ), summary AS (
+      SELECT count(*) AS n_docs,
+             CAST(SUM(dl) AS DOUBLE) / count(*) AS avgdl
+      FROM dl
+    ), idf AS (
+      SELECT d.term,
+             ln(1.0 + (s.n_docs - d.df_ + 0.5) / (d.df_ + 0.5)) AS idf,
+             s.avgdl
+      FROM (SELECT term, count(*) AS df_ FROM tf GROUP BY 1) d, summary s
+    ), q AS (
+      SELECT doc_id AS query_id, unnest(list_distinct({{toks}})) AS term
+      FROM documents WHERE doc_id IN (1, 7, 13)
+    ), contrib AS (
+      SELECT q.query_id, tf.doc,
+             idf.idf * (tf.tf * (1.2 + 1.0))
+               / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / idf.avgdl)) AS c
+      FROM q
+      JOIN tf ON q.term = tf.term
+      JOIN idf ON tf.term = idf.term
+      JOIN dl ON tf.doc = dl.doc
+    ), sc AS (
+      SELECT query_id, doc AS doc_id, round(SUM(c), 6) AS score
+      FROM contrib GROUP BY 1, 2
+    ), rk AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+      FROM sc
+    )
+    SELECT query_id, doc_id, score, CAST(rank AS INT) AS rank
+    FROM rk WHERE rank <= 10
+    """.replace("{toks}", _TOKS),
+)
+def qd46_bm25_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental BM25 index maintenance (`retrieval.update_bm25_index`):
+    the corpus arrives as a base build (doc_id % 4 != 0) plus a later
+    batch (doc_id % 4 == 0, PLUS docs 1 and 7 re-ingested with identical
+    text to exercise the replace path); the updated index answers the
+    same top-10 queries as qd45. The oracle is the FULL-corpus rebuild
+    twin — value-level proof that incremental maintenance ≡ rebuild,
+    bit-exactly (all df/n_docs/total_dl deltas are integer arithmetic).
+    At 100 TB this is the operator that turns a nightly re-tokenize of
+    history into a batch-sized append."""
+    from sql_data_warehouse_analytics_project_spark.llm import retrieval
+
+    docs = _docs(spark, sf_dir)
+    base = docs.filter(F.col("doc_id") % 4 != 0)
+    batch = docs.filter(
+        (F.col("doc_id") % 4 == 0) | F.col("doc_id").isin(1, 7)
+    )
+    index = retrieval.update_bm25_index(
+        retrieval.build_bm25_index(base), batch
+    )
+    queries = docs.filter(F.col("doc_id").isin(1, 7, 13)).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    return retrieval.search_bm25(index, queries, k=10)

@@ -1018,19 +1018,25 @@ def test_bm25_index_roundtrip_matches_one_shot(spark, tmp_path):
     )
 
     index = retrieval.build_bm25_index(docs)
-    path = str(tmp_path / "bm25_index")
-    write_dataset(index["postings"], path, sort_by=["term"])
-    # scalars persist as plain JSON alongside the postings dataset
+    ppath = str(tmp_path / "bm25_postings")
+    tpath = str(tmp_path / "bm25_term_stats")
+    write_dataset(index["postings"], ppath, sort_by=["term"])
+    write_dataset(index["term_stats"], tpath, sort_by=["term"])
+    # scalars persist as plain JSON alongside the two datasets
     meta = json.loads(
         json.dumps(
             {
                 "n_docs": index["n_docs"],
-                "avgdl": index["avgdl"],
+                "total_dl": index["total_dl"],
                 "id_type": index["id_type"],
             }
         )
     )
-    reloaded = {"postings": spark.read.parquet(path), **meta}
+    reloaded = {
+        "postings": spark.read.parquet(ppath),
+        "term_stats": spark.read.parquet(tpath),
+        **meta,
+    }
     via_index = sorted(
         map(tuple, retrieval.search_bm25(reloaded, queries, k=3).collect())
     )
@@ -1040,3 +1046,59 @@ def test_bm25_index_roundtrip_matches_one_shot(spark, tmp_path):
     pairs = retrieval.search_bm25(reloaded, queries, k=0)
     assert pairs.columns == ["query_id", "doc_id", "score"]
     assert pairs.count() >= len(via_index)
+
+
+def test_bm25_incremental_update_matches_rebuild(spark):
+    """update_bm25_index absorbs a batch (including a RE-INGESTED doc
+    whose text changed) without re-tokenizing history, and the updated
+    index scores bit-identically to a full rebuild over the final
+    corpus; the append-only fast path (assume_disjoint) agrees when the
+    batch truly is disjoint."""
+    from sql_data_warehouse_analytics_project_spark.llm import retrieval
+
+    base = spark.createDataFrame(
+        [
+            (1, "spark shuffles data between executors during wide joins"),
+            (2, "cats purr softly in the warm afternoon sun"),
+            (3, "executors spill shuffle data to disk under pressure"),
+        ],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (3, "executors spill to disk and also to remote storage"),  # replaced
+            (4, "the sun warms the disk of the galaxy"),                 # new
+            (5, "spark executors shuffle wide data"),                    # new
+        ],
+        "doc_id long, text string",
+    )
+    final_corpus = base.filter("doc_id != 3").unionByName(batch)
+    queries = spark.createDataFrame(
+        [(1, "spark executors shuffle data"), (2, "warm sun disk")],
+        "query_id long, text string",
+    )
+
+    updated = retrieval.update_bm25_index(
+        retrieval.build_bm25_index(base), batch
+    )
+    rebuilt = retrieval.build_bm25_index(final_corpus)
+    assert updated["n_docs"] == rebuilt["n_docs"]
+    assert updated["total_dl"] == rebuilt["total_dl"]
+    got = sorted(map(tuple, retrieval.search_bm25(updated, queries, k=5).collect()))
+    want = sorted(map(tuple, retrieval.search_bm25(rebuilt, queries, k=5).collect()))
+    assert got == want and len(got) > 0
+    # term_stats merged exactly (df deltas, replaced doc's terms removed)
+    ts_u = {r.term: r.df for r in updated["term_stats"].collect()}
+    ts_r = {r.term: r.df for r in rebuilt["term_stats"].collect()}
+    assert ts_u == ts_r
+    assert "pressure" not in ts_u  # only doc 3 had it, and doc 3 changed
+
+    # append-only fast path: disjoint batch, probe skipped
+    disjoint = batch.filter("doc_id >= 4")
+    fast = retrieval.update_bm25_index(
+        retrieval.build_bm25_index(base), disjoint, assume_disjoint=True
+    )
+    slow = retrieval.build_bm25_index(base.unionByName(disjoint))
+    got_f = sorted(map(tuple, retrieval.search_bm25(fast, queries, k=5).collect()))
+    want_f = sorted(map(tuple, retrieval.search_bm25(slow, queries, k=5).collect()))
+    assert got_f == want_f
