@@ -68,27 +68,40 @@ _RESULT_PATH = os.environ.get(
 )
 
 
+# the code a bench run actually measures: the engine package, the query
+# registry, and this harness — docs/notes/artifact commits don't count
+_MEASURED_PATHS = (
+    "sql_data_warehouse_analytics_project_spark",
+    "__spark_entry__.py",
+    "bench.py",
+)
+
+
 def _code_fingerprint() -> str | None:
-    """HEAD sha + working-tree diff hash — identifies the CODE a bench run
-    measured, so best-of-run merging (below) can never mix timings from
-    two different code states."""
+    """Content hash of the MEASURED code paths (tracked blobs + working
+    diff) — identifies the code a bench run measured, so best-of-run
+    merging (below) can never mix timings from two different code
+    states, while committing notes or bench artifacts (which changes
+    HEAD but not the measured code) keeps the fingerprint stable."""
     import hashlib
     import subprocess
 
     try:
         here = os.path.dirname(os.path.abspath(__file__))
-        head = subprocess.run(
-            ["git", "rev-parse", "HEAD"], cwd=here,
-            capture_output=True, text=True, timeout=10,
-        )
-        if head.returncode != 0:
-            return None
-        diff = subprocess.run(
-            ["git", "diff", "HEAD"], cwd=here,
+        blobs = subprocess.run(
+            ["git", "ls-files", "-s", "--", *_MEASURED_PATHS], cwd=here,
             capture_output=True, text=True, timeout=30,
         )
-        tag = hashlib.sha256(diff.stdout.encode()).hexdigest()[:12]
-        return f"{head.stdout.strip()}+{tag}"
+        if blobs.returncode != 0:
+            return None
+        diff = subprocess.run(
+            ["git", "diff", "HEAD", "--", *_MEASURED_PATHS], cwd=here,
+            capture_output=True, text=True, timeout=30,
+        )
+        h = hashlib.sha256()
+        h.update(blobs.stdout.encode())
+        h.update(diff.stdout.encode())
+        return h.hexdigest()[:24]
     except Exception:  # noqa: BLE001
         return None
 
