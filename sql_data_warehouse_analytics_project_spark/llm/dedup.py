@@ -967,3 +967,56 @@ def embedding_dup_pairs(
         F.col("id_b").cast(embeddings.schema[id_col].dataType),
         F.round("cos", 6).alias("cosine"),
     )
+
+
+def source_dup_matrix(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Cross-source duplication matrix: for every (source, source) pair,
+    how many near-dup document pairs span it and their mean similarity —
+    ``(source_a, source_b, n_pairs, avg_jaccard)``, sources ordered
+    lexicographically within each row so the matrix is one canonical
+    triangle (diagonal rows = within-source duplication).
+
+    The curation diagnostic behind source-level decisions: a source
+    whose row against an existing corpus is hot is a mirror/scrape and
+    gets dropped WHOLESALE before any per-document work; a hot diagonal
+    means boilerplate within the source. Candidates come from the same
+    inverted shingle index as :func:`ngram_jaccard_pairs` (never
+    all-pairs); attaching sources is two id-keyed equi joins against the
+    (id → source) projection, and the matrix aggregate is vocab-of-
+    sources sized — nothing here scales with |corpus|².
+
+    ``avg_jaccard`` averages the already-6dp-rounded pair similarities
+    and rounds to 4dp (the qd03 convention), so engine summation-order
+    ulps can't surface."""
+    pairs = ngram_jaccard_pairs(df, id_col, text_col, n=n, threshold=threshold)
+    meta = df.select(F.col(id_col), F.col(group_col))
+    labelled = (
+        pairs.join(
+            meta.select(
+                F.col(id_col).alias("id_a"), F.col(group_col).alias("_ga")
+            ),
+            "id_a",
+        )
+        .join(
+            meta.select(
+                F.col(id_col).alias("id_b"), F.col(group_col).alias("_gb")
+            ),
+            "id_b",
+        )
+        .select(
+            F.least("_ga", "_gb").alias("source_a"),
+            F.greatest("_ga", "_gb").alias("source_b"),
+            "jaccard",
+        )
+    )
+    return labelled.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.avg("jaccard"), 4).alias("avg_jaccard"),
+    )

@@ -135,7 +135,11 @@ def update_bm25_index(
     n_batch, dl_batch = int(batch["n"] or 0), int(batch["dl_sum"] or 0)
 
     old_postings: DataFrame = index["postings"]
-    batch_ids = dl_b.select("doc")  # ids that tokenized to ≥1 term
+    # EVERY id in the batch — including docs that tokenize to NOTHING: a
+    # re-ingest that empties a document must still retire its old
+    # postings (the tombstone case the property test caught), so the id
+    # set comes from the raw batch, not from the tokenized reduction
+    batch_ids = new_docs.select(F.col(id_col).alias("doc")).distinct()
     if assume_disjoint:
         n_gone, dl_gone = 0, 0
         kept = old_postings
@@ -283,3 +287,48 @@ def bm25_topk(
         query_id_col=query_id_col, query_text_col=query_text_col,
         k1=k1, b=b,
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k: int = 10,
+    *,
+    id_col: str = "doc_id",
+    rrf_k: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion of ranked result lists (the standard
+    lexical+semantic hybrid-retrieval combiner):
+    ``(query_id, <id_col>, rrf_score, rank)``.
+
+    Each input DataFrame carries ``(query_id, <id_col>, rank)`` (extra
+    columns ignored); a candidate's fused score is
+    ``Σ_lists 1/(rrf_k + rank)`` over the lists that ranked it — rank
+    positions only, so BM25 scores and cosine similarities need no
+    calibration against each other, which is exactly why RRF is the
+    robust default. Candidates missing from a list simply contribute
+    nothing (partial coverage — e.g. embeddings for only part of the
+    corpus — degrades gracefully to the lists that have them).
+
+    Plan: union of the (already tiny, top-k-sized) ranked lists → one
+    (query, candidate) aggregate → per-query rank window. Cost scales
+    with Σ|lists|, never with the corpus. Determinism: contributions are
+    exact reciprocals of small ints; the fused score rounds to 6dp
+    BEFORE ranking with an id tiebreak (the module's contract)."""
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    contribs = None
+    for r in rankings:
+        c = r.select(
+            "query_id",
+            F.col(id_col),
+            (1.0 / (F.lit(float(rrf_k)) + F.col("rank"))).alias("contrib"),
+        )
+        contribs = c if contribs is None else contribs.unionByName(c)
+    scores = contribs.groupBy("query_id", id_col).agg(
+        F.round(F.sum("contrib"), 6).alias("rrf_score")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_score").desc(), F.col(id_col)
+    )
+    out = scores.withColumn("rank", F.row_number().over(w).cast("int"))
+    return out.filter(F.col("rank") <= k) if k > 0 else out

@@ -1849,3 +1849,140 @@ def qd46_bm25_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("query_id"), "text"
     )
     return retrieval.search_bm25(index, queries, k=10)
+
+
+@register(
+    "qd47_source_dup_matrix",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {{toks}} AS t FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct([array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t)-1)]) AS shingles
+      FROM toks WHERE len(t) >= 3
+    ), ex AS (
+      SELECT doc_id, unnest(shingles) AS s FROM sh
+    ), sizes AS (
+      SELECT doc_id, len(shingles) AS n FROM sh
+    ), common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT id_a, id_b,
+             round(CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE), 6) AS jaccard
+      FROM common
+      JOIN sizes sa ON id_a = sa.doc_id
+      JOIN sizes sb ON id_b = sb.doc_id
+      WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.8
+    ), labelled AS (
+      SELECT least(da.source, db.source) AS source_a,
+             greatest(da.source, db.source) AS source_b,
+             jaccard
+      FROM pairs
+      JOIN documents da ON pairs.id_a = da.doc_id
+      JOIN documents db ON pairs.id_b = db.doc_id
+    )
+    SELECT source_a, source_b,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(avg(jaccard), 4) AS avg_jaccard
+    FROM labelled GROUP BY 1, 2
+    """.replace("{toks}", _TOKS),
+)
+def qd47_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix (`dedup.source_dup_matrix`): near-dup
+    pair counts + mean similarity per canonical (source, source) cell —
+    the diagnostic behind dropping a mirrored/scraped source WHOLESALE
+    before any per-document dedup. Candidates from the qd02 inverted
+    shingle index; sources attach via two id-keyed joins; the matrix agg
+    is |sources|²-bounded, never |corpus|²."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.source_dup_matrix(docs, "doc_id", threshold=0.8)
+
+
+@register(
+    "qd48_hybrid_rrf_retrieval",
+    f"""
+    WITH tok AS (
+      SELECT doc_id AS doc, unnest({{toks}}) AS term FROM documents
+    ), tf AS (
+      SELECT doc, term, count(*) AS tf FROM tok GROUP BY 1, 2
+    ), dl AS (
+      SELECT doc, count(*) AS dl FROM tok GROUP BY 1
+    ), summary AS (
+      SELECT count(*) AS n_docs,
+             CAST(SUM(dl) AS DOUBLE) / count(*) AS avgdl
+      FROM dl
+    ), idf AS (
+      SELECT d.term,
+             ln(1.0 + (s.n_docs - d.df_ + 0.5) / (d.df_ + 0.5)) AS idf,
+             s.avgdl
+      FROM (SELECT term, count(*) AS df_ FROM tf GROUP BY 1) d, summary s
+    ), q AS (
+      SELECT doc_id AS query_id, unnest(list_distinct({{toks}})) AS term
+      FROM documents WHERE doc_id IN (1, 7, 13)
+    ), contrib AS (
+      SELECT q.query_id, tf.doc,
+             idf.idf * (tf.tf * (1.2 + 1.0))
+               / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / idf.avgdl)) AS c
+      FROM q
+      JOIN tf ON q.term = tf.term
+      JOIN idf ON tf.term = idf.term
+      JOIN dl ON tf.doc = dl.doc
+    ), sc AS (
+      SELECT query_id, doc AS doc_id, round(SUM(c), 6) AS score
+      FROM contrib GROUP BY 1, 2
+    ), lex AS (
+      SELECT query_id, doc_id,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+      FROM sc QUALIFY rank <= 10
+    ), eq AS (
+      SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+      WHERE vec_id IN (1, 7, 13)
+    ), scored AS (
+      SELECT eq.query_id, e.vec_id AS doc_id,
+             {_COS.format(a='eq.qv', b='e.embedding')} AS cos
+      FROM eq JOIN embeddings e ON e.vec_id <> eq.query_id
+    ), sem AS (
+      SELECT query_id, doc_id,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY cos DESC, doc_id) AS rank
+      FROM scored QUALIFY rank <= 10
+    ), fused AS (
+      SELECT query_id, doc_id, 1.0 / (60 + rank) AS c FROM lex
+      UNION ALL
+      SELECT query_id, doc_id, 1.0 / (60 + rank) AS c FROM sem
+    ), rrf AS (
+      SELECT query_id, doc_id, round(SUM(c), 6) AS rrf_score
+      FROM fused GROUP BY 1, 2
+    ), rk AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY rrf_score DESC, doc_id) AS rank
+      FROM rrf
+    )
+    SELECT query_id, doc_id, rrf_score, CAST(rank AS INT) AS rank
+    FROM rk WHERE rank <= 10
+    """.replace("{toks}", _TOKS),
+)
+def qd48_hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval (`retrieval.rrf_fuse`): reciprocal-rank fusion of
+    the BM25 top-10 (lexical, qd45's index-backed path) and the exact
+    cosine top-10 (semantic, qd06's engine) for the same three queries —
+    the standard production combiner, rank-position based so the two
+    score scales need no calibration. Partial embedding coverage (sf0.1
+    has vectors for 2/5 of the docs) degrades gracefully: candidates
+    missing from one list score on the other alone. Fusion cost scales
+    with the top-k lists, never the corpus."""
+    from sql_data_warehouse_analytics_project_spark.llm import retrieval
+
+    docs = _docs(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    qtext = docs.filter(F.col("doc_id").isin(1, 7, 13)).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    lex = retrieval.bm25_topk(docs, qtext, k=10)
+    sem = similarity.cosine_topk(
+        emb, emb.filter(F.col("vec_id").isin(1, 7, 13)), k=10
+    ).select("query_id", F.col("neighbor_id").alias("doc_id"), "rank")
+    return retrieval.rrf_fuse([lex, sem], k=10)

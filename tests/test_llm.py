@@ -1102,3 +1102,53 @@ def test_bm25_incremental_update_matches_rebuild(spark):
     got_f = sorted(map(tuple, retrieval.search_bm25(fast, queries, k=5).collect()))
     want_f = sorted(map(tuple, retrieval.search_bm25(slow, queries, k=5).collect()))
     assert got_f == want_f
+
+
+def test_rrf_fuse_hand_computed(spark):
+    """RRF on two hand-made lists: scores are exact reciprocal sums,
+    candidates present in both lists beat single-list candidates, and a
+    list-missing candidate still scores on the other list alone."""
+    from sql_data_warehouse_analytics_project_spark.llm import retrieval
+
+    lex = spark.createDataFrame(
+        [(1, 10, 1), (1, 20, 2), (1, 30, 3)],
+        "query_id long, doc_id long, rank int",
+    )
+    sem = spark.createDataFrame(
+        [(1, 20, 1), (1, 40, 2)],
+        "query_id long, doc_id long, rank int",
+    )
+    out = {r.doc_id: r for r in retrieval.rrf_fuse([lex, sem], k=10).collect()}
+    assert out[20].rrf_score == round(1 / 62 + 1 / 61, 6)  # both lists
+    assert out[10].rrf_score == round(1 / 61, 6)           # lexical only
+    assert out[40].rrf_score == round(1 / 62, 6)           # semantic only
+    assert out[20].rank == 1  # dual-list candidate wins
+    ranks = sorted(r.rank for r in out.values())
+    assert ranks == [1, 2, 3, 4]
+    with pytest.raises(ValueError):
+        retrieval.rrf_fuse([])
+
+
+def test_source_dup_matrix_canonical_cells(spark):
+    """Near-dup pairs land in lexicographic (source_a, source_b) cells;
+    within-source dups hit the diagonal; counts and rounded mean
+    jaccard match hand computation."""
+    dup = "alpha beta gamma delta epsilon zeta"
+    docs = spark.createDataFrame(
+        [
+            (1, dup, "src_b"),
+            (2, dup, "src_a"),          # cross-source exact dup of 1
+            (3, dup, "src_b"),          # within-source dup of 1
+            (4, "totally different text here now", "src_a"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {
+        (r.source_a, r.source_b): r
+        for r in dedup.source_dup_matrix(docs, threshold=0.8).collect()
+    }
+    # pairs: (1,2) a-b cross, (1,3) b-b diagonal, (2,3) a-b cross
+    assert out[("src_a", "src_b")].n_pairs == 2
+    assert out[("src_b", "src_b")].n_pairs == 1
+    assert out[("src_a", "src_b")].avg_jaccard == 1.0
+    assert ("src_a", "src_a") not in out

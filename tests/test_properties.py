@@ -188,3 +188,51 @@ def test_contiguous_rank_matches_sorted_enumeration(spark, keys, nparts):
     }
     model = {k: i + 1 for i, k in enumerate(sorted(keys))}
     assert got == model
+
+
+# -- incremental BM25 index == rebuild (llm/retrieval.update_bm25_index) ----
+
+WORDS = ["spark", "data", "disk", "sun", "cat", "join", "row", "warm"]
+DOC = st.lists(st.sampled_from(WORDS), min_size=0, max_size=6).map(" ".join)
+CORPUS = st.dictionaries(st.integers(0, 9), DOC, max_size=6)
+
+BM25_SET = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+
+@BM25_SET
+@given(base=CORPUS, batch=CORPUS)
+def test_bm25_update_equals_rebuild_property(spark, base, batch):
+    """For ANY base corpus and ANY batch (overlapping ids replace, empty
+    docs allowed), update(build(base), batch) must score every query
+    identically to build(base − batch_ids ∪ batch) — the qd46 gate
+    property generalized to randomized corpora."""
+    from sql_data_warehouse_analytics_project_spark.llm import retrieval
+
+    def df_of(d):
+        rows = [Row(doc_id=k, text=v) for k, v in sorted(d.items())]
+        base_df = spark.createDataFrame(
+            rows or [Row(doc_id=0, text="x")], "doc_id long, text string"
+        )
+        return base_df.limit(0) if not d else base_df
+
+    final = {**base, **batch}
+    updated = retrieval.update_bm25_index(
+        retrieval.build_bm25_index(df_of(base)), df_of(batch)
+    )
+    rebuilt = retrieval.build_bm25_index(df_of(final))
+    assert updated["n_docs"] == rebuilt["n_docs"]
+    assert updated["total_dl"] == rebuilt["total_dl"]
+    ts_u = {r.term: r.df for r in updated["term_stats"].collect()}
+    ts_r = {r.term: r.df for r in rebuilt["term_stats"].collect()}
+    assert ts_u == ts_r
+    queries = spark.createDataFrame(
+        [(1, "spark data join"), (2, "warm sun cat")],
+        "query_id long, text string",
+    )
+    got = sorted(map(tuple, retrieval.search_bm25(updated, queries, k=5).collect()))
+    want = sorted(map(tuple, retrieval.search_bm25(rebuilt, queries, k=5).collect()))
+    assert got == want
