@@ -466,3 +466,101 @@ def corpus_dedup_sink(
         ).parquet(f"{ledger_dir}/{part}")
 
     return sink
+
+
+def bm25_index_sink(
+    index_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    checkpoint_id: "str | None" = None,
+):
+    """foreachBatch sink maintaining a PERSISTED BM25 inverted index from
+    an append-only document stream — the streaming twin of
+    ``llm.retrieval.update_bm25_index(assume_disjoint=True)``.
+
+    Per micro-batch it tokenizes ONLY the batch and writes three
+    per-(checkpoint, batch) partitioned datasets under ``index_dir``:
+
+    - ``postings/cp=<id>/batch_id=N`` — (term, doc, tf, dl): history is
+      never rewritten, each batch only ADDS files;
+    - ``deltas/cp=<id>/batch_id=N`` — (term, df_delta): the batch's
+      document-frequency contribution (a delta LEDGER instead of a
+      mutable term_stats table, so a replayed batch can overwrite its own
+      partition instead of double-merging);
+    - ``stats/cp=<id>/batch_id=N`` — one row (n_docs, total_dl, id_type).
+
+    :func:`load_bm25_index_from_sink` folds the ledgers into a
+    search-ready index; ``retrieval.search_bm25`` over it is proven
+    equal to a one-shot ``build_bm25_index`` over the union of batches.
+    Replay-idempotent by the same layout contract as
+    :func:`corpus_dedup_sink` (partition overwrite per batch;
+    ``checkpoint_id`` keys lineages by the stream's stable query uuid).
+
+    Stream contract: doc ids are NEW each batch (the append-only ingest
+    this sink exists for). Cross-batch REPLACEMENT of an id needs the
+    batch-path ``update_bm25_index`` + persist-and-swap — a streaming
+    in-place replace would mean rewriting historical postings files,
+    which this layout deliberately never does. As batch partitions
+    accumulate, fold them with ``sources.writers.compact_dataset`` (the
+    partition columns survive as data columns, so load-time folding
+    keeps working)."""
+    from sql_data_warehouse_analytics_project_spark.llm.retrieval import _tokenize
+
+    resolved: dict = {}
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if checkpoint_id is not None and "id" not in resolved:
+            resolved["id"] = _checkpoint_identity(spark, checkpoint_id)
+        cp = resolved.get("id") or "default"
+        part = f"cp={cp}/batch_id={batch_id}"
+        tf, dl = _tokenize(batch_df, id_col, text_col)
+        tf, dl = tf.localCheckpoint(), dl.localCheckpoint()
+        tf.join(dl, "doc").select("term", "doc", "tf", "dl").write.mode(
+            "overwrite"
+        ).parquet(f"{index_dir}/postings/{part}")
+        tf.groupBy("term").agg(
+            F.count(F.lit(1)).alias("df_delta")
+        ).write.mode("overwrite").parquet(f"{index_dir}/deltas/{part}")
+        row = dl.agg(
+            F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_dl")
+        ).collect()[0]
+        id_type = dict(batch_df.dtypes)[id_col]
+        spark.createDataFrame(
+            [(int(row["n_docs"] or 0), int(row["total_dl"] or 0), id_type)],
+            "n_docs long, total_dl long, id_type string",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{index_dir}/stats/{part}"
+        )
+
+    return sink
+
+
+def load_bm25_index_from_sink(spark, index_dir: str) -> dict:
+    """Fold a :func:`bm25_index_sink` directory into a search-ready index
+    dict (the ``retrieval.search_bm25`` contract): postings read as-is
+    (lazy — the scan is the search's own term-pruned join), the df delta
+    ledger aggregates to term_stats (vocab-sized), the per-batch stats
+    rows sum to the two exact-int scalars."""
+    postings = spark.read.parquet(f"{index_dir}/postings").select(
+        "term", "doc", "tf", "dl"
+    )
+    term_stats = (
+        spark.read.parquet(f"{index_dir}/deltas")
+        .groupBy("term")
+        .agg(F.sum("df_delta").alias("df"))
+        .filter(F.col("df") > 0)
+    )
+    stats = spark.read.parquet(f"{index_dir}/stats")
+    row = stats.agg(
+        F.sum("n_docs").alias("n"), F.sum("total_dl").alias("t")
+    ).collect()[0]
+    id_type = stats.select("id_type").limit(1).collect()[0][0]
+    return {
+        "postings": postings,
+        "term_stats": term_stats,
+        "n_docs": int(row["n"] or 0),
+        "total_dl": int(row["t"] or 0),
+        "id_type": id_type,
+    }

@@ -778,3 +778,64 @@ def test_corpus_dedup_sink_lifetime_dedup_and_replay(spark, tmp_path):
     sink(b2, 2)
     final = spark.read.parquet(corpus)
     assert {r.doc_id for r in final.select("doc_id").collect()} == {1, 3, 11, 21}
+
+
+def test_bm25_index_sink_incremental_equals_build_and_replays(spark, tmp_path):
+    """Round-7: the streaming BM25 index sink folds append-only batches
+    into a persisted index that searches identically to a one-shot
+    build over the union of batches; a crash-replayed batch overwrites
+    its own partitions (no double-counted df/n_docs); and the loaded
+    index keeps absorbing later batches."""
+    from sql_data_warehouse_analytics_project_spark.llm import retrieval
+    from sql_data_warehouse_analytics_project_spark.streaming.ingest import (
+        bm25_index_sink,
+        load_bm25_index_from_sink,
+    )
+
+    idx_dir = str(tmp_path / "bm25_stream_index")
+    sink = bm25_index_sink(idx_dir)
+
+    b0 = spark.createDataFrame(
+        [
+            (1, "spark shuffles data between executors during wide joins"),
+            (2, "cats purr softly in the warm afternoon sun"),
+        ],
+        "doc_id long, text string",
+    )
+    b1 = spark.createDataFrame(
+        [
+            (3, "executors spill shuffle data to disk under pressure"),
+            (4, ""),  # tokenizes to nothing: no postings, not counted
+        ],
+        "doc_id long, text string",
+    )
+    sink(b0, 0)
+    sink(b1, 1)
+    sink(b1, 1)  # crash replay: partition overwrite, not double-append
+
+    loaded = load_bm25_index_from_sink(spark, idx_dir)
+    rebuilt = retrieval.build_bm25_index(b0.unionByName(b1))
+    assert loaded["n_docs"] == rebuilt["n_docs"] == 3
+    assert loaded["total_dl"] == rebuilt["total_dl"]
+    ts_l = {r.term: r.df for r in loaded["term_stats"].collect()}
+    ts_r = {r.term: r.df for r in rebuilt["term_stats"].collect()}
+    assert ts_l == ts_r
+    queries = spark.createDataFrame(
+        [(1, "spark executors shuffle data"), (2, "warm sun")],
+        "query_id long, text string",
+    )
+    got = sorted(map(tuple, retrieval.search_bm25(loaded, queries, k=5).collect()))
+    want = sorted(map(tuple, retrieval.search_bm25(rebuilt, queries, k=5).collect()))
+    assert got == want and len(got) > 0
+
+    # a later batch keeps folding in
+    b2 = spark.createDataFrame(
+        [(5, "the sun warms the disk of the galaxy")],
+        "doc_id long, text string",
+    )
+    sink(b2, 2)
+    loaded2 = load_bm25_index_from_sink(spark, idx_dir)
+    rebuilt2 = retrieval.build_bm25_index(b0.unionByName(b1).unionByName(b2))
+    got2 = sorted(map(tuple, retrieval.search_bm25(loaded2, queries, k=5).collect()))
+    want2 = sorted(map(tuple, retrieval.search_bm25(rebuilt2, queries, k=5).collect()))
+    assert got2 == want2
