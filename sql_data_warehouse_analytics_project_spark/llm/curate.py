@@ -188,3 +188,48 @@ def curation_report(stages: Mapping[str, DataFrame], id_col: str = "doc_id") -> 
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
     return funnel.unionByName(by_split)
+
+
+def select_token_budget(
+    docs: DataFrame,
+    max_tokens: int,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    quality: "Column | None" = None,
+) -> DataFrame:
+    """Greedy quality-first corpus selection under a GLOBAL token budget:
+    keep the highest-quality documents whose cumulative token count stays
+    ≤ ``max_tokens`` — the "give me the best N-token training mix" cut
+    that ends every curation funnel once the compute budget (tokens seen)
+    is fixed, not the corpus size.
+
+    Ordering is (quality DESC, id ASC) — total order, engine-portable;
+    ``quality`` defaults to :func:`text.quality_score_expr`. The running
+    token count comes from :func:`operators.windows.global_running_sum`
+    (two-phase range-partitioned prefix sum), so the global order costs
+    parallel partition sorts — never a single-task window — and the cut
+    is exact integer arithmetic. A document is kept only if it fits
+    ENTIRELY (prefix semantics: its own tokens count against the budget).
+
+    Returns the selected docs with ``quality`` (rounded 6dp for display),
+    ``n_tokens``, and ``running_tokens`` audit columns."""
+    from sql_data_warehouse_analytics_project_spark.operators.windows import (
+        global_running_sum,
+    )
+
+    q = quality if quality is not None else T.quality_score_expr(text_col)
+    base = docs.withColumn("_q", q).withColumn(
+        "n_tokens", T.token_count(text_col).cast("long")
+    )
+    cum = global_running_sum(
+        base,
+        [F.col("_q").desc(), F.col(id_col)],
+        "n_tokens",
+        "running_tokens",
+    )
+    return (
+        cum.filter(F.col("running_tokens") <= max_tokens)
+        .withColumn("quality", F.round(F.col("_q"), 6))
+        .drop("_q")
+    )

@@ -692,3 +692,27 @@ def line_dedup(
         .withColumn(text_col, F.coalesce(F.col("_clean"), F.lit("")))
         .drop("_doc", "_clean")
     )
+
+
+def quality_score_expr(text_col: str | Column = "text") -> Column:
+    """The composite [0,1] quality score as a single column expression
+    (the qd04 formula: length band 0.4 + mean-token-length band 0.2 +
+    low-punctuation 0.2 + stopword presence 0.2) — factored out so
+    ranking/selection operators (`curate.select_token_budget`) and the
+    per-source rollup score documents identically. Pure column
+    arithmetic, codegen'd; engine-portable (the DuckDB twin replays it
+    bit-exactly in qd04/qd49)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    toks = tokens(c)
+    n_toks = F.size(toks)
+    n_chars = F.length(c)
+    mean_tok_len = F.when(n_toks == 0, F.lit(0.0)).otherwise(
+        F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t)).cast("double")
+        / n_toks
+    )
+    return (
+        ((n_chars >= 50) & (n_chars <= 100_000)).cast("double") * 0.4
+        + ((mean_tok_len >= 2.0) & (mean_tok_len <= 12.0)).cast("double") * 0.2
+        + (1.0 - F.least(punct_ratio(c) * 4.0, F.lit(1.0))) * 0.2
+        + F.least(stopword_ratio(c) * 4.0, F.lit(1.0)) * 0.2
+    )

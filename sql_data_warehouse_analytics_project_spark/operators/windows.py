@@ -610,3 +610,79 @@ def cumulative_distinct(
         (F.row_number().over(w_first) == 1) & F.col(value_col).isNotNull()
     ).cast("long")
     return df.withColumn(out_col, F.sum(flag).over(w_cum))
+
+
+def global_running_sum(
+    df: DataFrame,
+    order_by: Sequence[str | Column],
+    value_column: str,
+    name: str,
+    *,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Globally-ordered running SUM of ``value_column`` WITHOUT the
+    single-partition sort of ``SUM() OVER (ORDER BY …)`` — the cumulative
+    twin of :func:`contiguous_rank`, for prefix selections over a total
+    order (token-budget corpus cuts, cumulative-share cutoffs).
+
+    Two-phase: (1) range-repartition on the order key + parallel local
+    sorts (the :func:`_contiguous_local_ranks` plumbing — every partition
+    owns a contiguous key range); (2) per-partition running sum via a
+    pid-keyed window — one parallel hash exchange, every partition
+    aggregates its own range concurrently (the naive global window is
+    also one exchange, but to ONE task); (3) per-partition value totals
+    (tiny job, ≤ numPartitions rows) become cumulative offsets attached
+    as a plan literal (or broadcast beyond 4096 partitions).
+    ``running = offset(pid) + local_running``.
+
+    Bit-identical to the global window whenever ``order_by`` is a total
+    order (tie-break to uniqueness, as everywhere in this engine).
+    ``value_column`` must be INTEGRAL (counts, token lengths, bytes) —
+    the offsets ride as long literals; decimal/float prefix sums would
+    need a typed-offset variant and are not this operator's use case.
+    The ranked frame is localCheckpointed for the same
+    range-boundary-reseeding reason :func:`contiguous_rank` documents."""
+    for reserved in ("_cr_pid", "_cr_lrn", name):
+        if reserved in df.columns:
+            raise ValueError(f"global_running_sum: column {reserved!r} already exists")
+    part = _contiguous_local_ranks(df, order_by, num_partitions).localCheckpoint(
+        eager=True
+    )
+    totals = {
+        r["_cr_pid"]: r["_t"]
+        for r in part.groupBy("_cr_pid")
+        .agg(F.sum(value_column).alias("_t"))
+        .collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(totals):
+        offsets[pid] = acc
+        acc += totals[pid] or 0
+    w = window_spec(
+        ["_cr_pid"], [F.col("_cr_lrn")],
+        rows_between=(Window.unboundedPreceding, Window.currentRow),
+    )
+    local = F.sum(value_column).over(w)
+    if len(offsets) <= 4096:
+        arr = [0] * (max(offsets) + 1 if offsets else 0)
+        for pid, off in offsets.items():
+            arr[pid] = off
+        off_expr = (
+            F.element_at(
+                F.array(*[F.lit(int(v)).cast("long") for v in arr]),
+                F.col("_cr_pid") + 1,
+            )
+            if arr
+            else F.lit(0).cast("long")
+        )
+        return part.withColumn(name, off_expr + local).drop("_cr_pid", "_cr_lrn")
+    off = F.broadcast(
+        df.sparkSession.createDataFrame(
+            list(offsets.items()), "_cr_pid int, _cr_off long"
+        )
+    )
+    return (
+        part.join(off, "_cr_pid")
+        .withColumn(name, F.col("_cr_off") + local)
+        .drop("_cr_pid", "_cr_lrn", "_cr_off")
+    )

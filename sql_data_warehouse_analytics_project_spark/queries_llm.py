@@ -180,27 +180,8 @@ def qd04_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     Recomputed from unrounded components so AVG matches the oracle exactly
     (quality_features rounds its per-doc output columns for display)."""
     docs = _docs(spark, sf_dir)
-    q2 = docs.select(
-        "source",
-        F.length("text").alias("n_chars"),
-        text.token_count("text").alias("n_toks"),
-        text.punct_ratio("text").alias("punct_ratio"),
-        text.stopword_ratio("text").alias("stop_ratio"),
-        F.when(F.size(text.tokens("text")) == 0, F.lit(0.0))
-        .otherwise(
-            F.aggregate(text.tokens("text"), F.lit(0), lambda a, t: a + F.length(t)).cast("double")
-            / F.size(text.tokens("text"))
-        )
-        .alias("mean_tok_len"),
-    )
-    score = (
-        ((F.col("n_chars") >= 50) & (F.col("n_chars") <= 100_000)).cast("double") * 0.4
-        + ((F.col("mean_tok_len") >= 2.0) & (F.col("mean_tok_len") <= 12.0)).cast("double") * 0.2
-        + (1.0 - F.least(F.col("punct_ratio") * 4.0, F.lit(1.0))) * 0.2
-        + F.least(F.col("stop_ratio") * 4.0, F.lit(1.0)) * 0.2
-    )
     return (
-        q2.withColumn("score", score)
+        docs.select("source", text.quality_score_expr("text").alias("score"))
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -1986,3 +1967,59 @@ def qd48_hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, emb.filter(F.col("vec_id").isin(1, 7, 13)), k=10
     ).select("query_id", F.col("neighbor_id").alias("doc_id"), "rank")
     return retrieval.rrf_fuse([lex, sem], k=10)
+
+
+@register(
+    "qd49_token_budget_selection",
+    f"""
+    WITH q AS (
+      SELECT doc_id,
+             length(text) AS n_chars,
+             len({{toks}}) AS n_toks,
+             CASE WHEN len({{toks}}) = 0 THEN 0.0
+                  ELSE CAST(list_sum(list_transform({{toks}}, t -> length(t))) AS DOUBLE)
+                       / len({{toks}}) END AS mean_tok_len,
+             CASE WHEN length(text) = 0 THEN 0.0
+                  ELSE CAST(length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) AS DOUBLE)
+                       / length(text) END AS punct_ratio,
+             CASE WHEN len({{toks}}) = 0 THEN 0.0
+                  ELSE CAST(len(list_filter({{toks}},
+                       t -> list_contains(['the','a','and','of','to','is','in','that','it','for','on','with','as','at','by','this'], t))) AS DOUBLE)
+                       / len({{toks}}) END AS stop_ratio
+      FROM documents
+    ), scored AS (
+      SELECT doc_id, n_toks,
+             (CASE WHEN n_chars >= 50 AND n_chars <= 100000 THEN 1.0 ELSE 0.0 END) * 0.4
+             + (CASE WHEN mean_tok_len >= 2.0 AND mean_tok_len <= 12.0 THEN 1.0 ELSE 0.0 END) * 0.2
+             + (1.0 - least(punct_ratio * 4.0, 1.0)) * 0.2
+             + least(stop_ratio * 4.0, 1.0) * 0.2 AS score
+      FROM q
+    ), cum AS (
+      SELECT doc_id, n_toks, score,
+             SUM(n_toks) OVER (ORDER BY score DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+      FROM scored
+    )
+    SELECT doc_id,
+           CAST(n_toks AS BIGINT) AS n_tokens,
+           CAST(running AS BIGINT) AS running_tokens,
+           round(score, 6) AS quality
+    FROM cum WHERE running <= 20000
+    """.replace("{toks}", _TOKS),
+)
+def qd49_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus selection (`curate.select_token_budget`): the
+    highest-quality documents whose cumulative token count fits a 20k
+    budget — the "best N tokens" cut that ends a curation funnel once
+    compute (tokens seen), not corpus size, is the constraint. Ordering
+    is (quality DESC, doc_id) via `windows.global_running_sum`, the
+    two-phase range-partitioned prefix sum — the oracle replays the
+    single-window semantics the two-phase plan must reproduce bit-
+    exactly, while the Spark plan never routes the corpus through one
+    task (plan-asserted in tests)."""
+    from sql_data_warehouse_analytics_project_spark.llm import curate
+
+    docs = _docs(spark, sf_dir)
+    return curate.select_token_budget(docs, 20_000).select(
+        "doc_id", "n_tokens", "running_tokens", "quality"
+    )

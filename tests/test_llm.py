@@ -1152,3 +1152,31 @@ def test_source_dup_matrix_canonical_cells(spark):
     assert out[("src_b", "src_b")].n_pairs == 1
     assert out[("src_a", "src_b")].avg_jaccard == 1.0
     assert ("src_a", "src_a") not in out
+
+
+def test_select_token_budget_greedy_prefix(spark):
+    """Token-budget selection keeps the quality-DESC prefix that fits
+    ENTIRELY within the budget: a high-quality doc too large to fit is
+    excluded along with everything after it reaching the budget; audit
+    columns carry exact token counts and running sums."""
+    from sql_data_warehouse_analytics_project_spark.llm import curate
+
+    good = ("the data is on the disk and it is warm for now " * 3).strip()
+    docs = spark.createDataFrame(
+        [
+            (1, good),                     # high quality
+            (2, good + " extra tokens"),   # high quality
+            (3, "zzzz qqqq " * 40),        # low quality (no stopwords)
+        ],
+        "doc_id long, text string",
+    )
+    n1 = len(good.split())
+    out = {r.doc_id: r for r in curate.select_token_budget(docs, n1 + 5).collect()}
+    # doc 1 fits; doc 2 (same quality, higher id) would overflow; doc 3 never reached
+    assert set(out) == {1}
+    assert out[1].n_tokens == n1 and out[1].running_tokens == n1
+    assert 0.0 < out[1].quality <= 1.0
+    # a budget covering everything keeps all docs
+    assert curate.select_token_budget(docs, 10_000).count() == 3
+    # zero budget keeps nothing
+    assert curate.select_token_budget(docs, 0).count() == 0

@@ -1016,3 +1016,39 @@ def test_unpartitioned_window_policy_enforced(spark):
     assert len(gaps) == 1 and gaps[0]["gap_length_days"] == 4
     # a reset frequency partitions by the extracted period — allowed
     assert windows.running_totals(df, "v", "d", reset_frequency="yearly").count() == 2
+
+
+def test_global_running_sum_matches_global_window(spark):
+    """Two-phase global_running_sum is bit-identical to the single-task
+    SUM() OVER (ORDER BY ...) on a total order, across multiple range
+    partitions, and its executed plan never routes through an Exchange
+    SinglePartition (the window phase partitions by the range-partition
+    id — parallel by construction)."""
+    from pyspark.sql.window import Window as W
+
+    from sql_data_warehouse_analytics_project_spark.operators.windows import (
+        global_running_sum,
+    )
+
+    df = spark.createDataFrame(
+        [(i, (i * 37) % 101, (i % 7) + 1) for i in range(500)],
+        "id long, key int, v int",
+    )
+    out = global_running_sum(
+        df, [F.col("key"), F.col("id")], "v", "running", num_partitions=8
+    )
+    got = {r.id: r.running for r in out.collect()}
+    w = W.orderBy("key", "id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    want = {
+        r.id: r.running
+        for r in df.withColumn("running", F.sum("v").over(w)).collect()
+    }
+    assert got == want
+    plan = out._jdf.queryExecution().executedPlan().treeString()
+    assert "SinglePartition" not in plan
+    # reserved-name hygiene
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        global_running_sum(df.withColumn("running", F.lit(1)),
+                           ["id"], "v", "running")
