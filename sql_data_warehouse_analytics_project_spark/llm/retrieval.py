@@ -46,12 +46,20 @@ from sql_data_warehouse_analytics_project_spark.llm.text import tokens
 
 
 def _tokenize(corpus: DataFrame, id_col: str, text_col: str):
-    """(tf, dl) reductions of a document set: one explode, two aggs."""
+    """(tf, dl) reductions of a document set.
+
+    ``dl`` derives from the already-reduced ``tf`` (``dl = Σ tf`` per
+    doc), NOT from a second aggregation over the exploded tokens — the
+    token explode is the corpus-sized pass, and aggregating it twice
+    re-tokenizes the whole corpus (Spark recomputes the un-cached
+    explode per consumer). One explode feeds one map-side-combined
+    (doc, term) shuffle; the doc-length pass then shuffles only the
+    REDUCED tf rows. At 100 TB this halves index-build cost."""
     tok = corpus.select(
         F.col(id_col).alias("doc"), F.explode(tokens(text_col)).alias("term")
     )
     tf = tok.groupBy("doc", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dl = tok.groupBy("doc").agg(F.count(F.lit(1)).alias("dl"))
+    dl = tf.groupBy("doc").agg(F.sum("tf").cast("long").alias("dl"))
     return tf, dl
 
 
@@ -126,9 +134,12 @@ def update_bm25_index(
     only brand-new doc ids — the common append-only ingest. The returned
     dict is a NEW index; the input is untouched (persist-and-swap like
     every other snapshot in this engine)."""
-    tf_b, dl_b = _tokenize(new_docs, id_col, text_col)
-    # the batch reductions feed 2-4 downstream plans — pin them once
-    tf_b, dl_b = tf_b.localCheckpoint(), dl_b.localCheckpoint()
+    tf_b, _ = _tokenize(new_docs, id_col, text_col)
+    # the batch reduction feeds 3-4 downstream plans — pin it once; dl_b
+    # re-derives from the PINNED tf (a tiny agg over reduced rows), so
+    # the batch never tokenizes twice and needs no second checkpoint
+    tf_b = tf_b.localCheckpoint()
+    dl_b = tf_b.groupBy("doc").agg(F.sum("tf").cast("long").alias("dl"))
     batch = dl_b.agg(
         F.count(F.lit(1)).alias("n"), F.sum("dl").alias("dl_sum")
     ).collect()[0]

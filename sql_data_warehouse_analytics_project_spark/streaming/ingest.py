@@ -515,8 +515,9 @@ def bm25_index_sink(
             resolved["id"] = _checkpoint_identity(spark, checkpoint_id)
         cp = resolved.get("id") or "default"
         part = f"cp={cp}/batch_id={batch_id}"
-        tf, dl = _tokenize(batch_df, id_col, text_col)
-        tf, dl = tf.localCheckpoint(), dl.localCheckpoint()
+        tf, _ = _tokenize(batch_df, id_col, text_col)
+        tf = tf.localCheckpoint()  # one pin; dl derives from the pinned tf
+        dl = tf.groupBy("doc").agg(F.sum("tf").cast("long").alias("dl"))
         tf.join(dl, "doc").select("term", "doc", "tf", "dl").write.mode(
             "overwrite"
         ).parquet(f"{index_dir}/postings/{part}")
