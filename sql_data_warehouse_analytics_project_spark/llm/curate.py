@@ -213,11 +213,23 @@ def select_token_budget(
     ENTIRELY (prefix semantics: its own tokens count against the budget).
 
     Returns the selected docs with ``quality`` (rounded 6dp for display),
-    ``n_tokens``, and ``running_tokens`` audit columns."""
+    ``n_tokens``, and ``running_tokens`` audit columns. Those three names
+    (plus the internal ``_q``) are reserved: an input already carrying one
+    is refused rather than silently overwritten (the same collision
+    contract as ``global_running_sum``'s reserved columns — a caller's
+    pre-computed ``n_tokens`` being replaced by this function's count
+    would corrupt the audit trail without any visible error)."""
     from sql_data_warehouse_analytics_project_spark.operators.windows import (
         global_running_sum,
     )
 
+    for reserved in ("_q", "n_tokens", "quality", "running_tokens"):
+        if reserved in docs.columns:
+            raise ValueError(
+                f"select_token_budget: column {reserved!r} already exists "
+                "— rename it (these are this function's output/audit "
+                "columns and would be silently overwritten)"
+            )
     q = quality if quality is not None else T.quality_score_expr(text_col)
     base = docs.withColumn("_q", q).withColumn(
         "n_tokens", T.token_count(text_col).cast("long")

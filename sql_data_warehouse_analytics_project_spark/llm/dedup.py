@@ -994,9 +994,16 @@ def source_dup_matrix(
 
     ``avg_jaccard`` averages the already-6dp-rounded pair similarities
     and rounds to 4dp (the qd03 convention), so engine summation-order
-    ulps can't surface."""
+    ulps can't surface.
+
+    A null ``group_col`` coalesces to the ``'(null)'`` sentinel BEFORE
+    canonicalization — ``least``/``greatest`` over a null would otherwise
+    null the whole cell key and fold every unlabelled document into one
+    ambiguous matrix row that joins to nothing downstream."""
     pairs = ngram_jaccard_pairs(df, id_col, text_col, n=n, threshold=threshold)
-    meta = df.select(F.col(id_col), F.col(group_col))
+    meta = df.select(
+        F.col(id_col), F.coalesce(F.col(group_col), F.lit("(null)")).alias(group_col)
+    )
     labelled = (
         pairs.join(
             meta.select(

@@ -156,7 +156,17 @@ def update_bm25_index(
         kept = old_postings
         df_removed = None
     else:
-        replaced = old_postings.join(F.broadcast(batch_ids), "doc", "semi")
+        # the replaced postings (batch-sized — only the re-ingested docs'
+        # rows survive the semi join) feed TWO consumers (the gone scalar
+        # and df_removed): pin them once so old postings are scanned a
+        # single time here instead of once per consumer. The anti-join
+        # below is the one further old-postings pass — it IS the output,
+        # so two scans total is the floor for a replace. Repeated updates
+        # should still persist-and-swap the returned index (module
+        # docstring); the pin bounds cost per update, not plan depth.
+        replaced = old_postings.join(
+            F.broadcast(batch_ids), "doc", "semi"
+        ).localCheckpoint()
         gone = replaced.select("doc", "dl").distinct().agg(
             F.count(F.lit(1)).alias("n"), F.sum("dl").alias("dl_sum")
         ).collect()[0]

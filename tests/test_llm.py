@@ -1154,6 +1154,24 @@ def test_source_dup_matrix_canonical_cells(spark):
     assert ("src_a", "src_a") not in out
 
 
+def test_source_dup_matrix_null_source_sentinel(spark):
+    """A null source coalesces to the '(null)' sentinel before
+    least/greatest canonicalization — no null cells, and the unlabelled
+    docs aggregate into one well-defined row."""
+    dup = "alpha beta gamma delta epsilon zeta"
+    docs = spark.createDataFrame(
+        [(1, dup, None), (2, dup, "src_a"), (3, dup, None)],
+        "doc_id long, text string, source string",
+    )
+    out = {
+        (r.source_a, r.source_b): r
+        for r in dedup.source_dup_matrix(docs, threshold=0.8).collect()
+    }
+    assert all(a is not None and b is not None for a, b in out)
+    assert out[("(null)", "src_a")].n_pairs == 2   # (1,2), (2,3)
+    assert out[("(null)", "(null)")].n_pairs == 1  # (1,3)
+
+
 def test_select_token_budget_greedy_prefix(spark):
     """Token-budget selection keeps the quality-DESC prefix that fits
     ENTIRELY within the budget: a high-quality doc too large to fit is
@@ -1180,3 +1198,16 @@ def test_select_token_budget_greedy_prefix(spark):
     assert curate.select_token_budget(docs, 10_000).count() == 3
     # zero budget keeps nothing
     assert curate.select_token_budget(docs, 0).count() == 0
+
+
+def test_select_token_budget_refuses_reserved_columns(spark):
+    """Inputs already carrying an output/audit column name are refused,
+    never silently overwritten (same contract as global_running_sum)."""
+    from sql_data_warehouse_analytics_project_spark.llm import curate
+
+    for col in ("n_tokens", "quality", "running_tokens", "_q"):
+        docs = spark.createDataFrame(
+            [(1, "some text", 7)], f"doc_id long, text string, {col} long"
+        )
+        with pytest.raises(ValueError, match=col):
+            curate.select_token_budget(docs, 100)

@@ -124,21 +124,23 @@ def main() -> int:
     new_runs: list[dict] = []
     try:
         for i in range(max(args.alternations, 1)):
-            # old first, new second within each alternation: if the box
-            # drifts monotonically, neither side systematically gets the
-            # fresher (slower, first-30-min) windows
-            print(f"[bench_ab] pass {i + 1}/{args.alternations}: old ({sha[:12]})",
-                  flush=True)
-            old_runs.append(_run_pass(
-                worktree, os.path.join(scratch, f"old_{i}.json"),
-                sf_dir=args.sf_dir, queries=args.queries,
-            ))
-            print(f"[bench_ab] pass {i + 1}/{args.alternations}: new (HEAD)",
-                  flush=True)
-            new_runs.append(_run_pass(
-                _REPO, os.path.join(scratch, f"new_{i}.json"),
-                sf_dir=args.sf_dir, queries=args.queries,
-            ))
+            # ABBA order: pass 0 runs old→new, pass 1 new→old, … — a fixed
+            # per-pass order would hand one side systematically earlier
+            # windows under monotonic box drift; alternating cancels the
+            # first-order trend across pass pairs
+            sides = [
+                ("old", worktree, old_runs, f"old_{i}.json", f"old ({sha[:12]})"),
+                ("new", _REPO, new_runs, f"new_{i}.json", "new (HEAD)"),
+            ]
+            if i % 2 == 1:
+                sides.reverse()
+            for _tag, cwd, runs, out_name, label in sides:
+                print(f"[bench_ab] pass {i + 1}/{args.alternations}: {label}",
+                      flush=True)
+                runs.append(_run_pass(
+                    cwd, os.path.join(scratch, out_name),
+                    sf_dir=args.sf_dir, queries=args.queries,
+                ))
     finally:
         subprocess.run(
             ["git", "worktree", "remove", "--force", worktree],

@@ -67,7 +67,8 @@ def main() -> int:
     # has been untouched since round 1, so its throughput ratio is a
     # multi-core box-speed proxy that the single-thread calibration can't
     # see (neighbor contention). ratio < 1 means the NEW run's box window
-    # was slower; dividing the new total by the ratio control-corrects it.
+    # was slower (its runtimes inflated by ~1/ratio); multiplying the new
+    # total by the ratio control-corrects it back to the old box speed.
     bo = old.get("bronze_rows_per_second")
     bn = new.get("bronze_rows_per_second")
     control = (bn / bo) if (bo and bn) else None
