@@ -105,25 +105,67 @@ def throughput_analysis(ctx: RunContext, days: int = 30) -> DataFrame:
 # -- L13: bottleneck identification ----------------------------------------
 
 
-def identify_bottlenecks(ctx: RunContext, percentile: float = 0.95) -> DataFrame:
-    """Processes beyond the p95 execution-time threshold, categorized
-    (performance_monitor.py:552-636): per-metric p95 via percentile_approx
-    (mergeable sketch — the scalable variant of PERCENTILE_CONT), crossJoin
-    of the single-row threshold back onto measurements."""
-    metrics = ctx.table("performance_metrics").filter(
+def identify_bottlenecks(
+    ctx: RunContext,
+    percentile: float = 0.95,
+    *,
+    shuffle_heavy_bytes: float = 64 * 1024 * 1024,
+) -> DataFrame:
+    """Measurements beyond the p-th execution-time threshold, categorized
+    (performance_monitor.py:552-636 flags SLOW_EXECUTION/LOW_THROUGHPUT
+    from wall-clock alone — the only signal psutil telemetry has):
+    per-metric p95 via percentile_approx (mergeable sketch — the scalable
+    variant of PERCENTILE_CONT), broadcast of the per-metric thresholds
+    back onto measurements.
+
+    With the status-store executor telemetry (``ops/spark_metrics.py``,
+    recorded by auto-capture under a shared ``capture:<id>`` tag in
+    ``additional_context``), a slow measurement whose correlated shuffle
+    volume (read + write bytes) reaches ``shuffle_heavy_bytes`` is
+    categorized ``SHUFFLE_HEAVY`` — the fix is partitioning/broadcast,
+    not faster code — and ``SLOW_EXECUTION`` otherwise. Both
+    ``.execution_time`` (the measure() contract) and auto-capture's
+    ``.write_time`` rows participate. The default threshold (64 MiB) is
+    a local-mode default; a cluster deployment sets it to the volume at
+    which ITS shuffle tier dominates a stage. Output adds
+    ``shuffle_bytes`` (null when the row has no correlated telemetry)."""
+    metrics = ctx.table("performance_metrics")
+    times = metrics.filter(
         F.col("metric_name").endswith(".execution_time")
+        | F.col("metric_name").endswith(".write_time")
     )
-    thresholds = metrics.groupBy("metric_name").agg(
+    thresholds = times.groupBy("metric_name").agg(
         F.percentile_approx("metric_value", percentile).alias("p_threshold")
     )
+    # correlated shuffle volume per capture group — capture-group count is
+    # bounded by the write count, and only slow rows join against it
+    shuffle = (
+        metrics.filter(
+            F.col("additional_context").startswith("capture:")
+            & (
+                F.col("metric_name").endswith(".shuffle_write_bytes")
+                | F.col("metric_name").endswith(".shuffle_read_bytes")
+            )
+        )
+        .groupBy("additional_context")
+        .agg(F.sum("metric_value").cast("double").alias("shuffle_bytes"))
+    )
     return (
-        metrics.join(F.broadcast(thresholds), "metric_name")
+        times.join(F.broadcast(thresholds), "metric_name")
         .filter(F.col("metric_value") > F.col("p_threshold"))
+        .join(F.broadcast(shuffle), "additional_context", "left")
         .select(
             "metric_name",
             F.col("metric_value").alias("execution_time"),
             "p_threshold",
-            F.lit("SLOW_EXECUTION").alias("bottleneck_type"),
+            F.when(
+                F.coalesce(F.col("shuffle_bytes"), F.lit(0.0))
+                >= float(shuffle_heavy_bytes),
+                F.lit("SHUFFLE_HEAVY"),
+            )
+            .otherwise(F.lit("SLOW_EXECUTION"))
+            .alias("bottleneck_type"),
+            "shuffle_bytes",
             "measurement_timestamp",
         )
         .orderBy(F.col("execution_time").desc())

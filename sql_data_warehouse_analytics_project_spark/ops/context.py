@@ -413,26 +413,56 @@ class RunContext:
         The returned df carries an ``observe`` aggregate so the row count
         is computed BY the write job (no second scan); ``finish()`` —
         called by the catalog only after the write (and swap) committed —
-        buffers the lineage edges and two metric rows. Writes into the
+        buffers the lineage edges and the metric rows. Writes into the
         ``logs`` layer are never captured: the log tables are the
         capture's own sink (recursion) and metadata, not data flow."""
         if layer == "logs":
             return df, None
+        target_schema = self.catalog.db(layer)
+        return self._begin_capture(
+            df,
+            target_schema=target_schema,
+            target_table=table,
+            metric_prefix=f"{layer}.{table}",
+            mode=mode,
+        )
+
+    def _begin_capture(
+        self,
+        df: DataFrame,
+        *,
+        target_schema: str,
+        target_table: str,
+        metric_prefix: str,
+        mode: str,
+    ):
+        """Shared capture core for catalog writes (:meth:`begin_write`)
+        and path-dataset writes (:meth:`begin_path_write`): plan-derived
+        lineage edges, an ``observe``-ridden row count, wall-clock write
+        time, and — new with the status-store telemetry — the executor
+        metrics of the stages the write ran (shuffle read/write bytes,
+        task time, spill; ``ops/spark_metrics.py``). The executor rows
+        share one ``capture:<id>`` tag in ``additional_context`` with the
+        write's time/row rows, so ``analysis.identify_bottlenecks`` can
+        correlate a slow write with its shuffle volume and call it
+        SHUFFLE_HEAVY instead of merely SLOW_EXECUTION."""
         from pyspark.sql import Observation
 
+        from sql_data_warehouse_analytics_project_spark.ops import spark_metrics
         from sql_data_warehouse_analytics_project_spark.ops.lineage_capture import (
             plan_sources,
         )
 
         sources = plan_sources(df)
-        target_schema = self.catalog.db(layer)
         logs_db = self.catalog.db("logs")
         obs = Observation()
         instrumented = df.observe(obs, F.count(F.lit(1)).alias("rows"))
+        stage0 = spark_metrics.latest_stage_id(self.spark)
         t0 = time.time()
 
         def finish() -> None:
             elapsed = time.time() - t0
+            corr = f"capture:{_new_id()}"
             try:
                 rows = int(obs.get["rows"])
             except Exception:  # noqa: BLE001 — metrics are best-effort
@@ -440,7 +470,7 @@ class RunContext:
             for src_schema, src_table in sources:
                 if src_schema == logs_db:
                     continue  # log-table reads are metadata, not data flow
-                if (src_schema, src_table) == (target_schema, table):
+                if (src_schema, src_table) == (target_schema, target_table):
                     # reconcile reads (upsert/soft-delete scan the target
                     # itself) are an implementation detail, not an edge
                     continue
@@ -448,17 +478,28 @@ class RunContext:
                     source_schema=src_schema,
                     source_table=src_table,
                     target_schema=target_schema,
-                    target_table=table,
+                    target_table=target_table,
                     transformation_logic=f"auto:{mode}",
                     record_count=rows,
                 )
             if rows is not None:
                 self.record_metric(
-                    f"{layer}.{table}.rows_written", float(rows), "rows"
+                    f"{metric_prefix}.rows_written", float(rows), "rows",
+                    context=corr,
                 )
             self.record_metric(
-                f"{layer}.{table}.write_time", elapsed, "seconds"
+                f"{metric_prefix}.write_time", elapsed, "seconds",
+                context=corr,
             )
+            executor = spark_metrics.stage_metrics_since(self.spark, stage0)
+            if executor is not None:
+                for suffix, value in executor.items():
+                    self.record_metric(
+                        f"{metric_prefix}.{suffix}",
+                        value,
+                        spark_metrics.metric_unit(suffix),
+                        context=corr,
+                    )
 
         return instrumented, finish
 

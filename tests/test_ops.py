@@ -322,6 +322,75 @@ def test_auto_capture_emits_edges_and_metrics_without_explicit_calls(spark):
         cat.drop_layers()
 
 
+def test_auto_capture_records_executor_metrics(spark):
+    """A shuffling silver/gold build under auto-capture records the
+    status-store executor telemetry (shuffle bytes, task time) as
+    performance_metrics rows with ZERO caller involvement — the SURVEY §4
+    "re-point telemetry at Spark metrics" capability — and the rows share
+    one capture tag with the write's time/row rows so they correlate."""
+    cat = Catalog(spark, prefix="autoexec_")
+    cat.create_layers()
+    try:
+        ctx = RunContext(cat, created_by="exectest").enable_auto_capture()
+        orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        mart = orders.groupBy("o_custkey").agg(
+            F.count(F.lit(1)).alias("n_orders")
+        )  # groupBy forces a real shuffle stage
+        cat.overwrite(mart, "gold", "orders_by_cust")
+        rows = {
+            r.metric_name: r
+            for r in ctx.table("performance_metrics").collect()
+        }
+        shw = rows["gold.orders_by_cust.shuffle_write_bytes"]
+        assert float(shw.metric_value) > 0 and shw.metric_unit == "bytes"
+        assert float(rows["gold.orders_by_cust.shuffle_read_bytes"].metric_value) > 0
+        tt = rows["gold.orders_by_cust.task_time"]
+        assert float(tt.metric_value) > 0 and tt.metric_unit == "seconds"
+        assert float(rows["gold.orders_by_cust.n_stages"].metric_value) >= 2
+        # spill metrics exist (zero at this scale — nothing spills)
+        assert "gold.orders_by_cust.spill_disk_bytes" in rows
+        # all rows of this write share one capture tag with write_time
+        tag = rows["gold.orders_by_cust.write_time"].additional_context
+        assert tag and tag.startswith("capture:")
+        assert shw.additional_context == tag
+        assert rows["gold.orders_by_cust.rows_written"].additional_context == tag
+        ctx.close()
+    finally:
+        cat.drop_layers()
+
+
+def test_identify_bottlenecks_shuffle_heavy_category(spark):
+    """A slow measurement whose correlated shuffle volume crosses the
+    threshold is SHUFFLE_HEAVY; a slow one without telemetry (or below
+    it) stays SLOW_EXECUTION — the categorization the reference's
+    psutil-only telemetry could never make."""
+    cat = Catalog(spark, prefix="bottle_")
+    cat.create_layers()
+    try:
+        ctx = RunContext(cat, created_by="bottletest")
+        # two fast runs, two slow ones — only one slow run shuffled
+        for v, tag in ((1.0, None), (1.1, None), (30.0, "capture:100"),
+                       (31.0, "capture:200")):
+            ctx.record_metric("gold.m.write_time", v, context=tag)
+        for name, v in (("gold.m.shuffle_write_bytes", 900.0),
+                        ("gold.m.shuffle_read_bytes", 300.0)):
+            ctx.record_metric(name, v, "bytes", context="capture:100")
+        out = {
+            float(r.execution_time): r
+            for r in analysis.identify_bottlenecks(
+                ctx, percentile=0.5, shuffle_heavy_bytes=1000
+            ).collect()
+        }
+        assert out[30.0].bottleneck_type == "SHUFFLE_HEAVY"
+        assert out[30.0].shuffle_bytes == 1200.0
+        assert out[31.0].bottleneck_type == "SLOW_EXECUTION"
+        assert out[31.0].shuffle_bytes is None
+        assert 1.0 not in out  # below the p50 threshold: not a bottleneck
+        ctx.close()
+    finally:
+        cat.drop_layers()
+
+
 def test_auto_capture_skips_self_reconcile_edge(spark):
     """An upsert-style overwrite that READS the target table to reconcile
     must not record a target->target self-edge (implementation detail,
