@@ -70,8 +70,9 @@ def curate_corpus(
     persisting intermediates is a caller-owned budget decision.
 
     ``write_through=<dir>`` is the 100 TB audit-trail mode: every stage
-    boundary (plus the resolved ``clusters`` table) is PERSISTED as a
-    parquet dataset under ``<dir>/<stage>`` via ``write_dataset`` and
+    boundary (plus the ``shingles`` index and the resolved ``clusters``
+    table) is PERSISTED as a parquet dataset under ``<dir>/<stage>`` via
+    ``write_dataset`` and
     read back, so downstream stages consume the durable copy — each
     intermediate is independently queryable/auditable after the run, a
     crash leaves every completed stage on disk for inspection or a
@@ -129,9 +130,15 @@ def curate_corpus(
         "exact",
     )
     exact = exact_tok.drop("_toks")
-    sh = D.shingle_index(
-        exact_tok, id_col, text_col, tokens_col="_toks"
-    ).localCheckpoint(eager=True)
+    # the shingle index is a stage boundary too: pinned for the session in
+    # the default mode, persisted as its own auditable dataset under
+    # write_through — which also keeps the lineage auto-capture chain
+    # intact (a localCheckpoint severs plan provenance, so the pairs
+    # dataset would otherwise record no source edge)
+    sh = _always(
+        D.shingle_index(exact_tok, id_col, text_col, tokens_col="_toks"),
+        "shingles",
+    )
     # pairs are tiny (near-dup density, not corpus size) and feed BOTH the
     # near-dedup anti-join and the split keys — materialize once so the
     # 64-hash MinHash pipeline never re-executes downstream

@@ -115,6 +115,10 @@ class RunContext:
         later writes."""
         if getattr(self.catalog, "observer", None) is self:
             self.catalog.observer = None
+        from sql_data_warehouse_analytics_project_spark.sources import writers
+
+        if writers._path_observer is self:
+            writers.set_path_observer(None)
         self.flush()
 
     def table(self, name: str) -> DataFrame:
@@ -403,9 +407,40 @@ class RunContext:
         zero explicit ``log_lineage`` calls required (the reference
         demands one per movement, ``logs/data_lineage.py:179-307``; a
         forgotten call silently loses the edge there, never here).
-        Returns self for chaining; :meth:`close` detaches."""
+
+        Also installs this context as the process-wide PATH-write
+        observer (``sources.writers.set_path_observer``), so datasets
+        written outside the metastore — ``write_dataset`` (the curation
+        funnel's ``write_through`` stages), ``write_jsonl``, and the
+        streaming sinks' per-batch partition slices — emit the same
+        ``(external, <dataset>)`` edges and write metrics. One active
+        path observer per process (last enable wins); :meth:`close`
+        detaches both hooks. Returns self for chaining."""
+        from sql_data_warehouse_analytics_project_spark.sources import writers
+
         self.catalog.observer = self
+        writers.set_path_observer(self)
         return self
+
+    def begin_path_write(self, df: DataFrame, path: str, *, mode: str):
+        """Path-write hook (the ``writers`` twin of :meth:`begin_write`):
+        lineage edges point at ``(external, <dataset leaf>)`` — the same
+        naming convention plan extraction uses for path-based READS, so a
+        downstream stage that reads the dataset back chains onto this
+        edge and ``q34``-style traversal walks through on-disk stages."""
+        from sql_data_warehouse_analytics_project_spark.ops.lineage_capture import (
+            EXTERNAL_SCHEMA,
+            dataset_leaf,
+        )
+
+        name = dataset_leaf(path)
+        return self._begin_capture(
+            df,
+            target_schema=EXTERNAL_SCHEMA,
+            target_table=name,
+            metric_prefix=f"{EXTERNAL_SCHEMA}.{name}",
+            mode=mode,
+        )
 
     def begin_write(self, df: DataFrame, layer: str, table: str, *, mode: str):
         """Catalog write hook: returns ``(instrumented_df, finish)``.

@@ -46,6 +46,19 @@ def _path_leaf(path: str) -> str:
     return leaf.split(".")[0] if "." in leaf else leaf
 
 
+def dataset_leaf(path: str) -> str:
+    """Dataset name for a PATH-based WRITE target: the last path segment
+    that is not a ``k=v`` partition directory —
+    ``/x/index/postings/cp=a/batch_id=3`` → ``postings`` — so every
+    slice of one partitioned dataset aggregates under one lineage node.
+    (Reads resolve via ``rootPaths``, which is already the dataset root;
+    writes of a single partition slice need the strip.)"""
+    segs = [s for s in path.rstrip("/").split("/") if s]
+    while segs and "=" in segs[-1]:
+        segs.pop()
+    return _path_leaf(segs[-1]) if segs else path
+
+
 def plan_sources(df: DataFrame) -> list[tuple[str, str]]:
     """The (schema, table) relations ``df``'s plan reads, in leaf order,
     deduplicated.

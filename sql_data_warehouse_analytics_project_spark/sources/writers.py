@@ -15,6 +15,53 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+#: optional auto-capture hook for PATH-based writes — the twin of
+#: ``Catalog.observer`` for datasets that live outside the metastore
+#: (curation ``write_through`` stages, streaming dedup/BM25 index sinks).
+#: Set by ``RunContext.enable_auto_capture()`` via :func:`set_path_observer`;
+#: one active observer per process (last enable wins — same contract as
+#: ``Catalog.observer``, which is per-catalog only because catalogs are).
+_path_observer = None
+
+
+def set_path_observer(observer):
+    """Install (or clear, with ``None``) the process-wide path-write
+    observer. Returns the previous observer so callers can restore it.
+    The observer contract is ``begin_path_write(df, path, mode=...) ->
+    (instrumented_df, finish_callable | None)`` — see
+    ``RunContext.begin_path_write``."""
+    global _path_observer
+    prev = _path_observer
+    _path_observer = observer
+    return prev
+
+
+def _observe_path_write(df: DataFrame, path: str, mode: str):
+    """Route a dataset write through the active observer (no-op without
+    one). Observation failures must never break a write — the same
+    best-effort contract as catalog auto-capture."""
+    if _path_observer is None:
+        return df, None
+    try:
+        return _path_observer.begin_path_write(df, path, mode=mode)
+    except Exception:  # noqa: BLE001 — capture never breaks a write
+        return df, None
+
+
+def write_partitioned_slice(df: DataFrame, path: str) -> None:
+    """Overwrite ONE partition directory of a larger dataset (the
+    streaming sinks' per-(checkpoint, batch) layout contract — replays
+    rewrite their own slice byte-for-byte instead of double-appending).
+    Routed through the path observer so sink maintenance emits the same
+    auto-captured lineage edges and write metrics as any other dataset
+    write; the recorded dataset name strips the ``k=v`` partition
+    segments, so every slice of one sink dataset aggregates under one
+    lineage node (``postings``, not ``batch_id=7``)."""
+    out, finish = _observe_path_write(df, path, "overwrite")
+    out.write.mode("overwrite").parquet(path)
+    if finish is not None:
+        finish()
+
 
 def write_dataset(
     df: DataFrame,
@@ -38,8 +85,13 @@ def write_dataset(
       row groups.
     - ``max_records_per_file``: bounds file size so a single file never
       becomes an un-splittable straggler.
+
+    When a path observer is active (``RunContext.enable_auto_capture``),
+    the write emits auto-captured ``data_lineage`` edges to
+    ``(external, <dataset>)`` and write metrics — the same zero-caller
+    contract catalog writes have.
     """
-    out = df
+    out, finish = _observe_path_write(df, path, mode)
     if partition_by:
         out = out.repartition(*[F.col(c) for c in partition_by])
     if sort_by:
@@ -52,6 +104,8 @@ def write_dataset(
     if compression is not None:
         writer = writer.option("compression", compression)
     writer.save(path)
+    if finish is not None:
+        finish()
 
 
 def write_jsonl(
@@ -63,12 +117,17 @@ def write_jsonl(
     num_files: int | None = None,
 ) -> None:
     """JSON-Lines sink (corpus interchange). ``num_files`` coalesces small
-    exports; leave unset for large data so every executor writes."""
-    out = df.coalesce(num_files) if num_files else df
+    exports; leave unset for large data so every executor writes.
+    Observed like :func:`write_dataset`."""
+    out, finish = _observe_path_write(df, path, mode)
+    if num_files:
+        out = out.coalesce(num_files)
     writer = out.write.mode(mode)
     if compression is not None:
         writer = writer.option("compression", compression)
     writer.json(path)
+    if finish is not None:
+        finish()
 
 
 def zorder_key(cols: Sequence[str], *, bits: int = 16) -> "F.Column":

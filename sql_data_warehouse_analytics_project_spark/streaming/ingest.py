@@ -24,6 +24,7 @@ from pyspark.sql.streaming import StreamingQuery
 
 from sql_data_warehouse_analytics_project_spark.catalog import Catalog
 from sql_data_warehouse_analytics_project_spark.medallion.bronze import enrich_bronze
+from sql_data_warehouse_analytics_project_spark.sources import writers
 
 
 def stream_csv_drop_zone(
@@ -460,10 +461,13 @@ def corpus_dedup_sink(
             prior = spark.createDataFrame([], "fingerprint string")
         fresh = dedup.dedup_against_snapshot(batch_df, prior, id_col, text_col)
         part = f"cp={cp}/batch_id={batch_id}"
-        fresh.write.mode("overwrite").parquet(f"{corpus_dir}/{part}")
-        dedup.snapshot_fingerprints(fresh, text_col).write.mode(
-            "overwrite"
-        ).parquet(f"{ledger_dir}/{part}")
+        # observed slice writes: with auto-capture enabled the corpus and
+        # ledger maintenance emit (external, <dataset>) lineage edges +
+        # write metrics per batch, like any other dataset write
+        writers.write_partitioned_slice(fresh, f"{corpus_dir}/{part}")
+        writers.write_partitioned_slice(
+            dedup.snapshot_fingerprints(fresh, text_col), f"{ledger_dir}/{part}"
+        )
 
     return sink
 
@@ -474,10 +478,11 @@ def bm25_index_sink(
     text_col: str = "text",
     *,
     checkpoint_id: "str | None" = None,
+    cdc: bool = False,
 ):
     """foreachBatch sink maintaining a PERSISTED BM25 inverted index from
-    an append-only document stream — the streaming twin of
-    ``llm.retrieval.update_bm25_index(assume_disjoint=True)``.
+    a document stream — the streaming twin of
+    ``llm.retrieval.update_bm25_index``.
 
     Per micro-batch it tokenizes ONLY the batch and writes three
     per-(checkpoint, batch) partitioned datasets under ``index_dir``:
@@ -497,14 +502,27 @@ def bm25_index_sink(
     :func:`corpus_dedup_sink` (partition overwrite per batch;
     ``checkpoint_id`` keys lineages by the stream's stable query uuid).
 
-    Stream contract: doc ids are NEW each batch (the append-only ingest
-    this sink exists for). Cross-batch REPLACEMENT of an id needs the
-    batch-path ``update_bm25_index`` + persist-and-swap — a streaming
-    in-place replace would mean rewriting historical postings files,
-    which this layout deliberately never does. As batch partitions
-    accumulate, fold them with ``sources.writers.compact_dataset`` (the
-    partition columns survive as data columns, so load-time folding
-    keeps working)."""
+    Default stream contract: doc ids are NEW each batch (append-only
+    ingest). ``cdc=True`` lifts that: each batch ALSO writes a tombstone
+    ledger
+
+    - ``retired/cp=<id>/batch_id=N`` — (doc): every id the batch
+      carried, meaning "any version of this id from an EARLIER batch is
+      dead"
+
+    so a CDC-style stream can REPLACE a document (re-ingest it — new
+    postings land this batch, old versions retire) or DELETE it
+    (re-ingest with empty/null text: tokenizes to nothing, so it retires
+    old postings and contributes none — exactly
+    ``update_bm25_index``'s tombstone semantics) WITHOUT rewriting
+    historical postings files; fold-time anti-joins apply the ledger
+    (:func:`load_bm25_index_from_sink`). Replay stays idempotent: the
+    retired slice is overwritten per (cp, batch) like every other.
+
+    As batch partitions accumulate, fold them with
+    ``sources.writers.compact_dataset`` (the partition columns survive
+    as data columns, so load-time folding — including the tombstone
+    anti-join — keeps working)."""
     from sql_data_warehouse_analytics_project_spark.llm.retrieval import _tokenize
 
     resolved: dict = {}
@@ -518,12 +536,23 @@ def bm25_index_sink(
         tf, _ = _tokenize(batch_df, id_col, text_col)
         tf = tf.localCheckpoint()  # one pin; dl derives from the pinned tf
         dl = tf.groupBy("doc").agg(F.sum("tf").cast("long").alias("dl"))
-        tf.join(dl, "doc").select("term", "doc", "tf", "dl").write.mode(
-            "overwrite"
-        ).parquet(f"{index_dir}/postings/{part}")
-        tf.groupBy("term").agg(
-            F.count(F.lit(1)).alias("df_delta")
-        ).write.mode("overwrite").parquet(f"{index_dir}/deltas/{part}")
+        writers.write_partitioned_slice(
+            tf.join(dl, "doc").select("term", "doc", "tf", "dl"),
+            f"{index_dir}/postings/{part}",
+        )
+        writers.write_partitioned_slice(
+            tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_delta")),
+            f"{index_dir}/deltas/{part}",
+        )
+        if cdc:
+            # EVERY id the batch carried — including docs tokenizing to
+            # nothing (the delete case): the retire set must come from
+            # the raw batch, not the tokenized reduction (the same
+            # tombstone rule update_bm25_index enforces)
+            writers.write_partitioned_slice(
+                batch_df.select(F.col(id_col).alias("doc")).distinct(),
+                f"{index_dir}/retired/{part}",
+            )
         row = dl.agg(
             F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_dl")
         ).collect()[0]
@@ -540,24 +569,72 @@ def bm25_index_sink(
 
 def load_bm25_index_from_sink(spark, index_dir: str) -> dict:
     """Fold a :func:`bm25_index_sink` directory into a search-ready index
-    dict (the ``retrieval.search_bm25`` contract): postings read as-is
+    dict (the ``retrieval.search_bm25`` contract).
+
+    Append-only sink (no ``retired`` ledger on disk): postings read as-is
     (lazy — the scan is the search's own term-pruned join), the df delta
     ledger aggregates to term_stats (vocab-sized), the per-batch stats
-    rows sum to the two exact-int scalars."""
-    postings = spark.read.parquet(f"{index_dir}/postings").select(
-        "term", "doc", "tf", "dl"
-    )
-    term_stats = (
-        spark.read.parquet(f"{index_dir}/deltas")
-        .groupBy("term")
-        .agg(F.sum("df_delta").alias("df"))
-        .filter(F.col("df") > 0)
-    )
+    rows sum to the two exact-int scalars. Nothing here scans postings.
+
+    CDC sink (``cdc=True`` wrote a tombstone ledger): only the LIVE
+    version of each doc survives — a posting is dead when a later batch
+    of the same checkpoint lineage retired its doc (the doc's OWN batch
+    survives: its retire row and its replacement postings land
+    together). Because retires change document frequencies and corpus
+    scalars in ways the append-only ledgers can't express, term_stats
+    and (n_docs, total_dl) fold from the live postings instead — one
+    postings-METADATA pass at load time (ids and lengths; the text was
+    never stored), the price of delete support without rewriting
+    history. Folding stays correct after ``compact_dataset`` on any of
+    the per-batch datasets: the cp/batch_id partition columns survive
+    compaction as data columns."""
+    from pyspark.sql.utils import AnalysisException
+
     stats = spark.read.parquet(f"{index_dir}/stats")
-    row = stats.agg(
-        F.sum("n_docs").alias("n"), F.sum("total_dl").alias("t")
-    ).collect()[0]
     id_type = stats.select("id_type").limit(1).collect()[0][0]
+    try:
+        retired = spark.read.parquet(f"{index_dir}/retired")
+    except AnalysisException:
+        retired = None
+    if retired is None:
+        postings = spark.read.parquet(f"{index_dir}/postings").select(
+            "term", "doc", "tf", "dl"
+        )
+        term_stats = (
+            spark.read.parquet(f"{index_dir}/deltas")
+            .groupBy("term")
+            .agg(F.sum("df_delta").alias("df"))
+            .filter(F.col("df") > 0)
+        )
+        row = stats.agg(
+            F.sum("n_docs").alias("n"), F.sum("total_dl").alias("t")
+        ).collect()[0]
+        return {
+            "postings": postings,
+            "term_stats": term_stats,
+            "n_docs": int(row["n"] or 0),
+            "total_dl": int(row["t"] or 0),
+            "id_type": id_type,
+        }
+    last = retired.groupBy("cp", "doc").agg(
+        F.max("batch_id").alias("_last_retire")
+    )
+    postings = (
+        spark.read.parquet(f"{index_dir}/postings")
+        .join(last, ["cp", "doc"], "left")
+        .filter(
+            F.col("_last_retire").isNull()
+            | (F.col("batch_id") >= F.col("_last_retire"))
+        )
+        .select("term", "doc", "tf", "dl")
+    )
+    term_stats = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    row = (
+        postings.select("doc", "dl")
+        .distinct()  # one live version per doc; one (doc, dl) row each
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("t"))
+        .collect()[0]
+    )
     return {
         "postings": postings,
         "term_stats": term_stats,

@@ -391,6 +391,104 @@ def test_identify_bottlenecks_shuffle_heavy_category(spark):
         cat.drop_layers()
 
 
+def test_path_write_auto_capture_funnel_chain(spark, tmp_path):
+    """The curation funnel in ``write_through`` mode produces a COMPLETE
+    auto-captured lineage chain over its on-disk stage datasets — zero
+    explicit log_lineage calls — and q34-style recursive traversal walks
+    documents → exact → … → curated through the (external, <dataset>)
+    nodes. Closes the round-7 gap: path-based writes previously emitted
+    no edges, so the lineage graph covered tables but not the LLM
+    pipeline's artifacts. (The one edge auto-capture cannot see is
+    pairs -> clusters: the connected-components fixpoint localCheckpoints
+    per round, which severs plan provenance — inherent to iterative
+    RDD-pinned algorithms; clusters' DOWNSTREAM edges are captured.)"""
+    from sql_data_warehouse_analytics_project_spark.llm import curate
+
+    cat = Catalog(spark, prefix="pathlin_")
+    cat.create_layers()
+    try:
+        ctx = RunContext(cat, created_by="pathcap").enable_auto_capture()
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        curate.curate_corpus(docs, write_through=str(tmp_path / "funnel"))
+        edges = {
+            (r.source_schema, r.source_table, r.target_schema, r.target_table)
+            for r in ctx.table("data_lineage").collect()
+        }
+        assert ("external", "documents", "external", "exact") in edges
+        assert ("external", "exact", "external", "shingles") in edges
+        assert ("external", "shingles", "external", "pairs") in edges
+        assert ("external", "exact", "external", "near") in edges
+        assert ("external", "clusters", "external", "near") in edges
+        assert ("external", "near", "external", "decisions") in edges
+        assert ("external", "near", "external", "curated") in edges
+        assert ("external", "decisions", "external", "curated") in edges
+
+        # recursive traversal reaches the raw input from the final stage
+        up = {
+            r.node: r.depth
+            for r in lin.traverse(
+                ctx.table("data_lineage"), "external.curated", "upstream"
+            ).collect()
+        }
+        assert "external.documents" in up and up["external.documents"] >= 2
+
+        # write metrics recorded under the dataset-leaf prefix
+        metrics = {r.metric_name for r in ctx.table("performance_metrics").collect()}
+        assert "external.exact.write_time" in metrics
+        assert "external.curated.rows_written" in metrics
+        ctx.close()
+        # close() detached the path observer: later writes are silent
+        from sql_data_warehouse_analytics_project_spark.sources.writers import (
+            write_dataset,
+        )
+
+        write_dataset(docs.limit(1), str(tmp_path / "after_close"))
+        assert ("external", "documents", "external", "after_close") not in {
+            (r.source_schema, r.source_table, r.target_schema, r.target_table)
+            for r in ctx.table("data_lineage").collect()
+        }
+    finally:
+        cat.drop_layers()
+
+
+def test_streaming_sink_slice_writes_auto_captured(spark, tmp_path):
+    """The streaming corpus-dedup sink's per-batch partition writes emit
+    auto-captured edges: batch 1's corpus slice READS the fingerprint
+    ledger, so (external, ledger) -> (external, corpus) lands with zero
+    logging calls in the sink."""
+    from sql_data_warehouse_analytics_project_spark.streaming.ingest import (
+        corpus_dedup_sink,
+    )
+
+    cat = Catalog(spark, prefix="sinklin_")
+    cat.create_layers()
+    try:
+        ctx = RunContext(cat, created_by="sinkcap").enable_auto_capture()
+        corpus_dir = str(tmp_path / "corpus")
+        ledger_dir = str(tmp_path / "ledger")
+        sink = corpus_dedup_sink(corpus_dir, ledger_dir)
+        b0 = spark.createDataFrame(
+            [(1, "alpha text"), (2, "beta text")], "doc_id long, text string"
+        )
+        b1 = spark.createDataFrame(
+            [(3, "alpha text"), (4, "gamma text")], "doc_id long, text string"
+        )
+        sink(b0, 0)
+        sink(b1, 1)  # probes the batch-0 ledger -> ledger->corpus edge
+        edges = {
+            (r.source_schema, r.source_table, r.target_schema, r.target_table)
+            for r in ctx.table("data_lineage").collect()
+        }
+        assert ("external", "ledger", "external", "corpus") in edges
+        # the ledger slice's read of itself is a self-edge: skipped
+        assert ("external", "ledger", "external", "ledger") not in edges
+        metrics = {r.metric_name for r in ctx.table("performance_metrics").collect()}
+        assert "external.corpus.write_time" in metrics
+        ctx.close()
+    finally:
+        cat.drop_layers()
+
+
 def test_auto_capture_skips_self_reconcile_edge(spark):
     """An upsert-style overwrite that READS the target table to reconcile
     must not record a target->target self-edge (implementation detail,

@@ -839,3 +839,72 @@ def test_bm25_index_sink_incremental_equals_build_and_replays(spark, tmp_path):
     got2 = sorted(map(tuple, retrieval.search_bm25(loaded2, queries, k=5).collect()))
     want2 = sorted(map(tuple, retrieval.search_bm25(rebuilt2, queries, k=5).collect()))
     assert got2 == want2
+
+
+def test_bm25_index_sink_cdc_replace_and_delete(spark, tmp_path):
+    """Round-8: the CDC tombstone ledger lets a stream REPLACE a
+    re-ingested doc and DELETE one (empty-text re-ingest) without
+    rewriting historical postings — the folded index equals the batch
+    path's ``update_bm25_index`` on the same batches (the qd46
+    equivalence, streamed), survives a crash replay, and survives
+    compaction of the per-batch partitions."""
+    from sql_data_warehouse_analytics_project_spark.llm import retrieval
+    from sql_data_warehouse_analytics_project_spark.sources.writers import (
+        compact_dataset,
+    )
+    from sql_data_warehouse_analytics_project_spark.streaming.ingest import (
+        bm25_index_sink,
+        load_bm25_index_from_sink,
+    )
+
+    idx_dir = str(tmp_path / "bm25_cdc_index")
+    sink = bm25_index_sink(idx_dir, cdc=True)
+
+    b0 = spark.createDataFrame(
+        [
+            (1, "spark shuffles data between executors during wide joins"),
+            (2, "cats purr softly in the warm afternoon sun"),
+            (3, "zebras graze quietly on the open savanna"),
+        ],
+        "doc_id long, text string",
+    )
+    b1 = spark.createDataFrame(
+        [
+            (2, "dogs bark loudly in the cold morning rain"),  # replace
+            (3, ""),                                           # delete
+            (4, "executors spill shuffle data to disk under pressure"),
+        ],
+        "doc_id long, text string",
+    )
+    sink(b0, 0)
+    sink(b1, 1)
+    sink(b1, 1)  # crash replay: retired + postings slices overwrite cleanly
+
+    loaded = load_bm25_index_from_sink(spark, idx_dir)
+    updated = retrieval.update_bm25_index(retrieval.build_bm25_index(b0), b1)
+    assert loaded["n_docs"] == updated["n_docs"] == 3  # docs 1, 2(v2), 4
+    assert loaded["total_dl"] == updated["total_dl"]
+    ts_l = {r.term: r.df for r in loaded["term_stats"].collect()}
+    ts_u = {r.term: r.df for r in updated["term_stats"].collect()}
+    assert ts_l == ts_u
+    assert "zebras" not in ts_l      # deleted doc's vocabulary is gone
+    assert "cats" not in ts_l        # replaced doc's OLD vocabulary is gone
+    assert "dogs" in ts_l            # ... its new version is live
+
+    queries = spark.createDataFrame(
+        [(1, "spark executors shuffle data"), (2, "dogs in the rain"),
+         (3, "zebras on the savanna")],
+        "query_id long, text string",
+    )
+    got = sorted(map(tuple, retrieval.search_bm25(loaded, queries, k=5).collect()))
+    want = sorted(map(tuple, retrieval.search_bm25(updated, queries, k=5).collect()))
+    assert got == want and len(got) > 0
+    assert not any(r[1] == 3 for r in got)  # the deleted doc never surfaces
+
+    # long-running-stream hygiene: compacting the per-batch partitions
+    # must not change the folded index (cp/batch_id survive as data cols)
+    for sub in ("postings", "deltas", "retired"):
+        compact_dataset(spark, f"{idx_dir}/{sub}")
+    loaded_c = load_bm25_index_from_sink(spark, idx_dir)
+    got_c = sorted(map(tuple, retrieval.search_bm25(loaded_c, queries, k=5).collect()))
+    assert got_c == got
