@@ -60,6 +60,11 @@ BENCH_EXCLUDE = {
     # rounds = ~15 tiny managed-table writes of fixed job overhead on
     # inline rows — a gate artifact, not a data-scaled query)
     "q80_gold_incremental_replay",
+    # streaming-sink maintenance lifecycle replay (3 micro-batch sink
+    # rounds + dataset compaction rewrites + fold = fixed write/job
+    # overhead; the data-scaled BM25 costs are already benched via
+    # qd45/qd46)
+    "qd50_bm25_sink_compact_lifecycle",
 }
 
 _RESULT_PATH = os.environ.get(

@@ -2023,3 +2023,91 @@ def qd49_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curate.select_token_budget(docs, 20_000).select(
         "doc_id", "n_tokens", "running_tokens", "quality"
     )
+
+
+@register(
+    "qd50_bm25_sink_compact_lifecycle",
+    f"""
+    WITH tok AS (
+      SELECT doc_id AS doc, unnest({{toks}}) AS term FROM documents
+    ), tf AS (
+      SELECT doc, term, count(*) AS tf FROM tok GROUP BY 1, 2
+    ), dl AS (
+      SELECT doc, count(*) AS dl FROM tok GROUP BY 1
+    ), summary AS (
+      SELECT count(*) AS n_docs,
+             CAST(SUM(dl) AS DOUBLE) / count(*) AS avgdl
+      FROM dl
+    ), idf AS (
+      SELECT d.term,
+             ln(1.0 + (s.n_docs - d.df_ + 0.5) / (d.df_ + 0.5)) AS idf,
+             s.avgdl
+      FROM (SELECT term, count(*) AS df_ FROM tf GROUP BY 1) d, summary s
+    ), q AS (
+      SELECT doc_id AS query_id, unnest(list_distinct({{toks}})) AS term
+      FROM documents WHERE doc_id IN (1, 7, 13)
+    ), contrib AS (
+      SELECT q.query_id, tf.doc,
+             idf.idf * (tf.tf * (1.2 + 1.0))
+               / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / idf.avgdl)) AS c
+      FROM q
+      JOIN tf ON q.term = tf.term
+      JOIN idf ON tf.term = idf.term
+      JOIN dl ON tf.doc = dl.doc
+    ), sc AS (
+      SELECT query_id, doc AS doc_id, round(SUM(c), 6) AS score
+      FROM contrib GROUP BY 1, 2
+    ), rk AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+      FROM sc
+    )
+    SELECT query_id, doc_id, score, CAST(rank AS INT) AS rank
+    FROM rk WHERE rank <= 10
+    """.replace("{toks}", _TOKS),
+)
+def qd50_bm25_sink_compact_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL streaming-index maintenance lifecycle
+    (`streaming.ingest.bm25_index_sink` → `sources.writers.compact_dataset`
+    → `load_bm25_index_from_sink` → `retrieval.search_bm25`): the corpus
+    arrives as three micro-batches (doc_id % 3), the accumulated
+    per-batch partitions are COMPACTED (the long-running-stream hygiene
+    op — a month of 30s triggers is 86k files without it), and the folded
+    index answers the same top-10 queries as qd45. The oracle is the
+    one-shot full-corpus build twin — value-level proof that
+    sink → compact → fold ≡ build, bit-exactly (partition columns survive
+    compaction as data columns; all df/n/dl folding is integer). At
+    100 TB this is the gate on the maintenance story: the stream never
+    rewrites history, compaction restores scan health, and neither step
+    may move a score by an ulp."""
+    import shutil
+    import tempfile
+
+    from sql_data_warehouse_analytics_project_spark.llm import retrieval
+    from sql_data_warehouse_analytics_project_spark.sources.writers import (
+        compact_dataset,
+    )
+    from sql_data_warehouse_analytics_project_spark.streaming.ingest import (
+        bm25_index_sink,
+        load_bm25_index_from_sink,
+    )
+
+    docs = _docs(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="qd50_bm25_sink_")
+    try:
+        sink = bm25_index_sink(tmp)
+        for b in range(3):
+            sink(docs.filter(F.col("doc_id") % 3 == b), b)
+        for sub in ("postings", "deltas"):
+            compact_dataset(spark, f"{tmp}/{sub}")
+        index = load_bm25_index_from_sink(spark, tmp)
+        queries = docs.filter(F.col("doc_id").isin(1, 7, 13)).select(
+            F.col("doc_id").alias("query_id"), "text"
+        )
+        # pin the result rows BEFORE the index files are deleted — the
+        # driver/gate collects after this function returns
+        return retrieval.search_bm25(index, queries, k=10).localCheckpoint(
+            eager=True
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
