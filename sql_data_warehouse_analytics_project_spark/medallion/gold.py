@@ -134,6 +134,7 @@ def build_fact_sales(
     *,
     dim_strategy: str = "broadcast",
     salt_buckets: int = 16,
+    auto_skew_threshold: float = 32.0,
 ) -> DataFrame:
     """Sales facts keyed to the dims' surrogate keys.
 
@@ -143,16 +144,38 @@ def build_fact_sales(
       never shuffles. Right whenever each dim fits in executor memory
       (the reference dataset, and most real dims).
     - ``"shuffle"``: plain equi joins — sort-merge at scale, with AQE's
-      skew-join splitting absorbing moderate hot keys at runtime. For
-      dims too large to broadcast (a 100M-row customer dim).
+      skew-join splitting absorbing moderate hot keys at runtime
+      (plan-asserted in ``tests/test_medallion.py``). For dims too large
+      to broadcast (a 100M-row customer dim).
     - ``"salted"``: like ``"shuffle"`` but the customer join is salted
       (:func:`~..operators.joins.salted_join`, ``salt_buckets`` splits
       per key) — the pathological case where one customer dominates the
       fact and even an AQE-split partition exceeds executor memory.
       Probe first with :func:`fact_key_skew`.
+    - ``"auto"``: run that probe HERE — one map-side-combined count
+      shuffle over the fact's customer keys (the pre-flight any
+      non-broadcast 100 TB build should pay) — and pick ``"salted"``
+      when the measured ``skew_ratio`` (max key count / mean) reaches
+      ``auto_skew_threshold``, ``"shuffle"`` otherwise. Auto never picks
+      broadcast: when the dims are known to fit in memory the caller
+      says so (the default) and skew is moot — auto exists for the
+      non-broadcast regime, where the hot-key decision is exactly what
+      should be measured, not guessed.
     """
-    if dim_strategy not in ("broadcast", "shuffle", "salted"):
+    if dim_strategy not in ("broadcast", "shuffle", "salted", "auto"):
         raise ValueError(f"unknown dim_strategy: {dim_strategy!r}")
+    if dim_strategy == "auto":
+        from sql_data_warehouse_analytics_project_spark.operators.aggregates import (
+            key_skew_stats,
+        )
+
+        probe = key_skew_stats(
+            crm_sales.select(F.col("sls_cust_id").cast("string").alias("key_value")),
+            ["key_value"],
+            top_n=1,
+        ).collect()
+        ratio = float(probe[0]["skew_ratio"]) if probe else 1.0
+        dim_strategy = "salted" if ratio >= auto_skew_threshold else "shuffle"
     dp_sel = dim_products.select("product_key", "product_number")
     dc_sel = dim_customers.select("customer_key", "customer_id")
     s = crm_sales.alias("s")

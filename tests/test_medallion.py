@@ -441,3 +441,83 @@ def test_fact_build_skew_strategies_bit_match(spark):
 
     with pytest.raises(ValueError, match="dim_strategy"):
         gold.build_fact_sales(sales, dim_p, dim_c, dim_strategy="bogus")
+
+
+def test_fact_build_auto_strategy_and_aqe_skew_split(spark):
+    """Round-7 verdict #5: the skew strategy provably ENGAGES, not just
+    exists. (a) dim_strategy='auto' measures the fact's customer-key
+    skew and routes through salted_join when the ratio crosses the
+    threshold — and stays on the plain shuffle plan for a uniform key.
+    (b) On the 'shuffle' strategy, AQE's skew-join splitting actually
+    fires on a whale key: the FINAL adaptive plan carries
+    SortMergeJoin(skew=true). Thresholds are lowered to make a test-
+    sized whale (~100k rows, one customer = 90%) cross the same
+    size-based trigger a 100 TB hot key crosses naturally."""
+    n_fact = 120_000
+    whale = spark.range(0, n_fact).selectExpr(
+        "concat('O', id) AS sls_ord_num",
+        "concat('X', CAST(id % 40 + 1 AS INT)) AS sls_prd_key",
+        # one whale customer = 90% of the fact
+        "CAST(CASE WHEN id % 10 < 9 THEN 1 ELSE id % 200 + 2 END AS INT) "
+        "AS sls_cust_id",
+        "DATE'2025-03-01' AS sls_order_dt",
+        "CAST(id % 7 + 1 AS DOUBLE) * 10.0 AS sls_sales",
+        "CAST(id % 5 + 1 AS INT) AS sls_quantity",
+        "10.0 AS sls_price",
+        "DATE'2025-03-02' AS sls_ship_dt",
+        "DATE'2025-03-05' AS sls_due_dt",
+    )
+    uniform = whale.withColumn(
+        "sls_cust_id", (F.col("sls_sales") % 200 + 1).cast("int")
+    )
+    dim_c = spark.range(1, 302).selectExpr(
+        "CAST(id AS INT) AS customer_key", "CAST(id AS INT) AS customer_id"
+    )
+    dim_p = spark.range(1, 41).selectExpr(
+        "CAST(id AS INT) AS product_key", "concat('X', id) AS product_number"
+    )
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        # scale AQE's size-based skew trigger down to test data volume
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16k",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8k",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
+        # plan STRINGS are the assertion surface: don't let toString
+        # truncate the attribute lists the salt column appears in
+        "spark.sql.debug.maxToStringFields": "500",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        # (a) auto measures skew and routes: whale -> salted, uniform -> plain
+        auto_whale = gold.build_fact_sales(
+            whale, dim_p, dim_c, dim_strategy="auto", auto_skew_threshold=10.0
+        )
+        assert "_salt" in auto_whale._jdf.queryExecution().analyzed().toString()
+        auto_uniform = gold.build_fact_sales(
+            uniform, dim_p, dim_c, dim_strategy="auto", auto_skew_threshold=10.0
+        )
+        assert "_salt" not in auto_uniform._jdf.queryExecution().analyzed().toString()
+
+        # (b) the shuffle strategy's safety net really fires: the final
+        # adaptive plan splits the whale partition (skew=true)
+        shuffled = gold.build_fact_sales(
+            whale, dim_p, dim_c, dim_strategy="shuffle"
+        )
+        assert shuffled.collect()  # finalize the adaptive plan
+        plan = shuffled._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "SortMergeJoin(skew=true)" in plan, plan[:2000]
+
+        # the salted strategy stays correct at this scale too: same rows
+        salted = gold.build_fact_sales(
+            whale, dim_p, dim_c, dim_strategy="salted", salt_buckets=8
+        )
+        assert salted.count() == n_fact
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
