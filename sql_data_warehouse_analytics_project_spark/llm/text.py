@@ -474,6 +474,99 @@ def token_rarity(
     )
 
 
+def bigram_lm_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    *,
+    add_k: float = 0.5,
+) -> DataFrame:
+    """Statistical-LM quality scoring (the CCNet/Gopher perplexity-filter
+    move, distilled to its SQL-expressible core): train an add-k-smoothed
+    BIGRAM language model on the corpus itself, then score every document
+    by its mean token log-probability under that model —
+    ``(id, n_bigrams, avg_logprob, perplexity)``. Low perplexity ⇒ the
+    document looks like the corpus (fluent, conventional); high ⇒ OCR
+    noise, gibberish, id-dense logs, wrong language. Where
+    :func:`token_rarity` scores tokens independently, this scores token
+    TRANSITIONS — the signal that separates shuffled-word soup (every
+    token common, every transition rare) from prose.
+
+    Model: ``P(w2|w1) = (C(w1,w2) + k) / (C(w1) + k·V)`` with unigram /
+    bigram counts and vocab size ``V`` from the full corpus; a document's
+    ``avg_logprob`` is the tf-weighted mean of ``ln P`` over its bigrams
+    and ``perplexity = exp(-avg_logprob)``. Self-scoring means every doc
+    bigram exists in the model (no OOV path); out-of-corpus scoring is
+    the same join with the model tables persisted.
+
+    Plan: one explode builds the unigram vocab (map-side combined), one
+    bigram pass (array slice+zip — no self-join) builds the bigram counts
+    AND the per-doc (w1, w2, tf) reduction; the doc side then joins the
+    two count tables — vocab-sized, AQE-broadcast at test SF; at 100 TB
+    hint the broadcast or let AQE's skew split absorb the stopword-pair
+    hot keys (same note as :func:`token_rarity`). ``V`` is one collected
+    scalar, like BM25's ``n_docs``.
+
+    Determinism: all counts are exact ints, so every ratio is the same
+    IEEE double on any engine; ``avg_logprob`` rounds to 6dp BEFORE
+    ``perplexity = exp(-·)`` is derived from the ROUNDED value (the qd45
+    ln-then-round convention — distributed summation-order ulps are
+    absorbed by the rounding, and the exp sees identical inputs on both
+    engines). Documents with fewer than two tokens have no transitions
+    to score and are omitted, matching the oracle."""
+    toks = tokens(text_col)
+    base = df.select(F.col(id_col), toks.alias("_t"))
+    # vocab-sized unigram counts, pinned: the vocab-size scalar needs an
+    # action anyway, and pinning makes that action the ONLY unigram
+    # tokenize — the final plan reuses the pinned counts, so the corpus
+    # pays the tokenizer regex twice total (unigrams + bigrams), not 3×
+    uc = (
+        base.select(F.explode("_t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cu"))
+        .localCheckpoint(eager=True)
+    )
+    v = uc.count()  # vocab size — one scalar, the smoothing denominator
+
+    big = (
+        base.filter(F.size("_t") >= 2)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.arrays_zip(
+                    F.slice("_t", 1, F.size("_t") - 1).alias("w1"),
+                    F.slice("_t", 2, F.size("_t") - 1).alias("w2"),
+                )
+            ).alias("_bg"),
+        )
+        .select(F.col(id_col), F.col("_bg.w1"), F.col("_bg.w2"))
+    )
+    doc_bg = big.groupBy(id_col, "w1", "w2").agg(F.count(F.lit(1)).alias("tf"))
+    bc = doc_bg.groupBy("w1", "w2").agg(F.sum("tf").alias("cb"))
+
+    contrib = (
+        doc_bg.join(bc, ["w1", "w2"])
+        .join(uc.withColumnRenamed("w", "w1"), "w1")
+        .select(
+            F.col(id_col),
+            "tf",
+            (
+                F.col("tf")
+                * F.log(
+                    (F.col("cb") + F.lit(float(add_k)))
+                    / (F.col("cu") + F.lit(float(add_k) * v))
+                )
+            ).alias("c"),
+        )
+    )
+    return contrib.groupBy(id_col).agg(
+        F.sum("tf").cast("long").alias("n_bigrams"),
+        F.round(F.sum("c") / F.sum("tf"), 6).alias("avg_logprob"),
+    ).withColumn(
+        "perplexity", F.round(F.exp(-F.col("avg_logprob")), 6)
+    )
+
+
 def chunk_text(
     df: DataFrame,
     id_col: str,

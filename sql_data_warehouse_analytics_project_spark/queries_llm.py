@@ -2111,3 +2111,50 @@ def qd50_bm25_sink_compact_lifecycle(spark: SparkSession, sf_dir: str) -> DataFr
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@register(
+    "qd51_bigram_lm_perplexity",
+    f"""
+    WITH toks AS (SELECT doc_id, {{toks}} AS t FROM documents),
+    big AS (
+      SELECT doc_id, unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2
+      FROM toks WHERE len(t) >= 2
+    ),
+    uc AS (SELECT w, count(*) AS cu
+           FROM (SELECT unnest(t) AS w FROM toks) GROUP BY 1),
+    vocab AS (SELECT count(*) AS v FROM uc),
+    doc_bg AS (SELECT doc_id, w1, w2, count(*) AS tf FROM big GROUP BY 1, 2, 3),
+    bc AS (SELECT w1, w2, SUM(tf) AS cb FROM doc_bg GROUP BY 1, 2),
+    contrib AS (
+      SELECT d.doc_id, d.tf,
+             d.tf * ln((bc.cb + 0.5) / (uc.cu + 0.5 * v.v)) AS c
+      FROM doc_bg d
+      JOIN bc USING (w1, w2)
+      JOIN uc ON d.w1 = uc.w
+      CROSS JOIN vocab v
+    ),
+    agg AS (
+      SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+             round(SUM(c) / SUM(tf), 6) AS avg_logprob
+      FROM contrib GROUP BY 1
+    )
+    SELECT doc_id, n_bigrams, avg_logprob,
+           round(exp(-avg_logprob), 6) AS perplexity
+    FROM agg
+    """.replace("{toks}", _TOKS),
+)
+def qd51_bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical-LM quality scoring (`text.bigram_lm_scores` — the
+    CCNet/Gopher perplexity-filter move, SQL-expressible core): an
+    add-0.5-smoothed bigram LM trained on the corpus scores every
+    document's mean transition log-probability and perplexity. Scores
+    token TRANSITIONS, the signal that separates shuffled-word soup from
+    prose — the capability `token_rarity` explicitly approximates. All
+    counts integer; avg_logprob rounds to 6dp BEFORE the exp derivation
+    (the qd45 ln-then-round convention), so the DuckDB twin replays the
+    float math bit-exactly."""
+    docs = _docs(spark, sf_dir)  # two corpus passes: unigrams + bigrams
+    return text.bigram_lm_scores(docs, "doc_id").select(
+        "doc_id", "n_bigrams", "avg_logprob", "perplexity"
+    )

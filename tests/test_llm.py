@@ -761,6 +761,42 @@ def test_token_rarity_hand_checked(spark):
     assert rows[2].rare_token_frac == 0.5
 
 
+def test_bigram_lm_scores_hand_checked(spark):
+    """Add-k bigram LM hand computation: counts, smoothing denominator,
+    tf-weighted mean log-prob, and the rounded-then-exp perplexity
+    derivation; sub-2-token docs are omitted."""
+    import math
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a b a b"),
+            Row(doc_id=2, text="a b c"),
+            Row(doc_id=3, text="a"),   # one token: no transitions
+            Row(doc_id=4, text=""),    # empty
+        ]
+    )
+    rows = {
+        r.doc_id: r
+        for r in text.bigram_lm_scores(df, "doc_id", add_k=0.5).collect()
+    }
+    assert set(rows) == {1, 2}
+    # unigrams: a=4, b=3, c=1 -> V=3; bigrams: ab=3, ba=1, bc=1; k=0.5
+    p_ab = (3 + 0.5) / (4 + 0.5 * 3)   # P(b|a)
+    p_ba = (1 + 0.5) / (3 + 0.5 * 3)   # P(a|b)
+    p_bc = (1 + 0.5) / (3 + 0.5 * 3)   # P(c|b)
+    # doc 1 bigrams: ab, ba, ab
+    avg1 = round((2 * math.log(p_ab) + math.log(p_ba)) / 3, 6)
+    assert rows[1].n_bigrams == 3
+    assert rows[1].avg_logprob == avg1
+    assert rows[1].perplexity == round(math.exp(-avg1), 6)
+    # doc 2 bigrams: ab, bc
+    avg2 = round((math.log(p_ab) + math.log(p_bc)) / 2, 6)
+    assert rows[2].n_bigrams == 2
+    assert rows[2].avg_logprob == avg2
+    # fluent doc 1 (all common transitions) beats the rarer-transition doc 2
+    assert rows[1].perplexity < rows[2].perplexity
+
+
 def test_contamination_score_full_and_partial_overlap(spark):
     train = spark.createDataFrame(
         [
