@@ -65,6 +65,9 @@ BENCH_EXCLUDE = {
     # overhead; the data-scaled BM25 costs are already benched via
     # qd45/qd46)
     "qd50_bm25_sink_compact_lifecycle",
+    # on-disk bucketed-index maintenance replay (persist + bucket-dir
+    # swaps = disk-write overhead; same rationale as qd50)
+    "qd52_bm25_bucketed_disk_update",
 }
 
 _RESULT_PATH = os.environ.get(

@@ -204,6 +204,252 @@ def update_bm25_index(
     }
 
 
+def write_bm25_index(
+    index: dict,
+    path: str,
+    *,
+    doc_buckets: int = 64,
+) -> None:
+    """Persist a BM25 index as a DOC-BUCKETED on-disk layout:
+
+    - ``<path>/postings`` — partitioned by ``_bucket =
+      pmod(xxhash64(doc), doc_buckets)`` and term-sorted WITHIN each
+      file, so queries keep parquet row-group min/max pruning on the
+      term join key while document-keyed maintenance prunes whole bucket
+      DIRECTORIES;
+    - ``<path>/term_stats`` — the vocab-sized df table, term-sorted;
+    - ``<path>/meta.json`` — the exact-int scalars + layout metadata.
+
+    The layout exists for :func:`update_bm25_index_on_disk`: the
+    DataFrame-path :func:`update_bm25_index` must scan ALL old postings
+    to retire re-ingested ids (and a persist-and-swap rewrites all of
+    them); bucketing by doc turns both into work on the handful of
+    buckets the batch's ids hash into — at 100 TB the difference between
+    touching ~1/64th of the index per batch and rewriting it."""
+    import json
+    import os
+
+    from sql_data_warehouse_analytics_project_spark.sources.writers import (
+        write_dataset,
+    )
+
+    bucket = F.pmod(F.xxhash64(F.col("doc")), F.lit(doc_buckets))
+    write_dataset(
+        index["postings"].withColumn("_bucket", bucket),
+        f"{path.rstrip('/')}/postings",
+        partition_by=["_bucket"],
+        sort_by=["term"],
+    )
+    write_dataset(
+        index["term_stats"], f"{path.rstrip('/')}/term_stats", sort_by=["term"]
+    )
+    meta = {
+        "n_docs": int(index["n_docs"]),
+        "total_dl": int(index["total_dl"]),
+        "id_type": index["id_type"],
+        "doc_buckets": int(doc_buckets),
+    }
+    tmp = f"{path.rstrip('/')}/meta.json.tmp"
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    os.replace(tmp, f"{path.rstrip('/')}/meta.json")
+
+
+def read_bm25_index(spark, path: str) -> dict:
+    """Load a :func:`write_bm25_index` layout into the ``search_bm25``
+    index contract (postings/term_stats stay lazy scans — the search's
+    term join is the only thing that reads them)."""
+    import json
+
+    with open(f"{path.rstrip('/')}/meta.json") as fh:
+        meta = json.load(fh)
+    return {
+        "postings": spark.read.parquet(f"{path.rstrip('/')}/postings").select(
+            "term", "doc", "tf", "dl"
+        ),
+        "term_stats": spark.read.parquet(f"{path.rstrip('/')}/term_stats"),
+        "n_docs": int(meta["n_docs"]),
+        "total_dl": int(meta["total_dl"]),
+        "id_type": meta["id_type"],
+        "doc_buckets": int(meta["doc_buckets"]),
+    }
+
+
+def update_bm25_index_on_disk(
+    spark,
+    path: str,
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> dict:
+    """Absorb a document batch into a :func:`write_bm25_index` layout by
+    rewriting ONLY the bucket partitions the batch's doc ids hash into —
+    the partition-pruned maintenance the DataFrame path can't express
+    (its retire anti-join scans all postings; its persist-and-swap
+    rewrites them all). Work on disk ∝ affected buckets, never ∝ index.
+
+    Semantics are exactly :func:`update_bm25_index` (re-ingest replaces,
+    empty-text re-ingest deletes, integer df/scalar deltas ⇒ scores
+    bit-identical to a rebuild) — tested against it. Steps:
+
+    1. tokenize the batch (the only text read), pin its reduction;
+    2. the batch ids' bucket set (≤ ``doc_buckets`` values) prunes the
+       postings scan to the affected directories (PartitionFilters —
+       plan-asserted in tests);
+    3. retire + merge within those buckets only, staged-write the new
+       bucket contents, then swap each affected bucket dir (write-then-
+       swap: the live dir moves aside and is deleted LAST, like
+       ``compact_dataset``); untouched buckets are never read or
+       written;
+    4. ``term_stats`` merges df deltas (vocab-sized full rewrite — it
+       has no doc locality to exploit) and ``meta.json`` lands LAST.
+
+    MAINTENANCE-WINDOW operation (directory swaps are not atomic to
+    concurrent readers — same contract as ``compact_dataset`` and
+    ``Catalog.vacuum_staging``). A crash mid-swap leaves every affected
+    bucket with at least one complete copy on disk (``.__old__`` /
+    staging) and possibly a stale ``meta.json``; recover by re-running
+    the SAME batch after restoring any ``.__old__`` dirs, then
+    :func:`refold_bm25_meta` if the crash hit between the swaps and the
+    meta write. Returns the updated index dict (lazy reads of the new
+    layout)."""
+    import json
+    import os
+    import shutil
+
+    root = path.rstrip("/")
+    with open(f"{root}/meta.json") as fh:
+        meta = json.load(fh)
+    n_buckets = int(meta["doc_buckets"])
+    postings_dir = f"{root}/postings"
+
+    tf_b, _ = _tokenize(new_docs, id_col, text_col)
+    tf_b = tf_b.localCheckpoint()
+    dl_b = tf_b.groupBy("doc").agg(F.sum("tf").cast("long").alias("dl"))
+    batch = dl_b.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("dl_sum")
+    ).collect()[0]
+    n_batch, dl_batch = int(batch["n"] or 0), int(batch["dl_sum"] or 0)
+
+    batch_ids = new_docs.select(F.col(id_col).alias("doc")).distinct()
+    bucket_of = F.pmod(F.xxhash64(F.col("doc")), F.lit(n_buckets))
+    buckets = sorted(
+        r[0]
+        for r in batch_ids.select(bucket_of.alias("b")).distinct().collect()
+    )
+
+    # partition-pruned scan: only the affected bucket directories are read
+    affected = spark.read.parquet(postings_dir).filter(
+        F.col("_bucket").isin(buckets)
+    )
+    replaced = affected.join(
+        F.broadcast(batch_ids), "doc", "semi"
+    ).localCheckpoint()
+    gone = replaced.select("doc", "dl").distinct().agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("dl_sum")
+    ).collect()[0]
+    n_gone, dl_gone = int(gone["n"] or 0), int(gone["dl_sum"] or 0)
+
+    new_rows = (
+        tf_b.join(dl_b, "doc")
+        .select("term", "doc", "tf", "dl")
+        .withColumn("_bucket", bucket_of)
+    )
+    out = (
+        affected.join(F.broadcast(batch_ids), "doc", "anti")
+        .select("term", "doc", "tf", "dl", "_bucket")
+        .unionByName(new_rows)
+    )
+    from sql_data_warehouse_analytics_project_spark.sources.writers import (
+        write_dataset,
+    )
+
+    staging = f"{postings_dir}.__staging__"
+    shutil.rmtree(staging, ignore_errors=True)
+    write_dataset(out, staging, partition_by=["_bucket"], sort_by=["term"])
+    for b in buckets:
+        live = f"{postings_dir}/_bucket={b}"
+        staged = f"{staging}/_bucket={b}"
+        old = f"{live}.__old__"
+        shutil.rmtree(old, ignore_errors=True)
+        if os.path.isdir(live):
+            os.replace(live, old)
+        if os.path.isdir(staged):
+            os.replace(staged, live)
+        # a bucket whose every doc was retired (and none added) simply
+        # has no staged dir: the live dir stays moved aside
+        shutil.rmtree(old, ignore_errors=True)
+    shutil.rmtree(staging, ignore_errors=True)
+
+    # vocab-sized df merge — full rewrite, staged like the buckets
+    df_removed = replaced.groupBy("term").agg(
+        (-F.count(F.lit(1))).alias("delta")
+    )
+    df_added = tf_b.groupBy("term").agg(F.count(F.lit(1)).alias("delta"))
+    deltas = df_added.unionByName(df_removed).groupBy("term").agg(
+        F.sum("delta").alias("delta")
+    )
+    ts_dir = f"{root}/term_stats"
+    term_stats = (
+        spark.read.parquet(ts_dir)
+        .join(deltas, "term", "full")
+        .select(
+            "term",
+            (F.coalesce(F.col("df"), F.lit(0))
+             + F.coalesce(F.col("delta"), F.lit(0))).alias("df"),
+        )
+        .filter(F.col("df") > 0)
+    )
+    ts_staging = f"{ts_dir}.__staging__"
+    shutil.rmtree(ts_staging, ignore_errors=True)
+    write_dataset(term_stats, ts_staging, sort_by=["term"])
+    ts_old = f"{ts_dir}.__old__"
+    shutil.rmtree(ts_old, ignore_errors=True)
+    os.replace(ts_dir, ts_old)
+    os.replace(ts_staging, ts_dir)
+    shutil.rmtree(ts_old)
+
+    meta = {
+        "n_docs": int(meta["n_docs"]) - n_gone + n_batch,
+        "total_dl": int(meta["total_dl"]) - dl_gone + dl_batch,
+        "id_type": meta["id_type"],
+        "doc_buckets": n_buckets,
+    }
+    tmp = f"{root}/meta.json.tmp"
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    os.replace(tmp, f"{root}/meta.json")
+    return read_bm25_index(spark, root)
+
+
+def refold_bm25_meta(spark, path: str) -> dict:
+    """Crash-recovery for :func:`update_bm25_index_on_disk`: recompute
+    the ``meta.json`` scalars from the live postings (one postings-
+    METADATA pass — distinct (doc, dl) count/sum; the text was never
+    stored) and rewrite the file. Use when a crash landed between the
+    bucket swaps and the meta write. Returns the refolded meta."""
+    import json
+    import os
+
+    root = path.rstrip("/")
+    with open(f"{root}/meta.json") as fh:
+        meta = json.load(fh)
+    row = (
+        spark.read.parquet(f"{root}/postings")
+        .select("doc", "dl")
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("t"))
+        .collect()[0]
+    )
+    meta["n_docs"] = int(row["n"] or 0)
+    meta["total_dl"] = int(row["t"] or 0)
+    tmp = f"{root}/meta.json.tmp"
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    os.replace(tmp, f"{root}/meta.json")
+    return meta
+
+
 def search_bm25(
     index: dict,
     queries: DataFrame,

@@ -2158,3 +2158,82 @@ def qd51_bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.bigram_lm_scores(docs, "doc_id").select(
         "doc_id", "n_bigrams", "avg_logprob", "perplexity"
     )
+
+
+@register(
+    "qd52_bm25_bucketed_disk_update",
+    f"""
+    WITH tok AS (
+      SELECT doc_id AS doc, unnest({{toks}}) AS term FROM documents
+    ), tf AS (
+      SELECT doc, term, count(*) AS tf FROM tok GROUP BY 1, 2
+    ), dl AS (
+      SELECT doc, count(*) AS dl FROM tok GROUP BY 1
+    ), summary AS (
+      SELECT count(*) AS n_docs,
+             CAST(SUM(dl) AS DOUBLE) / count(*) AS avgdl
+      FROM dl
+    ), idf AS (
+      SELECT d.term,
+             ln(1.0 + (s.n_docs - d.df_ + 0.5) / (d.df_ + 0.5)) AS idf,
+             s.avgdl
+      FROM (SELECT term, count(*) AS df_ FROM tf GROUP BY 1) d, summary s
+    ), q AS (
+      SELECT doc_id AS query_id, unnest(list_distinct({{toks}})) AS term
+      FROM documents WHERE doc_id IN (1, 7, 13)
+    ), contrib AS (
+      SELECT q.query_id, tf.doc,
+             idf.idf * (tf.tf * (1.2 + 1.0))
+               / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / idf.avgdl)) AS c
+      FROM q
+      JOIN tf ON q.term = tf.term
+      JOIN idf ON tf.term = idf.term
+      JOIN dl ON tf.doc = dl.doc
+    ), sc AS (
+      SELECT query_id, doc AS doc_id, round(SUM(c), 6) AS score
+      FROM contrib GROUP BY 1, 2
+    ), rk AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+      FROM sc
+    )
+    SELECT query_id, doc_id, score, CAST(rank AS INT) AS rank
+    FROM rk WHERE rank <= 10
+    """.replace("{toks}", _TOKS),
+)
+def qd52_bm25_bucketed_disk_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTITION-PRUNED on-disk BM25 maintenance
+    (`retrieval.write_bm25_index` → `update_bm25_index_on_disk` →
+    `search_bm25`): the base corpus (doc_id % 4 != 0) persists as the
+    doc-bucketed layout, a later batch (doc_id % 4 == 0, plus docs 1 and
+    7 re-ingested) is absorbed by rewriting ONLY the bucket directories
+    its ids hash into, and the updated index answers the qd45 queries.
+    Oracle is the FULL-corpus rebuild twin — the qd46 equivalence, but
+    for the maintenance path whose on-disk work is ∝ affected buckets,
+    never ∝ index (unaffected buckets byte-untouched — file-level
+    asserted in tests/test_llm.py)."""
+    import shutil
+    import tempfile
+
+    from sql_data_warehouse_analytics_project_spark.llm import retrieval
+
+    docs = _docs(spark, sf_dir)
+    base = docs.filter(F.col("doc_id") % 4 != 0)
+    batch = docs.filter(
+        (F.col("doc_id") % 4 == 0) | F.col("doc_id").isin(1, 7)
+    )
+    tmp = tempfile.mkdtemp(prefix="qd52_bm25_bucketed_")
+    try:
+        retrieval.write_bm25_index(
+            retrieval.build_bm25_index(base), tmp, doc_buckets=16
+        )
+        index = retrieval.update_bm25_index_on_disk(spark, tmp, batch)
+        queries = docs.filter(F.col("doc_id").isin(1, 7, 13)).select(
+            F.col("doc_id").alias("query_id"), "text"
+        )
+        # pin rows BEFORE the index files are deleted (gate collects later)
+        return retrieval.search_bm25(index, queries, k=10).localCheckpoint(
+            eager=True
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

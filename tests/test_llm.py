@@ -1084,6 +1084,104 @@ def test_bm25_index_roundtrip_matches_one_shot(spark, tmp_path):
     assert pairs.count() >= len(via_index)
 
 
+def test_bm25_bucketed_index_partition_pruned_update(spark, tmp_path):
+    """Round-8: the doc-bucketed on-disk layout makes incremental BM25
+    maintenance PARTITION-PRUNED — an update touches only the bucket
+    directories the batch's ids hash into (unaffected bucket files are
+    byte-untouched on disk, and the retire scan's plan carries a _bucket
+    PartitionFilter) while scoring bit-identically to the DataFrame-path
+    update AND a full rebuild. Also covers the refold recovery helper."""
+    from pyspark.sql import functions as F
+
+    from sql_data_warehouse_analytics_project_spark.llm import retrieval
+
+    base = spark.createDataFrame(
+        [
+            (1, "spark shuffles data between executors during wide joins"),
+            (2, "cats purr softly in the warm afternoon sun"),
+            (3, "zebras graze quietly on the open savanna"),
+            (4, "executors spill shuffle data to disk under pressure"),
+            (5, "the sun warms the disk of the galaxy"),
+            (6, "rivers carve canyons over geological time"),
+        ],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (2, "dogs bark loudly in the cold morning rain"),  # replace
+            (3, ""),                                           # delete
+            (7, "new telescopes resolve distant spiral galaxies"),
+        ],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "bm25_bucketed")
+    retrieval.write_bm25_index(
+        retrieval.build_bm25_index(base), path, doc_buckets=8
+    )
+
+    import os
+
+    def bucket_state():
+        state = {}
+        pdir = f"{path}/postings"
+        for d in os.listdir(pdir):
+            if not d.startswith("_bucket="):
+                continue
+            files = sorted(os.listdir(f"{pdir}/{d}"))
+            state[d] = [
+                (f, os.path.getsize(f"{pdir}/{d}/{f}"),
+                 os.path.getmtime(f"{pdir}/{d}/{f}"))
+                for f in files
+            ]
+        return state
+
+    before = bucket_state()
+    affected = {
+        f"_bucket={r[0]}"
+        for r in batch.select(
+            F.pmod(F.xxhash64("doc_id"), F.lit(8)).alias("b")
+        ).distinct().collect()
+    }
+    assert affected and set(before) - affected  # some buckets untouched
+
+    # the retire scan is partition-pruned: _bucket reaches PartitionFilters
+    pruned = spark.read.parquet(f"{path}/postings").filter(
+        F.col("_bucket").isin([int(d.split("=")[1]) for d in affected])
+    )
+    plan = pruned._jdf.queryExecution().executedPlan().treeString()
+    assert "PartitionFilters: [" in plan
+    assert "_bucket" in plan.split("PartitionFilters:")[1].split("]")[0]
+
+    updated_disk = retrieval.update_bm25_index_on_disk(spark, path, batch)
+    after = bucket_state()
+    for d, files in before.items():
+        if d not in affected:
+            assert after[d] == files, f"untouched bucket {d} was rewritten"
+
+    # scores ≡ the DataFrame-path update ≡ a full rebuild
+    updated_df = retrieval.update_bm25_index(
+        retrieval.build_bm25_index(base), batch
+    )
+    assert updated_disk["n_docs"] == updated_df["n_docs"] == 6
+    assert updated_disk["total_dl"] == updated_df["total_dl"]
+    ts_d = {r.term: r.df for r in updated_disk["term_stats"].collect()}
+    ts_f = {r.term: r.df for r in updated_df["term_stats"].collect()}
+    assert ts_d == ts_f and "zebras" not in ts_d and "dogs" in ts_d
+    queries = spark.createDataFrame(
+        [(1, "spark executors shuffle data"), (2, "dogs in the rain"),
+         (3, "zebras on the savanna")],
+        "query_id long, text string",
+    )
+    got = sorted(map(tuple, retrieval.search_bm25(updated_disk, queries, k=5).collect()))
+    want = sorted(map(tuple, retrieval.search_bm25(updated_df, queries, k=5).collect()))
+    assert got == want and len(got) > 0
+
+    # refold recovery recomputes the same scalars from live postings
+    meta = retrieval.refold_bm25_meta(spark, path)
+    assert meta["n_docs"] == updated_disk["n_docs"]
+    assert meta["total_dl"] == updated_disk["total_dl"]
+
+
 def test_bm25_incremental_update_matches_rebuild(spark):
     """update_bm25_index absorbs a batch (including a RE-INGESTED doc
     whose text changed) without re-tokenizing history, and the updated
