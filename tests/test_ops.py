@@ -448,6 +448,9 @@ def test_path_write_auto_capture_funnel_chain(spark, tmp_path):
             for r in ctx.table("data_lineage").collect()
         }
     finally:
+        from sql_data_warehouse_analytics_project_spark.sources import writers
+
+        writers.set_path_observer(None)  # never leak past a failed assert
         cat.drop_layers()
 
 
@@ -486,6 +489,9 @@ def test_streaming_sink_slice_writes_auto_captured(spark, tmp_path):
         assert "external.corpus.write_time" in metrics
         ctx.close()
     finally:
+        from sql_data_warehouse_analytics_project_spark.sources import writers
+
+        writers.set_path_observer(None)  # never leak past a failed assert
         cat.drop_layers()
 
 
