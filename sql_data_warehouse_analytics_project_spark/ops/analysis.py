@@ -102,6 +102,61 @@ def throughput_analysis(ctx: RunContext, days: int = 30) -> DataFrame:
     )
 
 
+def shuffle_summary(ctx: RunContext) -> DataFrame:
+    """Per-target executor-resource rollup over the auto-captured /
+    measured telemetry: for every metric prefix (``gold.fact_sales``,
+    ``external.curated``, a ``measure()`` block name) — write count,
+    total shuffle read/write bytes, spill bytes, executor task time,
+    wall time, and ``parallelism`` (task-seconds per wall-second: ~1 ⇒
+    the job ran single-task; ≫1 ⇒ the cluster actually worked in
+    parallel). The table that says WHERE the shuffle budget goes and
+    which builds aren't using their executors — the view the
+    reference's psutil telemetry (performance_monitor.py:385-450) could
+    never produce. One pass: suffix-classified conditional sums."""
+    m = ctx.table("performance_metrics")
+    suffix = F.regexp_extract("metric_name", r"\.([a-z_]+)$", 1)
+    known = (
+        "shuffle_write_bytes", "shuffle_read_bytes", "spill_memory_bytes",
+        "spill_disk_bytes", "task_time", "write_time", "execution_time",
+    )
+    base = m.filter(suffix.isin(*known)).select(
+        F.expr(
+            "substring(metric_name, 1, "
+            "length(metric_name) - length(regexp_extract(metric_name, "
+            r"'\\.([a-z_]+)$', 1)) - 1)"
+        ).alias("target"),
+        suffix.alias("s"),
+        F.col("metric_value").cast("double").alias("v"),
+    )
+
+    def total(name):
+        return F.sum(F.when(F.col("s") == name, F.col("v"))).alias(name)
+
+    wall = F.sum(
+        F.when(F.col("s").isin("write_time", "execution_time"), F.col("v"))
+    )
+    return (
+        base.groupBy("target")
+        .agg(
+            F.count(F.when(F.col("s").isin("write_time", "execution_time"), 1))
+            .alias("n_measured"),
+            total("shuffle_write_bytes"),
+            total("shuffle_read_bytes"),
+            (F.sum(F.when(F.col("s").isin("spill_memory_bytes",
+                                          "spill_disk_bytes"), F.col("v"))))
+            .alias("spill_bytes"),
+            total("task_time"),
+            wall.alias("wall_time"),
+            F.round(
+                F.sum(F.when(F.col("s") == "task_time", F.col("v")))
+                / F.nullif(wall, F.lit(0.0)),
+                2,
+            ).alias("parallelism"),
+        )
+        .orderBy(F.col("shuffle_write_bytes").desc_nulls_last(), "target")
+    )
+
+
 # -- L13: bottleneck identification ----------------------------------------
 
 

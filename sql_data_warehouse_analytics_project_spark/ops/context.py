@@ -565,9 +565,24 @@ class RunContext:
         )
 
     @contextmanager
-    def measure(self, name: str, *, process_log_id: int | None = None):
+    def measure(
+        self,
+        name: str,
+        *,
+        process_log_id: int | None = None,
+        executor_metrics: bool = True,
+    ):
         """Context-managed timing (+ psutil cpu/mem when available,
-        performance_monitor.py:273-322)."""
+        performance_monitor.py:273-322), now ALSO recording the
+        status-store executor metrics of the Spark stages the block ran
+        (shuffle bytes, task time, spill — ``ops/spark_metrics.py``),
+        tagged with one ``capture:<id>`` so
+        ``analysis.identify_bottlenecks`` can call a slow measured block
+        SHUFFLE_HEAVY. Same best-effort/attribution contract as
+        auto-capture; ``executor_metrics=False`` opts out for blocks
+        that run no Spark jobs."""
+        from sql_data_warehouse_analytics_project_spark.ops import spark_metrics
+
         try:
             import psutil
 
@@ -576,25 +591,38 @@ class RunContext:
             mem0 = proc.memory_info().rss
         except Exception:  # noqa: BLE001 — psutil optional
             proc = None
+        stage0 = spark_metrics.latest_stage_id(self.spark) if executor_metrics else -1
         t0 = time.time()
         try:
             yield
         finally:
             elapsed = time.time() - t0
+            corr = f"capture:{_new_id()}"
             self.record_metric(f"{name}.execution_time", elapsed, "seconds",
-                               process_log_id=process_log_id)
+                               process_log_id=process_log_id, context=corr)
             if proc is not None:
                 cpu1 = proc.cpu_times()
                 self.record_metric(
                     f"{name}.cpu_time",
                     (cpu1.user - cpu0.user) + (cpu1.system - cpu0.system),
-                    "seconds", process_log_id=process_log_id,
+                    "seconds", process_log_id=process_log_id, context=corr,
                 )
                 self.record_metric(
                     f"{name}.memory_delta",
                     (proc.memory_info().rss - mem0) / 1e6,
-                    "MB", process_log_id=process_log_id,
+                    "MB", process_log_id=process_log_id, context=corr,
                 )
+            if executor_metrics:
+                stages = spark_metrics.stage_metrics_since(self.spark, stage0)
+                if stages is not None:
+                    for suffix, value in stages.items():
+                        self.record_metric(
+                            f"{name}.{suffix}",
+                            value,
+                            spark_metrics.metric_unit(suffix),
+                            process_log_id=process_log_id,
+                            context=corr,
+                        )
 
     # -- lifecycle wrapper --------------------------------------------------
 

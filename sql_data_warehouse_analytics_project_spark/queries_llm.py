@@ -2237,3 +2237,48 @@ def qd52_bm25_bucketed_disk_update(spark: SparkSession, sf_dir: str) -> DataFram
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@register(
+    "qd53_token_drift",
+    f"""
+    WITH a AS (SELECT unnest({{toks}}) AS token FROM documents WHERE doc_id % 2 = 0),
+    b AS (SELECT unnest({{toks}}) AS token FROM documents WHERE doc_id % 2 = 1),
+    cca AS (SELECT token, count(*) AS ca FROM a GROUP BY 1),
+    ccb AS (SELECT token, count(*) AS cb FROM b GROUP BY 1),
+    vocab AS (
+      SELECT token, COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+      FROM cca FULL OUTER JOIN ccb USING (token)
+    ),
+    tot AS (SELECT SUM(ca) AS na, SUM(cb) AS nb, COUNT(*) AS v FROM vocab),
+    scored AS (
+      SELECT token,
+             round((ca + 0.5) / (na + 0.5 * v), 9) AS p_a,
+             round((cb + 0.5) / (nb + 0.5 * v), 9) AS p_b,
+             round(((ca + 0.5) / (na + 0.5 * v))
+                   * ln(((ca + 0.5) / (na + 0.5 * v))
+                        / ((cb + 0.5) / (nb + 0.5 * v))), 9) AS kl_contrib
+      FROM vocab, tot
+    ),
+    cut AS (SELECT * FROM scored ORDER BY abs(kl_contrib) DESC, token LIMIT 25)
+    SELECT token, p_a, p_b, kl_contrib,
+           CAST(row_number() OVER (ORDER BY abs(kl_contrib) DESC, token) AS INT) AS rank
+    FROM cut
+    """.replace("{toks}", _TOKS),
+)
+def qd53_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot drift (`text.token_drift`): add-k-smoothed
+    per-token KL contributions between two halves of the corpus
+    (doc_id parity stands in for consecutive crawl snapshots) — the
+    recurring-ingest monitoring check ("did this crawl's vocabulary
+    shift? which tokens drove it?"). Union-vocab smoothing keeps
+    one-sided tokens finite and signed; top-25 by |contribution| with
+    the cut-before-rank pattern (TakeOrderedAndProject, never a
+    vocab-sized single-task window). Integer counts ⇒ identical IEEE
+    ratios on both engines; contributions round to 9dp before ranking."""
+    docs = _docs(spark, sf_dir)
+    return text.token_drift(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+        top_k=25,
+    )

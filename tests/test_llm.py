@@ -797,6 +797,36 @@ def test_bigram_lm_scores_hand_checked(spark):
     assert rows[1].perplexity < rows[2].perplexity
 
 
+def test_token_drift_hand_checked(spark):
+    """Smoothed KL drift between two snapshots: union-vocab smoothing
+    gives one-sided tokens finite signed contributions; ranking is
+    |contribution| desc with token tiebreak after a top-k cut."""
+    import math
+
+    a = spark.createDataFrame(
+        [Row(doc_id=1, text="x x x y")], "doc_id long, text string"
+    )
+    b = spark.createDataFrame(
+        [Row(doc_id=2, text="x y y z")], "doc_id long, text string"
+    )
+    rows = {r.token: r for r in text.token_drift(a, b, top_k=3).collect()}
+    # counts: A x=3 y=1 (na=4), B x=1 y=2 z=1 (nb=4); union V=3, k=0.5
+    def p(c, n):
+        return (c + 0.5) / (n + 0.5 * 3)
+
+    for tok, ca, cb in (("x", 3, 1), ("y", 1, 2), ("z", 0, 1)):
+        pa, pb = p(ca, 4), p(cb, 4)
+        assert rows[tok].p_a == round(pa, 9)
+        assert rows[tok].p_b == round(pb, 9)
+        assert rows[tok].kl_contrib == round(pa * math.log(pa / pb), 9)
+    # x over-represented in A (positive), z absent from A (negative)
+    assert rows["x"].kl_contrib > 0 > rows["z"].kl_contrib
+    assert [r.token for r in sorted(rows.values(), key=lambda r: r.rank)] == \
+        sorted(rows, key=lambda t: (-abs(rows[t].kl_contrib), t))
+    # top_k cut respected
+    assert text.token_drift(a, b, top_k=1).count() == 1
+
+
 def test_contamination_score_full_and_partial_overlap(spark):
     train = spark.createDataFrame(
         [

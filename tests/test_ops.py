@@ -359,6 +359,34 @@ def test_auto_capture_records_executor_metrics(spark):
         cat.drop_layers()
 
 
+def test_measure_records_executor_metrics_and_shuffle_summary(spark):
+    """measure() blocks capture the same status-store executor telemetry
+    as auto-captured writes, and shuffle_summary rolls the telemetry up
+    per target with a parallelism ratio."""
+    cat = Catalog(spark, prefix="msr_")
+    cat.create_layers()
+    try:
+        ctx = RunContext(cat, created_by="msrtest")
+        orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        with ctx.measure("cust_rollup"):
+            orders.groupBy("o_custkey").count().count()  # real shuffle
+        rows = {r.metric_name: r for r in ctx.table("performance_metrics").collect()}
+        assert float(rows["cust_rollup.shuffle_write_bytes"].metric_value) > 0
+        assert float(rows["cust_rollup.task_time"].metric_value) > 0
+        tag = rows["cust_rollup.execution_time"].additional_context
+        assert tag and tag.startswith("capture:")
+        assert rows["cust_rollup.shuffle_write_bytes"].additional_context == tag
+
+        summary = {r.target: r for r in analysis.shuffle_summary(ctx).collect()}
+        s = summary["cust_rollup"]
+        assert s.n_measured == 1
+        assert s.shuffle_write_bytes > 0 and s.shuffle_read_bytes > 0
+        assert s.wall_time > 0 and s.parallelism is not None
+        ctx.close()
+    finally:
+        cat.drop_layers()
+
+
 def test_identify_bottlenecks_shuffle_heavy_category(spark):
     """A slow measurement whose correlated shuffle volume crosses the
     threshold is SHUFFLE_HEAVY; a slow one without telemetry (or below
