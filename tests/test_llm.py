@@ -827,6 +827,38 @@ def test_token_drift_hand_checked(spark):
     assert text.token_drift(a, b, top_k=1).count() == 1
 
 
+def test_bigram_lm_and_token_drift_plan_discipline(spark):
+    """Scale contracts of the round-8 text operators, plan-asserted:
+    bigram_lm_scores stays JVM-side (no Python eval) with no cartesian
+    blowup and no single-partition exchange on the data path (the 1-row
+    vocab scalar is collected, not crossJoined); token_drift's top-k is
+    a TakeOrderedAndProject CUT — the rank window runs over <= k rows,
+    never a vocab-sized single task."""
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma doc {i} with words {i % 7}") for i in range(50)],
+        "doc_id long, text string",
+    )
+    p1 = (
+        text.bigram_lm_scores(docs, "doc_id")
+        ._jdf.queryExecution().executedPlan().treeString()
+    )
+    assert "BatchEvalPython" not in p1 and "ArrowEvalPython" not in p1, p1
+    assert "CartesianProduct" not in p1, p1
+    assert "SinglePartition" not in p1, p1
+
+    drift = text.token_drift(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+        top_k=5,
+    )
+    p2 = drift._jdf.queryExecution().executedPlan().treeString()
+    assert "TakeOrderedAndProject" in p2, p2
+    # the only Window sits ABOVE the top-k cut: plan order puts the rank
+    # window before (above) TakeOrderedAndProject in the tree string
+    assert p2.index("Window") < p2.index("TakeOrderedAndProject"), p2
+    assert "BatchEvalPython" not in p2 and "CartesianProduct" not in p2, p2
+
+
 def test_contamination_score_full_and_partial_overlap(spark):
     train = spark.createDataFrame(
         [
