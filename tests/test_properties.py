@@ -236,3 +236,57 @@ def test_bm25_update_equals_rebuild_property(spark, base, batch):
     got = sorted(map(tuple, retrieval.search_bm25(updated, queries, k=5).collect()))
     want = sorted(map(tuple, retrieval.search_bm25(rebuilt, queries, k=5).collect()))
     assert got == want
+
+
+_WORDS = st.sampled_from(["alpha", "beta", "gamma", "delta", "x1", "zz"])
+_DOC = st.lists(_WORDS, min_size=0, max_size=8).map(" ".join)
+_CORPUS = st.lists(_DOC, min_size=1, max_size=6)
+
+
+def _docs_df(spark, texts):
+    return spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)],
+        "doc_id long, text string",
+    )
+
+
+@SET
+@given(a=_CORPUS, b=_CORPUS)
+def test_token_drift_kl_properties(spark, a, b):
+    """Information-theory invariants of the drift operator on random
+    corpora: total KL(A||B) over the FULL vocabulary is >= 0 (Gibbs'
+    inequality survives the add-k smoothing, which renormalizes both
+    sides over the same union vocab), and drift of a corpus against
+    itself is exactly zero per token (p_a == p_b -> ln(1) == 0)."""
+    from sql_data_warehouse_analytics_project_spark.llm import text as T
+
+    if not any(t.strip() for t in a) or not any(t.strip() for t in b):
+        return  # empty vocab on a side: nothing to compare
+    da, db = _docs_df(spark, a), _docs_df(spark, b)
+    rows = T.token_drift(da, db, top_k=10_000).collect()
+    assert rows, "union vocab must be non-empty"
+    # rounding is 9dp per token; allow the summed rounding slack
+    assert sum(r.kl_contrib for r in rows) >= -1e-6 * len(rows)
+    for r in T.token_drift(da, da, top_k=10_000).collect():
+        assert r.kl_contrib == 0.0 and r.p_a == r.p_b
+
+
+@SET
+@given(corpus=_CORPUS)
+def test_bigram_lm_probability_invariants(spark, corpus):
+    """Smoothed-probability invariants on random corpora: every
+    transition probability is in (0, 1) so avg_logprob < 0 and
+    perplexity > 1; n_bigrams matches len(tokens) - 1 per doc; docs
+    with < 2 tokens never appear."""
+    from sql_data_warehouse_analytics_project_spark.llm import text as T
+
+    df = _docs_df(spark, corpus)
+    rows = {r.doc_id: r for r in T.bigram_lm_scores(df, "doc_id").collect()}
+    for i, t in enumerate(corpus):
+        toks = t.split()
+        if len(toks) < 2:
+            assert i not in rows
+        else:
+            assert rows[i].n_bigrams == len(toks) - 1
+            assert rows[i].avg_logprob < 0
+            assert rows[i].perplexity > 1
