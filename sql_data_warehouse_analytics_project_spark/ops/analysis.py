@@ -112,12 +112,14 @@ def shuffle_summary(ctx: RunContext) -> DataFrame:
     parallel). The table that says WHERE the shuffle budget goes and
     which builds aren't using their executors — the view the
     reference's psutil telemetry (performance_monitor.py:385-450) could
-    never produce. One pass: suffix-classified conditional sums."""
+    never produce. One pass: suffix-classified conditional sums. Byte
+    volumes are recorded and rolled up in MB (``ops/spark_metrics.py`` —
+    DECIMAL(15,4) can't hold 100 TB-scale byte counts)."""
     m = ctx.table("performance_metrics")
     suffix = F.regexp_extract("metric_name", r"\.([a-z_]+)$", 1)
     known = (
-        "shuffle_write_bytes", "shuffle_read_bytes", "spill_memory_bytes",
-        "spill_disk_bytes", "task_time", "write_time", "execution_time",
+        "shuffle_write_mb", "shuffle_read_mb", "spill_memory_mb",
+        "spill_disk_mb", "task_time", "write_time", "execution_time",
     )
     base = m.filter(suffix.isin(*known)).select(
         F.expr(
@@ -140,11 +142,11 @@ def shuffle_summary(ctx: RunContext) -> DataFrame:
         .agg(
             F.count(F.when(F.col("s").isin("write_time", "execution_time"), 1))
             .alias("n_measured"),
-            total("shuffle_write_bytes"),
-            total("shuffle_read_bytes"),
-            (F.sum(F.when(F.col("s").isin("spill_memory_bytes",
-                                          "spill_disk_bytes"), F.col("v"))))
-            .alias("spill_bytes"),
+            total("shuffle_write_mb"),
+            total("shuffle_read_mb"),
+            (F.sum(F.when(F.col("s").isin("spill_memory_mb",
+                                          "spill_disk_mb"), F.col("v"))))
+            .alias("spill_mb"),
             total("task_time"),
             wall.alias("wall_time"),
             F.round(
@@ -153,7 +155,7 @@ def shuffle_summary(ctx: RunContext) -> DataFrame:
                 2,
             ).alias("parallelism"),
         )
-        .orderBy(F.col("shuffle_write_bytes").desc_nulls_last(), "target")
+        .orderBy(F.col("shuffle_write_mb").desc_nulls_last(), "target")
     )
 
 
@@ -164,7 +166,7 @@ def identify_bottlenecks(
     ctx: RunContext,
     percentile: float = 0.95,
     *,
-    shuffle_heavy_bytes: float = 64 * 1024 * 1024,
+    shuffle_heavy_mb: float = 64.0,
 ) -> DataFrame:
     """Measurements beyond the p-th execution-time threshold, categorized
     (performance_monitor.py:552-636 flags SLOW_EXECUTION/LOW_THROUGHPUT
@@ -176,14 +178,15 @@ def identify_bottlenecks(
     With the status-store executor telemetry (``ops/spark_metrics.py``,
     recorded by auto-capture under a shared ``capture:<id>`` tag in
     ``additional_context``), a slow measurement whose correlated shuffle
-    volume (read + write bytes) reaches ``shuffle_heavy_bytes`` is
-    categorized ``SHUFFLE_HEAVY`` — the fix is partitioning/broadcast,
-    not faster code — and ``SLOW_EXECUTION`` otherwise. Both
-    ``.execution_time`` (the measure() contract) and auto-capture's
-    ``.write_time`` rows participate. The default threshold (64 MiB) is
-    a local-mode default; a cluster deployment sets it to the volume at
-    which ITS shuffle tier dominates a stage. Output adds
-    ``shuffle_bytes`` (null when the row has no correlated telemetry)."""
+    volume (read + write, in MB — the telemetry's recording unit) reaches
+    ``shuffle_heavy_mb`` is categorized ``SHUFFLE_HEAVY`` — the fix is
+    partitioning/broadcast, not faster code — and ``SLOW_EXECUTION``
+    otherwise. Both ``.execution_time`` (the measure() contract) and
+    auto-capture's ``.write_time`` rows participate. The default
+    threshold (64 MB) is a local-mode default; a cluster deployment sets
+    it to the volume at which ITS shuffle tier dominates a stage. Output
+    adds ``shuffle_mb`` (null when the row has no correlated telemetry).
+    """
     metrics = ctx.table("performance_metrics")
     times = metrics.filter(
         F.col("metric_name").endswith(".execution_time")
@@ -198,12 +201,12 @@ def identify_bottlenecks(
         metrics.filter(
             F.col("additional_context").startswith("capture:")
             & (
-                F.col("metric_name").endswith(".shuffle_write_bytes")
-                | F.col("metric_name").endswith(".shuffle_read_bytes")
+                F.col("metric_name").endswith(".shuffle_write_mb")
+                | F.col("metric_name").endswith(".shuffle_read_mb")
             )
         )
         .groupBy("additional_context")
-        .agg(F.sum("metric_value").cast("double").alias("shuffle_bytes"))
+        .agg(F.sum("metric_value").cast("double").alias("shuffle_mb"))
     )
     return (
         times.join(F.broadcast(thresholds), "metric_name")
@@ -214,13 +217,13 @@ def identify_bottlenecks(
             F.col("metric_value").alias("execution_time"),
             "p_threshold",
             F.when(
-                F.coalesce(F.col("shuffle_bytes"), F.lit(0.0))
-                >= float(shuffle_heavy_bytes),
+                F.coalesce(F.col("shuffle_mb"), F.lit(0.0))
+                >= float(shuffle_heavy_mb),
                 F.lit("SHUFFLE_HEAVY"),
             )
             .otherwise(F.lit("SLOW_EXECUTION"))
             .alias("bottleneck_type"),
-            "shuffle_bytes",
+            "shuffle_mb",
             "measurement_timestamp",
         )
         .orderBy(F.col("execution_time").desc())

