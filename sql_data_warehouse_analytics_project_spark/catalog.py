@@ -14,10 +14,27 @@ applied by ``with_medallion_metadata``.
 The ``is_deleted`` standing filter (``sql/query_builder.py:121-124``) is
 enforced by ``read()`` — the predicate is a plain column equality, so it
 pushes down to the parquet scan.
+
+Atomic publish (round 9): a managed table is a metastore VIEW pointing
+at a physical GENERATION table (``<table>__gNNNNNN``). ``overwrite``
+writes the new state as a brand-new generation table, then republishes
+the view with ONE ``CREATE OR REPLACE VIEW`` statement — a single
+metastore update, so a concurrent ``spark.table()``/``Catalog.read``
+never observes a missing table or a half-swapped state (the reference
+gets this from PostgreSQL transactions, ``sql/dml.py:96-167,248-337``;
+Delta would make it a table-format commit — this is the metastore-native
+equivalent, the same pointer-commit idea as ``sources/manifest.py``).
+Readers resolve through the view automatically; filters and column
+pruning push through view resolution into the physical scan unchanged.
+The previous generation is retained for one publish cycle (in-flight
+scans drain), older ones are pruned; a crash anywhere leaves the old
+view intact plus at most an orphan generation for
+:meth:`Catalog.vacuum_generations`.
 """
 
 from __future__ import annotations
 
+import re
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -30,6 +47,11 @@ from sql_data_warehouse_analytics_project_spark.operators.relational import (
 )
 
 LAYERS = ("bronze", "silver", "gold", "logs")
+
+#: physical generation tables backing a published view: <table>__gNNNNNN
+GEN_RE = re.compile(r"^(?P<base>.+)__g(?P<seq>\d{6})$")
+#: view property holding the qualified name of the published generation
+GEN_PROP = "spark_graft.generation"
 
 #: Managed-table metadata columns (reference ``sql/ddl.py:178-189``;
 #: README list README.md:517-525).
@@ -101,6 +123,78 @@ class Catalog:
         for layer in LAYERS:
             self.spark.sql(f"DROP DATABASE IF EXISTS {self.db(layer)} CASCADE")
 
+    # -- generation plumbing (atomic view-pointer publish) -------------------
+
+    def _gen_name(self, table: str, seq: int) -> str:
+        return f"{table}__g{seq:06d}"
+
+    def _is_view(self, qualified: str) -> bool:
+        try:
+            return self.spark.catalog.getTable(qualified).tableType == "VIEW"
+        except Exception:  # noqa: BLE001 — missing table
+            return False
+
+    def resolve_table(self, layer: str, table: str) -> str:
+        """The qualified PHYSICAL table behind a published view (reads the
+        view's generation pointer property) — the view's own name for a
+        legacy plain table. Physical-only operations (append, ANALYZE,
+        DESCRIBE location, insertInto) go through this; plain reads never
+        need it (``spark.table`` resolves the view)."""
+        q = self.qualified(layer, table)
+        if not self._is_view(q):
+            return q
+        rows = self.spark.sql(f"SHOW TBLPROPERTIES {q}").collect()
+        for r in rows:
+            if r["key"] == GEN_PROP:
+                return r["value"]
+        raise RuntimeError(f"view {q} has no {GEN_PROP} pointer")
+
+    def _generations(self, layer: str, table: str) -> list[str]:
+        """Existing generation table NAMES for ``table``, seq-ascending
+        (includes orphans a crash may have left)."""
+        db = self.db(layer)
+        out = []
+        for t in self.spark.catalog.listTables(db):
+            if t.database != db or t.isTemporary:
+                continue
+            m = GEN_RE.match(t.name)
+            if m and m.group("base") == table:
+                out.append((int(m.group("seq")), t.name))
+        return [name for _, name in sorted(out)]
+
+    def _publish(self, layer: str, table: str, gen_q: str,
+                 comment: str | None = None) -> None:
+        """Point the table view at ``gen_q`` with ONE atomic
+        ``CREATE OR REPLACE VIEW`` metastore update. Carries the existing
+        view comment forward when none is given."""
+        q = self.qualified(layer, table)
+        if comment is None and self._is_view(q):
+            try:
+                comment = self.spark.catalog.getTable(q).description
+            except Exception:  # noqa: BLE001 — description is cosmetic
+                comment = None
+        stmt = f"CREATE OR REPLACE VIEW {q} "
+        if comment:
+            escaped = comment.replace("\\", "\\\\").replace("'", "\\'")
+            stmt += f"COMMENT '{escaped}' "
+        stmt += (
+            f"TBLPROPERTIES ('{GEN_PROP}'='{gen_q}') AS SELECT * FROM {gen_q}"
+        )
+        self.spark.sql(stmt)
+
+    #: previous generations retained per table after a publish (in-flight
+    #: readers' grace window); older ones are pruned by overwrite itself
+    generation_retention = 1
+
+    def _prune_generations(self, layer: str, table: str, keep: set[str]) -> None:
+        gens = self._generations(layer, table)
+        keep_tail = set(gens[-(self.generation_retention + 1):])
+        for name in gens:
+            q = f"{self.db(layer)}.{name}"
+            if q in keep or name in keep_tail:
+                continue
+            self.spark.sql(f"DROP TABLE IF EXISTS {q}")
+
     def create_table(
         self,
         layer: str,
@@ -113,7 +207,9 @@ class Catalog:
     ) -> None:
         """Idempotent CREATE TABLE (maps ``sql/ddl.py:102-232``). Postgres
         RANGE/HASH/LIST partitioning and indexes (``ddl.py:199-297``) map to
-        parquet directory partitioning + file statistics."""
+        parquet directory partitioning + file statistics. Creates the first
+        generation table plus the published view (module docstring), so
+        every later overwrite is an atomic pointer republish."""
         if self.spark.catalog.tableExists(self.qualified(layer, table)):
             return
         fields = list(schema.fields)
@@ -121,55 +217,90 @@ class Catalog:
             present = {f.name for f in fields}
             fields += [f for f in MEDALLION_METADATA_FIELDS if f.name not in present]
         empty = self.spark.createDataFrame([], T.StructType(fields))
+        gen_q = f"{self.db(layer)}.{self._gen_name(table, 1)}"
+        self.spark.sql(f"DROP TABLE IF EXISTS {gen_q}")
         writer = empty.write.format("parquet")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
-        writer.saveAsTable(self.qualified(layer, table))
-        if comment:
-            # escape quotes — an apostrophe in a comment must not break
-            # (or inject into) the generated DDL
-            escaped = comment.replace("\\", "\\\\").replace("'", "\\'")
-            self.spark.sql(
-                f"COMMENT ON TABLE {self.qualified(layer, table)} IS '{escaped}'"
-            )
+        writer.saveAsTable(gen_q)
+        self._publish(layer, table, gen_q, comment=comment)
 
     def table_exists(self, layer: str, table: str) -> bool:
         """S5 probe (maps ``BronzeManager.table_exists`` ``bronze.py:303-331``)."""
         return self.spark.catalog.tableExists(self.qualified(layer, table))
 
     def drop_table(self, layer: str, table: str) -> None:
-        self.spark.sql(f"DROP TABLE IF EXISTS {self.qualified(layer, table)}")
+        q = self.qualified(layer, table)
+        if self._is_view(q):
+            self.spark.sql(f"DROP VIEW IF EXISTS {q}")
+        else:
+            self.spark.sql(f"DROP TABLE IF EXISTS {q}")
+        for name in self._generations(layer, table):
+            self.spark.sql(f"DROP TABLE IF EXISTS {self.db(layer)}.{name}")
 
     def add_column(self, layer: str, table: str, name: str, dtype: str) -> None:
-        """Maps ``alter_table_add_column`` (``sql/ddl.py:347-385``)."""
-        self.spark.sql(
-            f"ALTER TABLE {self.qualified(layer, table)} ADD COLUMNS ({name} {dtype})"
-        )
+        """Maps ``alter_table_add_column`` (``sql/ddl.py:347-385``). Alters
+        the physical generation, then republishes the view (a view's star
+        expansion is frozen at creation — without the republish the new
+        column would stay invisible)."""
+        phys = self.resolve_table(layer, table)
+        self.spark.sql(f"ALTER TABLE {phys} ADD COLUMNS ({name} {dtype})")
+        q = self.qualified(layer, table)
+        if self._is_view(q):
+            self.spark.catalog.refreshTable(phys)
+            self._publish(layer, table, phys)
 
     # -- I/O ----------------------------------------------------------------
 
     def read(self, layer: str, table: str, *, include_deleted: bool = False) -> DataFrame:
-        """Table read with the standing ``is_deleted = FALSE`` filter (P3)."""
+        """Table read with the standing ``is_deleted = FALSE`` filter (P3).
+        Resolves through the published view — a concurrent overwrite
+        republishes the pointer atomically, so this never sees a missing
+        or half-swapped table."""
         df = self.spark.table(self.qualified(layer, table))
         return df if include_deleted else exclude_soft_deleted(df)
 
+    def refresh(self, layer: str, table: str) -> None:
+        """Invalidate cached file listings for the table AND its published
+        physical generation — needed when another session (a streaming
+        micro-batch clone) appended files this session's cache predates."""
+        q = self.qualified(layer, table)
+        if not self.spark.catalog.tableExists(q):
+            return
+        self.spark.catalog.refreshTable(q)
+        phys = self.resolve_table(layer, table)
+        if phys != q:
+            self.spark.catalog.refreshTable(phys)
+
     def append(self, df: DataFrame, layer: str, table: str) -> None:
         """S3/S4 sink — bulk columnar append (replaces the reference's
-        per-row INSERT loop, ``bronze.py:495-527``). Appends into a
-        partitioned table restate its partition columns (saveAsTable
-        refuses a writer whose partitioning differs from the table's)."""
+        per-row INSERT loop, ``bronze.py:495-527``) into the CURRENT
+        physical generation behind the view. Appends into a partitioned
+        table restate its partition columns (saveAsTable refuses a writer
+        whose partitioning differs from the table's)."""
         q = self.qualified(layer, table)
         finish = None
         if self.observer is not None:
             df, finish = self.observer.begin_write(df, layer, table, mode="append")
-        writer = df.write.mode("append").format("parquet")
+        publish_gen = None
         if self.spark.catalog.tableExists(q):
+            target = self.resolve_table(layer, table)
+        else:
+            # first write creates generation 1 + the published view, so
+            # every table is pointer-committed from birth
+            target = f"{self.db(layer)}.{self._gen_name(table, 1)}"
+            self.spark.sql(f"DROP TABLE IF EXISTS {target}")
+            publish_gen = target
+        writer = df.write.mode("append").format("parquet")
+        if self.spark.catalog.tableExists(target):
             pcols = [
-                c.name for c in self.spark.catalog.listColumns(q) if c.isPartition
+                c.name for c in self.spark.catalog.listColumns(target) if c.isPartition
             ]
             if pcols:
                 writer = writer.partitionBy(*pcols)
-        writer.saveAsTable(q)
+        writer.saveAsTable(target)
+        if publish_gen is not None:
+            self._publish(layer, table, publish_gen)
         if finish is not None:
             finish()
 
@@ -181,93 +312,143 @@ class Catalog:
         *,
         partition_by: Sequence[str] = (),
     ) -> None:
-        """Full-table replace via staged write + metastore swap.
+        """Full-table replace via generation write + ATOMIC view republish.
 
-        The new state is written completely to ``<table>__staging`` first,
-        then swapped in (DROP target + RENAME staging). A crash while
-        writing leaves the target untouched; a crash inside the swap
-        leaves the new state durable in the staging table (recovered by
-        :meth:`recover_staging` or the next overwrite) — at no point is
-        the only copy of the data a half-written directory, unlike a
-        direct ``mode("overwrite")`` (the reference gets this atomicity
-        from PostgreSQL transactions, ``sql/dml.py:96-167,248-337``; a
-        Delta deployment would make the swap a single-commit MERGE).
+        The new state is written completely as a brand-new generation
+        table (``<table>__gNNNNNN``), then ONE ``CREATE OR REPLACE VIEW``
+        statement — a single metastore update — repoints the table at it.
+        A concurrent reader resolves the view to the old or the new
+        generation, never to a missing table or a half-swapped state (the
+        reference gets this atomicity from PostgreSQL transactions,
+        ``sql/dml.py:96-167,248-337``; a Delta deployment would make it a
+        table-format commit). A crash while writing leaves the view — and
+        every reader — on the old generation, with at most an orphan
+        generation table for :meth:`vacuum_generations`; there is no
+        recovery step because no partial state is ever published.
 
-        Writing to staging also materializes the plan, which typically
-        READS the target table (upsert/soft-delete reconcile) — Spark
-        cannot overwrite files it is still scanning, and here it never
-        has to."""
+        The previous generation is retained for ``generation_retention``
+        further publishes (grace for scans already resolved to it), then
+        pruned. Writing the new generation also materializes the plan,
+        which typically READS the current generation (upsert/soft-delete
+        reconcile) — Spark cannot overwrite files it is still scanning,
+        and here it never has to.
+
+        A LEGACY plain table (created outside this catalog) is adopted:
+        its state is republished as a generation + view, with a one-time
+        DROP TABLE + CREATE VIEW window — every subsequent overwrite is
+        atomic."""
         target = self.qualified(layer, table)
-        staging = f"{target}__staging"
         finish = None
         if self.observer is not None:
-            # instrument BEFORE the staging write (the row count rides that
-            # job); finish fires only after the swap, so lineage/metrics
-            # describe the materialized TARGET, never a half-done staging
+            # instrument BEFORE the generation write (the row count rides
+            # that job); finish fires only after the publish, so lineage/
+            # metrics describe the published TARGET, never a half-done write
             df, finish = self.observer.begin_write(df, layer, table, mode="overwrite")
-        self.spark.sql(f"DROP TABLE IF EXISTS {staging}")
+        gens = self._generations(layer, table)
+        seq = int(GEN_RE.match(gens[-1]).group("seq")) + 1 if gens else 1
+        gen_q = f"{self.db(layer)}.{self._gen_name(table, seq)}"
+        self.spark.sql(f"DROP TABLE IF EXISTS {gen_q}")
         writer = df.write.mode("overwrite").format("parquet")
         if partition_by:
-            # directory partitioning survives the metastore rename, so the
-            # swapped-in table keeps partition pruning (the scale lever for
+            # directory partitioning lives on the generation table, so the
+            # published view keeps partition pruning (the scale lever for
             # month-scoped fact scans)
             writer = writer.partitionBy(*partition_by)
-        writer.saveAsTable(staging)
-        self.spark.sql(f"DROP TABLE IF EXISTS {target}")
-        self.spark.sql(f"ALTER TABLE {staging} RENAME TO {target}")
-        if partition_by:
-            # the metastore stores per-partition LOCATIONs, which still
-            # point at the pre-rename staging directory after the swap —
-            # rebuild them from the (moved) directory tree or every read
-            # silently sees zero rows
-            self.spark.sql(f"MSCK REPAIR TABLE {target}")
+        writer.saveAsTable(gen_q)
+        exists = self.spark.catalog.tableExists(target)
+        if exists and not self._is_view(target):
+            # one-time adoption of a legacy plain table (docstring)
+            self.spark.sql(f"DROP TABLE {target}")
+        self._publish(layer, table, gen_q)
+        self._prune_generations(layer, table, keep={gen_q})
         if finish is not None:
             finish()
 
     def vacuum_staging(self, layer: str) -> list[str]:
-        """Drop abandoned ``__staging`` tables whose target exists — the
-        leftover of a crash AFTER the overwrite swap (or an aborted
-        rewrite). A staging table whose target is MISSING is the crash-
-        between-swap-steps state and is deliberately left for
+        """Reclaim generation tables a crash or retention left behind:
+        drop every ``__gNNNNNN`` generation that is neither the published
+        pointer of its view nor within the retention tail, plus legacy
+        ``__staging`` leftovers whose target exists. A generation (or
+        staging table) whose TARGET VIEW is missing is the interrupted-
+        adoption state and is deliberately left for
         :meth:`recover_staging` to promote. Returns the dropped names.
 
-        MAINTENANCE-WINDOW operation: run it only while no
-        :meth:`overwrite` is in flight on the layer. An overwrite that
-        has finished writing staging but not yet swapped looks exactly
-        like an abandoned staging table — vacuuming it mid-swap would
-        fail the rename and lose both copies. (The reference's
-        terminate-connections DDL has the same quiesce-first contract.)
-        Temporary views are skipped — only this layer's persisted tables
-        are candidates."""
+        Safe against concurrent readers of the PUBLISHED state (nothing
+        referenced is touched); run it while no :meth:`overwrite` is in
+        flight on the layer, or an overwrite's freshly-written-but-not-
+        yet-published generation could be vacuumed out from under it
+        (that overwrite would fail and retry — the published data is
+        never at risk, unlike the old staged-rename protocol). Temporary
+        views are skipped — only this layer's persisted tables are
+        candidates."""
         dropped: list[str] = []
         db = self.db(layer)
+        published: dict[str, str] = {}
+        gens: dict[str, list[tuple[int, str]]] = {}
         for t in self.spark.catalog.listTables(db):
             # listTables also returns session temp views (database=None)
             if t.database != db or t.isTemporary:
+                continue
+            m = GEN_RE.match(t.name)
+            if m:
+                gens.setdefault(m.group("base"), []).append(
+                    (int(m.group("seq")), t.name)
+                )
                 continue
             if t.name.endswith("__staging"):
                 target = t.name[: -len("__staging")]
                 if self.spark.catalog.tableExists(f"{db}.{target}"):
                     self.spark.sql(f"DROP TABLE {db}.{t.name}")
                     dropped.append(t.name)
+        for base, pairs in gens.items():
+            q = f"{db}.{base}"
+            if not self.spark.catalog.tableExists(q):
+                continue  # interrupted adoption: leave for recover_staging
+            if self._is_view(q):
+                published[base] = self.resolve_table(layer, base)
+            names = [name for _, name in sorted(pairs)]
+            keep_tail = set(names[-(self.generation_retention + 1):])
+            for name in names:
+                full = f"{db}.{name}"
+                if full == published.get(base) or name in keep_tail:
+                    continue
+                self.spark.sql(f"DROP TABLE IF EXISTS {full}")
+                dropped.append(name)
         return dropped
 
     def recover_staging(self, layer: str, table: str) -> bool:
-        """Finish an overwrite interrupted between its two swap steps:
-        if the target is gone but its fully-written staging table exists,
-        promote the staging table. Returns True if a recovery happened."""
+        """Finish an interrupted one-time ADOPTION (legacy plain table →
+        view) or a legacy staged overwrite: if the target is gone but a
+        fully-written generation (or legacy staging table) exists,
+        publish the newest one. Returns True if a recovery happened.
+        Uninterrupted generation overwrites never need this — a crash
+        before the publish leaves the old view live."""
         target = self.qualified(layer, table)
-        staging = f"{target}__staging"
-        if self.spark.catalog.tableExists(target) or not self.spark.catalog.tableExists(
-            staging
-        ):
+        if self.spark.catalog.tableExists(target):
             return False
-        self.spark.sql(f"ALTER TABLE {staging} RENAME TO {target}")
-        if any(c.isPartition for c in self.spark.catalog.listColumns(target)):
+        gens = self._generations(layer, table)
+        if gens:
+            self._publish(layer, table, f"{self.db(layer)}.{gens[-1]}")
+            return True
+        staging = f"{target}__staging"
+        if not self.spark.catalog.tableExists(staging):
+            return False
+        # legacy staged overwrite: promote the staging table into the
+        # generation protocol (rename to g1, publish the view)
+        gen_q = f"{self.db(layer)}.{self._gen_name(table, 1)}"
+        self.spark.sql(f"DROP TABLE IF EXISTS {gen_q}")
+        self.spark.sql(f"ALTER TABLE {staging} RENAME TO {gen_q}")
+        if any(c.isPartition for c in self.spark.catalog.listColumns(gen_q)):
             # partitioned staging: per-partition locations still reference
-            # the pre-rename path (same hazard as overwrite's swap)
-            self.spark.sql(f"MSCK REPAIR TABLE {target}")
+            # the pre-rename path
+            self.spark.sql(f"MSCK REPAIR TABLE {gen_q}")
+        self._publish(layer, table, gen_q)
         return True
+
+    def vacuum_generations(self, layer: str) -> list[str]:
+        """Alias of :meth:`vacuum_staging` under its round-9 name — the
+        generation protocol made staging tables a legacy concept."""
+        return self.vacuum_staging(layer)
 
     # -- declared constraints (S7, maps sql/ddl.py:300-344) -----------------
 
@@ -371,13 +552,25 @@ class Catalog:
     # -- catalog introspection (maps S8, sql/query_builder.py:390-567) ------
 
     def list_tables(self, layer: str):
-        return [t.name for t in self.spark.catalog.listTables(self.db(layer))]
+        """Logical tables of a layer — internal generation/staging
+        physicals are implementation detail and filtered out."""
+        db = self.db(layer)
+        return [
+            t.name
+            for t in self.spark.catalog.listTables(db)
+            if t.database == db
+            and not GEN_RE.match(t.name)
+            and not t.name.endswith("__staging")
+        ]
 
     def table_stats(self, layer: str, table: str) -> dict:
-        """Maps ``get_table_stats_sql`` (row estimate + size)."""
+        """Maps ``get_table_stats_sql`` (row estimate + size). Location
+        comes from the published physical generation."""
         q = self.qualified(layer, table)
         n = self.spark.table(q).count()
-        detail = self.spark.sql(f"DESCRIBE EXTENDED {q}").collect()
+        detail = self.spark.sql(
+            f"DESCRIBE EXTENDED {self.resolve_table(layer, table)}"
+        ).collect()
         props = {r.col_name: r.data_type for r in detail}
         return {"table": q, "row_count": n, "location": props.get("Location")}
 
@@ -393,27 +586,31 @@ class Catalog:
         from ingest jobs the way ``table_stats`` is called from audits.
 
         Returns the recorded stats (rowCount/sizeInBytes, plus distinct/
-        null counts per analyzed column) read back via DESCRIBE.
+        null counts per analyzed column) read back via DESCRIBE. Stats
+        live on the published physical generation — exactly the relation
+        every read through the view resolves to, so CBO uses them.
         """
         q = self.qualified(layer, table)
-        stmt = f"ANALYZE TABLE {q} COMPUTE STATISTICS"
+        phys = self.resolve_table(layer, table)
+        stmt = f"ANALYZE TABLE {phys} COMPUTE STATISTICS"
         if columns:
             cols = ", ".join(f"`{c}`" for c in columns)
             stmt += f" FOR COLUMNS {cols}"
         self.spark.sql(stmt)
-        detail = self.spark.sql(f"DESCRIBE EXTENDED {q}").collect()
+        detail = self.spark.sql(f"DESCRIBE EXTENDED {phys}").collect()
         props = {r.col_name: r.data_type for r in detail}
         out: dict = {"table": q, "statistics": props.get("Statistics")}
         for c in columns or []:
-            rows = self.spark.sql(f"DESCRIBE EXTENDED {q} `{c}`").collect()
+            rows = self.spark.sql(f"DESCRIBE EXTENDED {phys} `{c}`").collect()
             out[c] = {r.info_name: r.info_value for r in rows}
         return out
 
     def column_info(self, layer: str, table: str) -> list[dict]:
         """Per-column metadata (maps ``get_column_info_sql``,
         ``sql/query_builder.py:437-489``: name/type/nullable/position plus
-        the partition flag Postgres expresses via table DDL)."""
-        cols = self.spark.catalog.listColumns(self.qualified(layer, table))
+        the partition flag Postgres expresses via table DDL — read from
+        the physical generation, where partitioning lives)."""
+        cols = self.spark.catalog.listColumns(self.resolve_table(layer, table))
         return [
             {
                 "name": c.name,
@@ -427,14 +624,23 @@ class Catalog:
         ]
 
     def table_info(self, layer: str, table: str) -> dict:
-        """Table-level metadata (maps ``get_table_info_sql``)."""
-        t = self.spark.catalog.getTable(self.qualified(layer, table))
+        """Table-level metadata (maps ``get_table_info_sql``). The
+        ``table_type`` reported is the PHYSICAL generation's (MANAGED) —
+        the pointer view is plumbing, not what a catalog audit asks
+        about; ``storage`` names the published generation."""
+        q = self.qualified(layer, table)
+        t = self.spark.catalog.getTable(q)
+        phys = self.resolve_table(layer, table)
+        ttype = t.tableType
+        if ttype == "VIEW":
+            ttype = self.spark.catalog.getTable(phys).tableType
         return {
             "name": t.name,
             "database": self.db(layer),
-            "table_type": t.tableType,
+            "table_type": ttype,
             "is_temporary": t.isTemporary,
             "description": t.description,
+            "storage": phys,
         }
 
     def database_info(self, layer: str) -> dict:
@@ -455,7 +661,7 @@ class Catalog:
             db = self.db(layer)
             if not self.spark.catalog.databaseExists(db):
                 continue
-            tables = sorted(t.name for t in self.spark.catalog.listTables(db))
+            tables = sorted(self.list_tables(layer))
             out.append(
                 {"layer": layer, "database": db, "table_count": len(tables), "tables": tables}
             )

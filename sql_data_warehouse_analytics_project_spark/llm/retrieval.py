@@ -204,74 +204,138 @@ def update_bm25_index(
     }
 
 
+def _bucket_dirs_of(buckets: "dict[str, str]"):
+    """Group a manifest bucket map ``{bucket: generation}`` by
+    generation: ``{gid: [bucket ints]}`` — one pruned read per
+    generation reconstructs the live postings."""
+    by_gen: dict[str, list[int]] = {}
+    for b, gid in buckets.items():
+        by_gen.setdefault(gid, []).append(int(b))
+    return by_gen
+
+
+def _read_postings(spark, root: str, m: dict, only_buckets=None):
+    """LIVE postings of a manifest-committed BM25 layout: for every
+    generation the bucket map references, read EXACTLY its bucket
+    directories (``basePath`` keeps ``_bucket`` a partition column) and
+    union. ``only_buckets`` restricts the listing to those buckets — the
+    physically partition-pruned scan a document-keyed update rides."""
+    from sql_data_warehouse_analytics_project_spark.sources import manifest
+
+    extra = m["extra"]
+    sel = None if only_buckets is None else {int(b) for b in only_buckets}
+    parts = []
+    for gid, bs in _bucket_dirs_of(extra["buckets"]).items():
+        want = bs if sel is None else [b for b in bs if b in sel]
+        if not want:
+            continue
+        base = f"{manifest.generation_dir(root, gid)}/postings"
+        df = (
+            spark.read.option("basePath", base)
+            .parquet(*[f"{base}/_bucket={b}" for b in sorted(want)])
+            .select("term", "doc", "tf", "dl", "_bucket")
+        )
+        parts.append(df)
+    if not parts:
+        id_type = extra["id_type"]
+        return spark.createDataFrame(
+            [], f"term string, doc {id_type}, tf bigint, dl bigint, _bucket bigint"
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def write_bm25_index(
     index: dict,
     path: str,
     *,
     doc_buckets: int = 64,
 ) -> None:
-    """Persist a BM25 index as a DOC-BUCKETED on-disk layout:
+    """Persist a BM25 index as a DOC-BUCKETED, MANIFEST-COMMITTED
+    on-disk layout (``sources/manifest``)::
 
-    - ``<path>/postings`` — partitioned by ``_bucket =
-      pmod(xxhash64(doc), doc_buckets)`` and term-sorted WITHIN each
-      file, so queries keep parquet row-group min/max pruning on the
-      term join key while document-keyed maintenance prunes whole bucket
-      DIRECTORIES;
-    - ``<path>/term_stats`` — the vocab-sized df table, term-sorted;
-    - ``<path>/meta.json`` — the exact-int scalars + layout metadata.
+        <path>/_MANIFEST.json                 <- atomic pointer (extra
+            holds the exact-int scalars, id_type, doc_buckets, a
+            bucket->generation map, and the term_stats generation)
+        <path>/_generations/<gid>/postings/_bucket=<b>/   term-sorted
+        <path>/_generations/<gid>/term_stats/
 
-    The layout exists for :func:`update_bm25_index_on_disk`: the
-    DataFrame-path :func:`update_bm25_index` must scan ALL old postings
-    to retire re-ingested ids (and a persist-and-swap rewrites all of
-    them); bucketing by doc turns both into work on the handful of
-    buckets the batch's ids hash into — at 100 TB the difference between
-    touching ~1/64th of the index per batch and rewriting it."""
-    import json
+    Postings partition by ``_bucket = pmod(xxhash64(doc), doc_buckets)``
+    and term-sort WITHIN each file, so queries keep parquet row-group
+    min/max pruning on the term join key while document-keyed
+    maintenance prunes whole bucket DIRECTORIES. The bucket map lets
+    :func:`update_bm25_index_on_disk` write ONLY affected buckets into a
+    new generation and still publish atomically: unaffected buckets stay
+    byte-untouched in their old generations, referenced by the new
+    manifest. Readers (:func:`read_bm25_index`) resolve the manifest
+    once and see a complete index before or after any update — never a
+    mixture and never a maintenance window; space from superseded
+    generations is reclaimed by ``sources.manifest.vacuum`` (the only
+    call with a readers-drained contract). Re-running
+    ``write_bm25_index`` over a read-back index is the consolidation
+    path when updates have scattered buckets across generations."""
     import os
 
+    from sql_data_warehouse_analytics_project_spark.sources import manifest
     from sql_data_warehouse_analytics_project_spark.sources.writers import (
         write_dataset,
     )
 
+    root = path.rstrip("/")
+    gid, gdir = manifest.new_generation(root)
     bucket = F.pmod(F.xxhash64(F.col("doc")), F.lit(doc_buckets))
     write_dataset(
         index["postings"].withColumn("_bucket", bucket),
-        f"{path.rstrip('/')}/postings",
+        f"{gdir}/postings",
         partition_by=["_bucket"],
         sort_by=["term"],
     )
-    write_dataset(
-        index["term_stats"], f"{path.rstrip('/')}/term_stats", sort_by=["term"]
+    write_dataset(index["term_stats"], f"{gdir}/term_stats", sort_by=["term"])
+    present = sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(f"{gdir}/postings")
+        if d.startswith("_bucket=")
     )
-    meta = {
-        "n_docs": int(index["n_docs"]),
-        "total_dl": int(index["total_dl"]),
-        "id_type": index["id_type"],
-        "doc_buckets": int(doc_buckets),
-    }
-    tmp = f"{path.rstrip('/')}/meta.json.tmp"
-    with open(tmp, "w") as fh:
-        json.dump(meta, fh)
-    os.replace(tmp, f"{path.rstrip('/')}/meta.json")
+    manifest.publish(
+        root,
+        gid,
+        extra={
+            "n_docs": int(index["n_docs"]),
+            "total_dl": int(index["total_dl"]),
+            "id_type": index["id_type"],
+            "doc_buckets": int(doc_buckets),
+            "buckets": {str(b): gid for b in present},
+            "term_stats": gid,
+        },
+    )
 
 
 def read_bm25_index(spark, path: str) -> dict:
     """Load a :func:`write_bm25_index` layout into the ``search_bm25``
-    index contract (postings/term_stats stay lazy scans — the search's
-    term join is the only thing that reads them)."""
-    import json
+    index contract by resolving the generation manifest ONCE — the
+    returned index is a pinned consistent snapshot; concurrent updates
+    publish new manifests without disturbing it (postings/term_stats
+    stay lazy scans — the search's term join is the only thing that
+    reads them)."""
+    from sql_data_warehouse_analytics_project_spark.sources import manifest
 
-    with open(f"{path.rstrip('/')}/meta.json") as fh:
-        meta = json.load(fh)
+    root = path.rstrip("/")
+    m = manifest.read_manifest(root)
+    if m is None:
+        raise FileNotFoundError(f"no BM25 index manifest at {root}")
+    extra = m["extra"]
+    ts_dir = f"{manifest.generation_dir(root, extra['term_stats'])}/term_stats"
     return {
-        "postings": spark.read.parquet(f"{path.rstrip('/')}/postings").select(
+        "postings": _read_postings(spark, root, m).select(
             "term", "doc", "tf", "dl"
         ),
-        "term_stats": spark.read.parquet(f"{path.rstrip('/')}/term_stats"),
-        "n_docs": int(meta["n_docs"]),
-        "total_dl": int(meta["total_dl"]),
-        "id_type": meta["id_type"],
-        "doc_buckets": int(meta["doc_buckets"]),
+        "term_stats": spark.read.parquet(ts_dir),
+        "n_docs": int(extra["n_docs"]),
+        "total_dl": int(extra["total_dl"]),
+        "id_type": extra["id_type"],
+        "doc_buckets": int(extra["doc_buckets"]),
     }
 
 
@@ -294,34 +358,37 @@ def update_bm25_index_on_disk(
 
     1. tokenize the batch (the only text read), pin its reduction;
     2. the batch ids' bucket set (≤ ``doc_buckets`` values) prunes the
-       postings scan to the affected directories (PartitionFilters —
-       plan-asserted in tests);
-    3. retire + merge within those buckets only, staged-write the new
-       bucket contents, then swap each affected bucket dir (write-then-
-       swap: the live dir moves aside and is deleted LAST, like
-       ``compact_dataset``); untouched buckets are never read or
-       written;
-    4. ``term_stats`` merges df deltas (vocab-sized full rewrite — it
-       has no doc locality to exploit) and ``meta.json`` lands LAST.
+       postings scan to EXACTLY the affected bucket directories (the
+       read lists only those paths — plan/file-asserted in tests);
+    3. retire + merge within those buckets only and write the new
+       bucket contents (plus the vocab-sized ``term_stats`` rewrite —
+       it has no doc locality to exploit) into a NEW GENERATION
+       directory; untouched buckets are never read or written;
+    4. publish ONE atomic manifest replace: affected buckets point at
+       the new generation, unaffected buckets keep pointing at the
+       (byte-untouched) generations that last wrote them, the scalars
+       update, and fully-retired buckets drop out of the map.
 
-    MAINTENANCE-WINDOW operation (directory swaps are not atomic to
-    concurrent readers — same contract as ``compact_dataset`` and
-    ``Catalog.vacuum_staging``). A crash mid-swap leaves every affected
-    bucket with at least one complete copy on disk (``.__old__`` /
-    staging) and possibly a stale ``meta.json``; recover by re-running
-    the SAME batch after restoring any ``.__old__`` dirs, then
-    :func:`refold_bm25_meta` if the crash hit between the swaps and the
-    meta write. Returns the updated index dict (lazy reads of the new
-    layout)."""
-    import json
+    Concurrent readers are always safe: an index resolved before the
+    publish is a complete pinned snapshot, one resolved after sees the
+    whole update. A crash anywhere before the publish leaves the old
+    manifest fully live and at worst an unreferenced generation dir for
+    ``sources.manifest.vacuum`` — there is no partial state to restore
+    and no recovery step. Returns the updated index dict (lazy reads of
+    the new layout)."""
     import os
-    import shutil
+
+    from sql_data_warehouse_analytics_project_spark.sources import manifest
+    from sql_data_warehouse_analytics_project_spark.sources.writers import (
+        write_dataset,
+    )
 
     root = path.rstrip("/")
-    with open(f"{root}/meta.json") as fh:
-        meta = json.load(fh)
-    n_buckets = int(meta["doc_buckets"])
-    postings_dir = f"{root}/postings"
+    m = manifest.read_manifest(root)
+    if m is None:
+        raise FileNotFoundError(f"no BM25 index manifest at {root}")
+    extra = m["extra"]
+    n_buckets = int(extra["doc_buckets"])
 
     tf_b, _ = _tokenize(new_docs, id_col, text_col)
     tf_b = tf_b.localCheckpoint()
@@ -338,8 +405,10 @@ def update_bm25_index_on_disk(
         for r in batch_ids.select(bucket_of.alias("b")).distinct().collect()
     )
 
-    # partition-pruned scan: only the affected bucket directories are read
-    affected = spark.read.parquet(postings_dir).filter(
+    # physically partition-pruned scan: lists ONLY the affected bucket
+    # directories of the generations that own them (the isin filter is
+    # belt-and-braces on top of the path pruning)
+    affected = _read_postings(spark, root, m, only_buckets=buckets).filter(
         F.col("_bucket").isin(buckets)
     )
     replaced = affected.join(
@@ -360,28 +429,8 @@ def update_bm25_index_on_disk(
         .select("term", "doc", "tf", "dl", "_bucket")
         .unionByName(new_rows)
     )
-    from sql_data_warehouse_analytics_project_spark.sources.writers import (
-        write_dataset,
-    )
 
-    staging = f"{postings_dir}.__staging__"
-    shutil.rmtree(staging, ignore_errors=True)
-    write_dataset(out, staging, partition_by=["_bucket"], sort_by=["term"])
-    for b in buckets:
-        live = f"{postings_dir}/_bucket={b}"
-        staged = f"{staging}/_bucket={b}"
-        old = f"{live}.__old__"
-        shutil.rmtree(old, ignore_errors=True)
-        if os.path.isdir(live):
-            os.replace(live, old)
-        if os.path.isdir(staged):
-            os.replace(staged, live)
-        # a bucket whose every doc was retired (and none added) simply
-        # has no staged dir: the live dir stays moved aside
-        shutil.rmtree(old, ignore_errors=True)
-    shutil.rmtree(staging, ignore_errors=True)
-
-    # vocab-sized df merge — full rewrite, staged like the buckets
+    # vocab-sized df merge — rewritten whole into the same new generation
     df_removed = replaced.groupBy("term").agg(
         (-F.count(F.lit(1))).alias("delta")
     )
@@ -389,9 +438,9 @@ def update_bm25_index_on_disk(
     deltas = df_added.unionByName(df_removed).groupBy("term").agg(
         F.sum("delta").alias("delta")
     )
-    ts_dir = f"{root}/term_stats"
+    ts_gen = manifest.generation_dir(root, extra["term_stats"])
     term_stats = (
-        spark.read.parquet(ts_dir)
+        spark.read.parquet(f"{ts_gen}/term_stats")
         .join(deltas, "term", "full")
         .select(
             "term",
@@ -400,54 +449,77 @@ def update_bm25_index_on_disk(
         )
         .filter(F.col("df") > 0)
     )
-    ts_staging = f"{ts_dir}.__staging__"
-    shutil.rmtree(ts_staging, ignore_errors=True)
-    write_dataset(term_stats, ts_staging, sort_by=["term"])
-    ts_old = f"{ts_dir}.__old__"
-    shutil.rmtree(ts_old, ignore_errors=True)
-    os.replace(ts_dir, ts_old)
-    os.replace(ts_staging, ts_dir)
-    shutil.rmtree(ts_old)
 
-    meta = {
-        "n_docs": int(meta["n_docs"]) - n_gone + n_batch,
-        "total_dl": int(meta["total_dl"]) - dl_gone + dl_batch,
-        "id_type": meta["id_type"],
-        "doc_buckets": n_buckets,
+    gid, gdir = manifest.new_generation(root)
+    write_dataset(out, f"{gdir}/postings", partition_by=["_bucket"],
+                  sort_by=["term"])
+    write_dataset(term_stats, f"{gdir}/term_stats", sort_by=["term"])
+    written = {
+        int(d.split("=", 1)[1])
+        for d in os.listdir(f"{gdir}/postings")
+        if d.startswith("_bucket=")
     }
-    tmp = f"{root}/meta.json.tmp"
-    with open(tmp, "w") as fh:
-        json.dump(meta, fh)
-    os.replace(tmp, f"{root}/meta.json")
+    bucket_map = {
+        b: g for b, g in extra["buckets"].items() if int(b) not in set(buckets)
+    }
+    bucket_map.update({str(b): gid for b in sorted(written)})
+    manifest.publish(
+        root,
+        gid,
+        extra={
+            "n_docs": int(extra["n_docs"]) - n_gone + n_batch,
+            "total_dl": int(extra["total_dl"]) - dl_gone + dl_batch,
+            "id_type": extra["id_type"],
+            "doc_buckets": n_buckets,
+            "buckets": bucket_map,
+            "term_stats": gid,
+        },
+        referenced=sorted({gid, *bucket_map.values()}),
+    )
     return read_bm25_index(spark, root)
 
 
 def refold_bm25_meta(spark, path: str) -> dict:
-    """Crash-recovery for :func:`update_bm25_index_on_disk`: recompute
-    the ``meta.json`` scalars from the live postings (one postings-
-    METADATA pass — distinct (doc, dl) count/sum; the text was never
-    stored) and rewrite the file. Use when a crash landed between the
-    bucket swaps and the meta write. Returns the refolded meta."""
-    import json
-    import os
+    """Consistency repair/verification for a manifest-committed BM25
+    layout: recompute the scalars AND the full ``term_stats`` table from
+    the live postings (one postings-METADATA pass — the text was never
+    stored: distinct (doc, dl) count/sum for the scalars, a vocab-sized
+    ``groupBy(term).count()`` for term_stats) and publish them as a new
+    generation. The manifest protocol means no crash can leave the index
+    inconsistent (the round-8 ADVICE recovery gap is gone by
+    construction); this remains as the auditable "rebuild the derived
+    statistics from first principles" tool — byte-identical output to
+    the incrementally-maintained state is the invariant tests check.
+    Returns the refolded meta scalars."""
+    from sql_data_warehouse_analytics_project_spark.sources import manifest
+    from sql_data_warehouse_analytics_project_spark.sources.writers import (
+        write_dataset,
+    )
 
     root = path.rstrip("/")
-    with open(f"{root}/meta.json") as fh:
-        meta = json.load(fh)
+    m = manifest.read_manifest(root)
+    if m is None:
+        raise FileNotFoundError(f"no BM25 index manifest at {root}")
+    extra = dict(m["extra"])
+    postings = _read_postings(spark, root, m)
     row = (
-        spark.read.parquet(f"{root}/postings")
-        .select("doc", "dl")
+        postings.select("doc", "dl")
         .distinct()
         .agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("t"))
         .collect()[0]
     )
-    meta["n_docs"] = int(row["n"] or 0)
-    meta["total_dl"] = int(row["t"] or 0)
-    tmp = f"{root}/meta.json.tmp"
-    with open(tmp, "w") as fh:
-        json.dump(meta, fh)
-    os.replace(tmp, f"{root}/meta.json")
-    return meta
+    term_stats = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    gid, gdir = manifest.new_generation(root)
+    write_dataset(term_stats, f"{gdir}/term_stats", sort_by=["term"])
+    extra["n_docs"] = int(row["n"] or 0)
+    extra["total_dl"] = int(row["t"] or 0)
+    extra["term_stats"] = gid
+    manifest.publish(
+        root, gid, extra=extra,
+        referenced=sorted({gid, *extra["buckets"].values()}),
+    )
+    return {"n_docs": extra["n_docs"], "total_dl": extra["total_dl"],
+            "id_type": extra["id_type"], "doc_buckets": extra["doc_buckets"]}
 
 
 def search_bm25(

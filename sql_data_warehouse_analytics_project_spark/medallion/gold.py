@@ -515,7 +515,9 @@ def _overwrite_fact_partitions(catalog, df) -> None:
     committer — a crash mid-write leaves the old partition files visible
     (on Delta this would be a single atomic commit)."""
     spark = catalog.spark
-    target = catalog.qualified("gold", "fact_sales")
+    # insertInto writes files: it targets the PHYSICAL generation behind
+    # the published view (views are not insertable)
+    target = catalog.resolve_table("gold", "fact_sales")
     tcols = spark.table(target).columns
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")

@@ -29,33 +29,64 @@ from pyspark.sql import DataFrame
 EXTERNAL_SCHEMA = "external"
 
 
+def _logical_table(name: str) -> str:
+    """Strip the ``__gNNNNNN`` generation suffix (the catalog's atomic
+    view-pointer protocol): lineage nodes must be the stable LOGICAL
+    table, not the physical generation a particular publish used — the
+    graph would otherwise fragment across republishes."""
+    from sql_data_warehouse_analytics_project_spark.catalog import GEN_RE
+
+    m = GEN_RE.match(name)
+    return m.group("base") if m else name
+
+
 def _ident_from_option(opt) -> tuple[str, str] | None:
     """(db, table) from a py4j Option[CatalogTable]-ish identifier."""
     if not opt.isDefined():
         return None
     ident = opt.get().identifier()
     db = ident.database()
-    return (db.get() if db.isDefined() else "", ident.table())
+    return (db.get() if db.isDefined() else "", _logical_table(ident.table()))
+
+
+def _strip_generations(segs: list[str]) -> list[str]:
+    """Drop trailing ``_generations/gNNNNNN`` segments (the generation-
+    manifest layout, ``sources/manifest.py``) so a physical generation
+    directory reports the LOGICAL dataset it belongs to — lineage nodes
+    must be stable across republishes (``postings``, not ``g000004``)."""
+    import re
+
+    while (
+        len(segs) >= 2
+        and segs[-2] == "_generations"
+        and re.fullmatch(r"g\d+", segs[-1])
+    ):
+        segs = segs[:-2]
+    return segs
 
 
 def _path_leaf(path: str) -> str:
     """`file:/a/b/region.parquet` → `region` — the dataset name a human
     would use for the external source (mirrors bronze's manual calls,
-    ``medallion/bronze.py:101``)."""
-    leaf = path.rstrip("/").rsplit("/", 1)[-1]
+    ``medallion/bronze.py:101``). Generation directories resolve to
+    their dataset root first."""
+    segs = _strip_generations([s for s in path.rstrip("/").split("/") if s])
+    leaf = segs[-1] if segs else path.rstrip("/")
     return leaf.split(".")[0] if "." in leaf else leaf
 
 
 def dataset_leaf(path: str) -> str:
     """Dataset name for a PATH-based WRITE target: the last path segment
-    that is not a ``k=v`` partition directory —
-    ``/x/index/postings/cp=a/batch_id=3`` → ``postings`` — so every
-    slice of one partitioned dataset aggregates under one lineage node.
-    (Reads resolve via ``rootPaths``, which is already the dataset root;
-    writes of a single partition slice need the strip.)"""
+    that is not a ``k=v`` partition directory or a generation dir —
+    ``/x/index/postings/cp=a/batch_id=3`` → ``postings``, and so does
+    ``/x/index/postings/_generations/g000002/cp=a/batch_id=3`` — so
+    every slice of one partitioned dataset aggregates under one lineage
+    node. (Reads resolve via ``rootPaths``, which is already the dataset
+    root; writes of a single partition slice need the strip.)"""
     segs = [s for s in path.rstrip("/").split("/") if s]
     while segs and "=" in segs[-1]:
         segs.pop()
+    segs = _strip_generations(segs)
     return _path_leaf(segs[-1]) if segs else path
 
 
@@ -95,14 +126,15 @@ def plan_sources(df: DataFrame) -> list[tuple[str, str]]:
             elif cls == "HiveTableRelation":
                 ident = node.tableMeta().identifier()
                 db = ident.database()
-                add((db.get() if db.isDefined() else "", ident.table()))
+                add((db.get() if db.isDefined() else "",
+                     _logical_table(ident.table())))
             elif cls == "DataSourceV2Relation":
                 ident = node.identifier()
                 if ident.isDefined():
                     v2 = ident.get()
                     ns = v2.namespace()
                     db = ns[-1] if len(ns) else ""
-                    add((str(db), str(v2.name())))
+                    add((str(db), _logical_table(str(v2.name()))))
             # LocalRelation / OneRowRelation / Range / streaming sources:
             # not persisted data sources — skipped on purpose
     except Exception:  # noqa: BLE001 — capture never breaks a write

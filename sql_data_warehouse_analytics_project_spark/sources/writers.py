@@ -15,6 +15,8 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from sql_data_warehouse_analytics_project_spark.sources import manifest
+
 #: optional auto-capture hook for PATH-based writes — the twin of
 #: ``Catalog.observer`` for datasets that live outside the metastore
 #: (curation ``write_through`` stages, streaming dedup/BM25 index sinks).
@@ -48,6 +50,19 @@ def _observe_path_write(df: DataFrame, path: str, mode: str):
         return df, None
 
 
+def split_partition_suffix(path: str) -> "tuple[str, str]":
+    """Split a slice path into (dataset root, ``k=v/...`` partition
+    suffix): the root is everything before the first path component
+    containing ``=``. Lets slice writers resolve the DATASET through its
+    generation manifest and re-apply the partition segments inside the
+    current generation."""
+    parts = path.rstrip("/").split("/")
+    for i, comp in enumerate(parts):
+        if "=" in comp and comp not in ("", "."):
+            return "/".join(parts[:i]), "/".join(parts[i:])
+    return path.rstrip("/"), ""
+
+
 def write_partitioned_slice(df: DataFrame, path: str) -> None:
     """Overwrite ONE partition directory of a larger dataset (the
     streaming sinks' per-(checkpoint, batch) layout contract — replays
@@ -56,7 +71,13 @@ def write_partitioned_slice(df: DataFrame, path: str) -> None:
     auto-captured lineage edges and write metrics as any other dataset
     write; the recorded dataset name strips the ``k=v`` partition
     segments, so every slice of one sink dataset aggregates under one
-    lineage node (``postings``, not ``batch_id=7``)."""
+    lineage node (``postings``, not ``batch_id=7``). When the dataset
+    has been adopted under a generation manifest (a
+    :func:`compact_dataset` ran), the slice resolves into the CURRENT
+    generation directory."""
+    root, suffix = split_partition_suffix(path)
+    if suffix and manifest.is_managed(root):
+        path = f"{manifest.resolve(root)}/{suffix}"
     out, finish = _observe_path_write(df, path, "overwrite")
     out.write.mode("overwrite").parquet(path)
     if finish is not None:
@@ -90,7 +111,20 @@ def write_dataset(
     the write emits auto-captured ``data_lineage`` edges to
     ``(external, <dataset>)`` and write metrics — the same zero-caller
     contract catalog writes have.
+
+    When ``path`` is a generation-managed dataset (``sources/manifest``),
+    an ``overwrite`` lands in a NEW generation and publishes atomically
+    (concurrent readers resolving the manifest never observe a partial
+    or mixed dataset), and an ``append`` resolves into the current
+    generation directory.
     """
+    publish_gid = None
+    if manifest.is_managed(path):
+        if mode == "overwrite":
+            publish_gid, gdir = manifest.new_generation(path)
+            root, path = path, gdir
+        else:
+            path = manifest.resolve(path)
     out, finish = _observe_path_write(df, path, mode)
     if partition_by:
         out = out.repartition(*[F.col(c) for c in partition_by])
@@ -104,8 +138,19 @@ def write_dataset(
     if compression is not None:
         writer = writer.option("compression", compression)
     writer.save(path)
+    if publish_gid is not None:
+        manifest.publish(root, publish_gid)
     if finish is not None:
         finish()
+
+
+def read_dataset(spark, path: str, *, fmt: str = "parquet") -> DataFrame:
+    """Read a path dataset THROUGH its generation manifest when it has
+    one (``sources/manifest.resolve``) — the reader half of the atomic-
+    publish protocol — and as a plain path otherwise. Partition-directory
+    discovery, pushdown, and pruning behave exactly as a direct read of
+    the resolved directory."""
+    return spark.read.format(fmt).load(manifest.resolve(path))
 
 
 def write_jsonl(
@@ -180,11 +225,12 @@ def dataset_file_stats(path: str) -> dict:
     overhead and its driver memory on file listings, not on data.
 
     A plain filesystem walk, O(files) with no executors: cheap enough to
-    run before every maintenance window."""
+    run before every maintenance window. Managed datasets
+    (``sources/manifest``) stat their CURRENT generation only."""
     import os
 
     n_files = total = small = 0
-    for dirpath, _dirs, files in os.walk(path):
+    for dirpath, _dirs, files in os.walk(manifest.resolve(path)):
         for f in files:
             if not f.endswith(".parquet"):
                 continue
@@ -216,26 +262,28 @@ def compact_dataset(
     trigger, and a month of 30-second triggers is 86k tiny files per
     partition.
 
-    Write-then-swap: the compacted copy lands in ``<path>.__compact__``
-    first; only after a fully successful write does the swap run — the
-    live dataset moves aside to ``<path>.__old__``, the compacted copy
-    renames in, and the old copy is deleted LAST. A crash during the
-    write leaves the live dataset untouched; a crash inside the swap
-    leaves BOTH complete copies on disk (recover by renaming whichever
-    dir back to ``path``) — at no point is the only copy of the data a
-    half-written directory. Directory renames are not atomic to
-    concurrent readers: run in a maintenance window, like
-    ``Catalog.vacuum_staging``. Returns before/after file stats. On
-    Delta this is OPTIMIZE; here it is the parquet-native equivalent."""
+    Generation-manifest commit (``sources/manifest``): the compacted
+    copy lands completely in a NEW generation directory under the
+    dataset root, then ONE atomic manifest replace publishes it —
+    concurrent readers resolving through the manifest (every engine
+    reader does: ``read_dataset``, the streaming-sink loaders,
+    ``read_bm25_index``) see the old or the new generation, never a
+    mixture, with no maintenance window. The first compaction ADOPTS a
+    plain directory into the managed layout; its pre-migration files
+    stay at the root (complete and untouched — a legacy direct
+    ``spark.read.parquet(root)`` still works until vacuum) and later
+    slice appends resolve into the current generation. A crash mid-write
+    leaves the live generation untouched plus an unreferenced directory
+    for :func:`sources.manifest.vacuum` — which is the only destructive
+    operation and the only one with a readers-drained contract. Returns
+    before/after file stats. On Delta this is OPTIMIZE; here it is the
+    parquet-native equivalent."""
     import math
-    import os
-    import shutil
 
     before = dataset_file_stats(path)
-    df = spark.read.parquet(path)
+    df = spark.read.parquet(manifest.resolve(path))
     n_out = max(1, math.ceil(before["total_bytes"] / target_bytes_per_file))
-    scratch = path.rstrip("/") + ".__compact__"
-    shutil.rmtree(scratch, ignore_errors=True)
+    gid, gdir = manifest.new_generation(path)
     out = df
     if partition_by:
         out = out.repartition(*[F.col(c) for c in partition_by])
@@ -246,11 +294,12 @@ def compact_dataset(
     writer = out.write.mode("overwrite").format("parquet")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
-    writer.save(scratch)
-    old = path.rstrip("/") + ".__old__"
-    shutil.rmtree(old, ignore_errors=True)
-    os.replace(path, old)
-    os.replace(scratch, path)
-    shutil.rmtree(old)
+    writer.save(gdir)
+    manifest.publish(path, gid)
     after = dataset_file_stats(path)
-    return {"before": before, "after": after, "target_files": n_out}
+    return {
+        "before": before,
+        "after": after,
+        "target_files": n_out,
+        "generation": gid,
+    }

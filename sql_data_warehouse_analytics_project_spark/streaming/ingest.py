@@ -24,6 +24,9 @@ from pyspark.sql.streaming import StreamingQuery
 
 from sql_data_warehouse_analytics_project_spark.catalog import Catalog
 from sql_data_warehouse_analytics_project_spark.medallion.bronze import enrich_bronze
+from sql_data_warehouse_analytics_project_spark.sources import (
+    manifest as sources_manifest,
+)
 from sql_data_warehouse_analytics_project_spark.sources import writers
 
 
@@ -156,8 +159,9 @@ def bronze_batch_sink(
         catalog.append(enriched, "bronze", table)  # creates the table on batch 0
         # foreachBatch runs on a CLONED micro-batch session; the append
         # refreshes only the clone's file-listing cache, so the parent
-        # session would keep serving the stale listing without this.
-        catalog.spark.catalog.refreshTable(qname)
+        # session would keep serving the stale listing without this
+        # (refresh() also invalidates the physical generation table).
+        catalog.refresh("bronze", table)
         if run_context is not None:
             log_id = run_context.start_process(
                 f"stream_bronze.{table}.batch_{batch_id}", target_layer="bronze"
@@ -363,7 +367,7 @@ def rollup_batch_sink(
             if cp_identity is not None:
                 out = out.withColumn("_checkpoint_id", F.lit(cp_identity))
             catalog.append(out, layer, table)
-        catalog.spark.catalog.refreshTable(qstate)
+        catalog.refresh(layer, table)
 
     return sink
 
@@ -453,7 +457,9 @@ def corpus_dedup_sink(
             resolved["id"] = _checkpoint_identity(spark, checkpoint_id)
         cp = resolved.get("id") or "default"
         try:
-            ledger = spark.read.parquet(ledger_dir)
+            # resolve through the generation manifest once the ledger has
+            # been compacted into the managed layout (plain dir before)
+            ledger = spark.read.parquet(sources_manifest.resolve(ledger_dir))
             prior = ledger.filter(
                 ~((F.col("cp") == cp) & (F.col("batch_id") == batch_id))
             ).select("fingerprint")
@@ -561,7 +567,7 @@ def bm25_index_sink(
             [(int(row["n_docs"] or 0), int(row["total_dl"] or 0), id_type)],
             "n_docs long, total_dl long, id_type string",
         ).coalesce(1).write.mode("overwrite").parquet(
-            f"{index_dir}/stats/{part}"
+            f"{sources_manifest.resolve(f'{index_dir}/stats')}/{part}"
         )
 
     return sink
@@ -590,18 +596,23 @@ def load_bm25_index_from_sink(spark, index_dir: str) -> dict:
     compaction as data columns."""
     from pyspark.sql.utils import AnalysisException
 
-    stats = spark.read.parquet(f"{index_dir}/stats")
+    def _read(sub: str):
+        # each sink sub-dataset resolves independently through its
+        # generation manifest once compacted (plain dir before)
+        return spark.read.parquet(
+            sources_manifest.resolve(f"{index_dir}/{sub}")
+        )
+
+    stats = _read("stats")
     id_type = stats.select("id_type").limit(1).collect()[0][0]
     try:
-        retired = spark.read.parquet(f"{index_dir}/retired")
+        retired = _read("retired")
     except AnalysisException:
         retired = None
     if retired is None:
-        postings = spark.read.parquet(f"{index_dir}/postings").select(
-            "term", "doc", "tf", "dl"
-        )
+        postings = _read("postings").select("term", "doc", "tf", "dl")
         term_stats = (
-            spark.read.parquet(f"{index_dir}/deltas")
+            _read("deltas")
             .groupBy("term")
             .agg(F.sum("df_delta").alias("df"))
             .filter(F.col("df") > 0)
@@ -620,7 +631,7 @@ def load_bm25_index_from_sink(spark, index_dir: str) -> dict:
         F.max("batch_id").alias("_last_retire")
     )
     postings = (
-        spark.read.parquet(f"{index_dir}/postings")
+        _read("postings")
         .join(last, ["cp", "doc"], "left")
         .filter(
             F.col("_last_retire").isNull()

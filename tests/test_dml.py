@@ -144,44 +144,52 @@ def test_incremental_batch_cuts_on_value_boundary(spark):
     assert [r.ts for r in rest.collect()] == [30]  # nothing lost
 
 
-def test_overwrite_is_staged_crash_safe(spark, monkeypatch):
-    """Kill the overwrite between the staged write and the swap: the old
-    target state must survive intact, and the fully-written staging table
-    must be promotable by recover_staging."""
+def test_overwrite_publish_is_atomic_and_crash_safe(spark, monkeypatch):
+    """Round-9 generation protocol: an overwrite writes a NEW generation
+    table and publishes it with ONE CREATE OR REPLACE VIEW. Kill it right
+    before the publish: the published state (and every reader) is
+    untouched, the fully-written generation stays durable, and a retry —
+    or recover_staging after an interrupted legacy ADOPTION — completes
+    cleanly. Legacy plain tables are adopted on first overwrite."""
     from sql_data_warehouse_analytics_project_spark.catalog import Catalog
 
     cat = Catalog(spark, prefix="atomic_")
     cat.drop_layers()
     cat.create_layers()
     try:
-        old = spark.createDataFrame([(1,), (2,)], "k int")
-        old.write.saveAsTable(cat.qualified("silver", "t"))
         target = cat.qualified("silver", "t")
+        # legacy plain table (created outside the catalog)
+        spark.createDataFrame([(1,), (2,)], "k int").write.saveAsTable(target)
 
+        # first overwrite ADOPTS: view + generation, data replaced
+        cat.overwrite(spark.createDataFrame([(3,)], "k int"), "silver", "t")
+        assert [r.k for r in spark.table(target).collect()] == [3]
+        assert cat._is_view(target)
+        g_live = cat.resolve_table("silver", "t")
+
+        # crash BEFORE the publish: view still serves the old generation
         real_sql = spark.sql
-        def crash_on_target_drop(q, **kw):
-            if q == f"DROP TABLE IF EXISTS {target}":
-                raise RuntimeError("simulated crash before swap")
+        def crash_on_publish(q, **kw):
+            if q.startswith(f"CREATE OR REPLACE VIEW {target}"):
+                raise RuntimeError("simulated crash before publish")
             return real_sql(q, **kw)
-        monkeypatch.setattr(spark, "sql", crash_on_target_drop)
-
-        new = spark.createDataFrame([(3,)], "k int")
+        monkeypatch.setattr(spark, "sql", crash_on_publish)
         import pytest as _pytest
         with _pytest.raises(RuntimeError, match="simulated crash"):
-            cat.overwrite(new, "silver", "t")
+            cat.overwrite(spark.createDataFrame([(4,)], "k int"), "silver", "t")
         monkeypatch.undo()
+        assert [r.k for r in spark.table(target).collect()] == [3]
+        assert cat.resolve_table("silver", "t") == g_live
+        # no recovery needed: a plain retry publishes the next generation
+        cat.overwrite(spark.createDataFrame([(5,)], "k int"), "silver", "t")
+        assert [r.k for r in spark.table(target).collect()] == [5]
 
-        # old state intact after the crash
-        assert sorted(r.k for r in spark.table(target).collect()) == [1, 2]
-        # new state durable in staging; no half-written target
-        assert sorted(
-            r.k for r in spark.table(f"{target}__staging").collect()
-        ) == [3]
-
-        # crash AFTER the target drop: staging still holds the new state
-        real_sql(f"DROP TABLE IF EXISTS {target}")
+        # interrupted ADOPTION (crash between DROP TABLE and the view
+        # publish): the target is missing but the new generation is
+        # durable — recover_staging promotes it
+        real_sql(f"DROP VIEW IF EXISTS {target}")
         assert cat.recover_staging("silver", "t") is True
-        assert sorted(r.k for r in spark.table(target).collect()) == [3]
+        assert [r.k for r in spark.table(target).collect()] == [5]
         assert cat.recover_staging("silver", "t") is False  # idempotent
 
         # and a clean, uninterrupted overwrite still round-trips
@@ -189,6 +197,63 @@ def test_overwrite_is_staged_crash_safe(spark, monkeypatch):
         assert [r.k for r in spark.table(target).collect()] == [9]
     finally:
         monkeypatch.undo()
+        cat.drop_layers()
+
+
+def test_overwrite_concurrent_reader_never_sees_missing_table(spark):
+    """The verdict's reader-safety criterion on the CATALOG surface: a
+    reader loop during repeated overwrites always resolves the view to a
+    complete generation — never a missing table, never a mixed state
+    (each snapshot is one constant value replicated over all rows)."""
+    import threading
+
+    from pyspark.sql import functions as F
+
+    from sql_data_warehouse_analytics_project_spark.catalog import Catalog
+
+    cat = Catalog(spark, prefix="hotov_")
+    # retain every generation for the duration of the loop so even a
+    # reader that resolved several publishes ago can finish its scan
+    # (production tunes this to its longest-running reader)
+    cat.generation_retention = 10
+    cat.drop_layers()
+    cat.create_layers()
+    try:
+        def state(v: int):
+            return spark.range(200).select(F.lit(v).alias("v"))
+
+        cat.overwrite(state(0), "silver", "hot")
+        stop = threading.Event()
+        failures: list[str] = []
+
+        def reader():
+            while not stop.is_set():
+                try:
+                    got = (
+                        spark.table(cat.qualified("silver", "hot"))
+                        .agg(
+                            F.count(F.lit(1)).alias("n"),
+                            F.countDistinct("v").alias("d"),
+                        )
+                        .collect()[0]
+                    )
+                except Exception as e:  # noqa: BLE001 — the failure mode under test
+                    failures.append(f"reader errored: {e}")
+                    return
+                if got["n"] != 200 or got["d"] != 1:
+                    failures.append(f"mixed state n={got['n']} d={got['d']}")
+                    return
+
+        t = threading.Thread(target=reader)
+        t.start()
+        try:
+            for v in range(1, 6):
+                cat.overwrite(state(v), "silver", "hot")
+        finally:
+            stop.set()
+            t.join(timeout=180)
+        assert not failures, failures
+    finally:
         cat.drop_layers()
 
 
@@ -219,13 +284,16 @@ def test_partitioned_overwrite_and_recovery_repair_partitions(spark):
         )
         assert "PartitionFilters: [" in plan
 
-        # crash-window recovery of a PARTITIONED staging table
+        # legacy crash-window recovery of a PARTITIONED staging table
+        # (pre-round-9 layout): promoted into the generation protocol,
+        # partition locations repaired
+        legacy = cat.qualified("silver", "t_legacy")
         df2 = spark.createDataFrame([(9, "c")], "k int, p string")
         df2.write.mode("overwrite").format("parquet").partitionBy(
             "p"
-        ).saveAsTable(f"{target}__staging")
-        spark.sql(f"DROP TABLE IF EXISTS {target}")
-        assert cat.recover_staging("silver", "t") is True
-        assert [tuple(r) for r in spark.table(target).collect()] == [(9, "c")]
+        ).saveAsTable(f"{legacy}__staging")
+        assert cat.recover_staging("silver", "t_legacy") is True
+        assert [tuple(r) for r in spark.table(legacy).collect()] == [(9, "c")]
+        assert cat._is_view(legacy)
     finally:
         cat.drop_layers()

@@ -1147,15 +1147,18 @@ def test_bm25_index_roundtrip_matches_one_shot(spark, tmp_path):
 
 
 def test_bm25_bucketed_index_partition_pruned_update(spark, tmp_path):
-    """Round-8: the doc-bucketed on-disk layout makes incremental BM25
-    maintenance PARTITION-PRUNED — an update touches only the bucket
-    directories the batch's ids hash into (unaffected bucket files are
-    byte-untouched on disk, and the retire scan's plan carries a _bucket
-    PartitionFilter) while scoring bit-identically to the DataFrame-path
-    update AND a full rebuild. Also covers the refold recovery helper."""
+    """Round-8/9: the doc-bucketed, manifest-committed on-disk layout
+    makes incremental BM25 maintenance PARTITION-PRUNED — an update
+    reads and writes only the bucket directories the batch's ids hash
+    into (unaffected bucket files are byte-untouched on disk AND stay
+    referenced by the published manifest; the retire scan's file listing
+    contains ONLY affected bucket dirs) while scoring bit-identically to
+    the DataFrame-path update AND a full rebuild. Also covers the refold
+    rebuild-derived-stats helper."""
     from pyspark.sql import functions as F
 
     from sql_data_warehouse_analytics_project_spark.llm import retrieval
+    from sql_data_warehouse_analytics_project_spark.sources import manifest
 
     base = spark.createDataFrame(
         [
@@ -1184,41 +1187,47 @@ def test_bm25_bucketed_index_partition_pruned_update(spark, tmp_path):
     import os
 
     def bucket_state():
+        """bucket -> (generation, [(file, size, mtime)]) via the manifest."""
+        m = manifest.read_manifest(path)
         state = {}
-        pdir = f"{path}/postings"
-        for d in os.listdir(pdir):
-            if not d.startswith("_bucket="):
-                continue
-            files = sorted(os.listdir(f"{pdir}/{d}"))
-            state[d] = [
-                (f, os.path.getsize(f"{pdir}/{d}/{f}"),
-                 os.path.getmtime(f"{pdir}/{d}/{f}"))
-                for f in files
-            ]
+        for b, gid in m["extra"]["buckets"].items():
+            d = f"{manifest.generation_dir(path, gid)}/postings/_bucket={b}"
+            state[int(b)] = (
+                gid,
+                [
+                    (f, os.path.getsize(f"{d}/{f}"), os.path.getmtime(f"{d}/{f}"))
+                    for f in sorted(os.listdir(d))
+                ],
+            )
         return state
 
     before = bucket_state()
     affected = {
-        f"_bucket={r[0]}"
+        int(r[0])
         for r in batch.select(
             F.pmod(F.xxhash64("doc_id"), F.lit(8)).alias("b")
         ).distinct().collect()
     }
     assert affected and set(before) - affected  # some buckets untouched
 
-    # the retire scan is partition-pruned: _bucket reaches PartitionFilters
-    pruned = spark.read.parquet(f"{path}/postings").filter(
-        F.col("_bucket").isin([int(d.split("=")[1]) for d in affected])
-    )
-    plan = pruned._jdf.queryExecution().executedPlan().treeString()
-    assert "PartitionFilters: [" in plan
-    assert "_bucket" in plan.split("PartitionFilters:")[1].split("]")[0]
+    # the retire scan is FILE-level pruned: its listing contains only the
+    # affected buckets' directories (stronger than a PartitionFilter — the
+    # unaffected dirs are never even listed)
+    m0 = manifest.read_manifest(path)
+    pruned = retrieval._read_postings(spark, path, m0, only_buckets=affected)
+    for f in pruned.inputFiles():
+        assert any(f"_bucket={b}/" in f for b in affected), f
 
     updated_disk = retrieval.update_bm25_index_on_disk(spark, path, batch)
     after = bucket_state()
-    for d, files in before.items():
-        if d not in affected:
-            assert after[d] == files, f"untouched bucket {d} was rewritten"
+    for b, (gid, files) in before.items():
+        if b not in affected:
+            assert after[b] == (gid, files), f"untouched bucket {b} was rewritten"
+    # affected buckets that survived moved to the NEW generation; the new
+    # manifest references both old and new generations
+    m1 = manifest.read_manifest(path)
+    assert m1["current"] != m0["current"]
+    assert set(m1["referenced"]) >= {m1["current"]}
 
     # scores ≡ the DataFrame-path update ≡ a full rebuild
     updated_df = retrieval.update_bm25_index(
@@ -1242,6 +1251,77 @@ def test_bm25_bucketed_index_partition_pruned_update(spark, tmp_path):
     meta = retrieval.refold_bm25_meta(spark, path)
     assert meta["n_docs"] == updated_disk["n_docs"]
     assert meta["total_dl"] == updated_disk["total_dl"]
+
+
+def test_bm25_disk_index_concurrent_reader_never_sees_mixed_state(spark, tmp_path):
+    """The round-8 verdict's done-criterion for the manifest protocol: a
+    reader loop running DURING repeated on-disk BM25 updates always gets
+    a CONSISTENT snapshot — the postings its resolved manifest references
+    agree exactly with that manifest's own scalars (distinct-doc count ==
+    n_docs, Σdl == total_dl), with no missing or mixed generation.
+    Afterwards vacuum reclaims the superseded generations and the index
+    still reads."""
+    import os
+    import threading
+
+    from pyspark.sql import functions as F
+
+    from sql_data_warehouse_analytics_project_spark.llm import retrieval
+    from sql_data_warehouse_analytics_project_spark.sources import manifest
+
+    path = str(tmp_path / "bm25_hot")
+    words = ("spark", "cats", "zebras", "rivers", "disks", "suns", "rain")
+    base = spark.createDataFrame(
+        [(i, f"{words[i % 7]} doc number {i} with shared corpus words")
+         for i in range(1, 21)],
+        "doc_id long, text string",
+    )
+    retrieval.write_bm25_index(
+        retrieval.build_bm25_index(base), path, doc_buckets=8
+    )
+
+    stop = threading.Event()
+    failures: list[str] = []
+
+    def reader():
+        while not stop.is_set():
+            idx = retrieval.read_bm25_index(spark, path)  # pinned snapshot
+            got = idx["postings"].select("doc", "dl").distinct().agg(
+                F.count(F.lit(1)).alias("n"), F.sum("dl").alias("t")
+            ).collect()[0]
+            if (int(got["n"] or 0), int(got["t"] or 0)) != (
+                idx["n_docs"], idx["total_dl"]
+            ):
+                failures.append(
+                    f"postings n={got['n']} t={got['t']} vs manifest "
+                    f"n={idx['n_docs']} t={idx['total_dl']}"
+                )
+                return
+
+    t = threading.Thread(target=reader)
+    t.start()
+    try:
+        for k in range(4):
+            batch = spark.createDataFrame(
+                [(2 + k, f"replaced version {k} of the document text"),
+                 (100 + k, f"fresh doc {k} joins the corpus midstream")],
+                "doc_id long, text string",
+            )
+            retrieval.update_bm25_index_on_disk(spark, path, batch)
+    finally:
+        stop.set()
+        t.join(timeout=180)
+    assert not failures, failures
+
+    # vacuum reclaims everything the final manifest no longer references
+    m = manifest.read_manifest(path)
+    manifest.vacuum(path)
+    live = set(os.listdir(f"{path}/_generations"))
+    assert live == set(m["referenced"])
+    idx = retrieval.read_bm25_index(spark, path)
+    assert idx["n_docs"] == 20 + 4  # 4 replaces + 4 fresh docs
+    got = idx["postings"].select("doc").distinct().count()
+    assert got == idx["n_docs"]
 
 
 def test_bm25_incremental_update_matches_rebuild(spark):

@@ -91,8 +91,9 @@ def test_buffered_log_writer_one_file_per_run(spark):
         c = RunContext(cat, created_by="buftest")
 
         def n_files(tbl):
+            # physical generation behind the published view holds the files
             loc = (
-                spark.sql(f"DESC FORMATTED {cat.qualified('logs', tbl)}")
+                spark.sql(f"DESC FORMATTED {cat.resolve_table('logs', tbl)}")
                 .filter(F.col("col_name") == "Location")
                 .collect()[0]["data_type"]
             ).removeprefix("file:")

@@ -302,13 +302,18 @@ def test_incremental_stddev_merge_matches_full(spark, sales):
 
 def test_compact_dataset_small_files(spark, tmp_path):
     """Compaction folds a many-tiny-files dataset into the target file
-    count with identical rows, preserves partition directories when asked,
-    and leaves the live dataset untouched if the scratch write dies."""
+    count with identical rows via the generation-manifest commit: the
+    compacted copy lands in a new generation, ONE atomic manifest
+    replace publishes it, the pre-migration files stay complete at the
+    root until an explicit vacuum, and partition directories survive
+    when asked."""
     import os
 
+    from sql_data_warehouse_analytics_project_spark.sources import manifest
     from sql_data_warehouse_analytics_project_spark.sources.writers import (
         compact_dataset,
         dataset_file_stats,
+        read_dataset,
     )
 
     path = str(tmp_path / "ds")
@@ -324,17 +329,76 @@ def test_compact_dataset_small_files(spark, tmp_path):
     )
     after = res["after"]
     assert after["n_files"] <= 6  # one-ish file per partition dir
-    back = spark.read.parquet(path)
+    assert manifest.is_managed(path)
+    back = read_dataset(spark, path)
     assert back.count() == 10000
     assert sorted(r.part for r in back.select("part").distinct().collect()) == [0, 1, 2]
     assert back.agg(F.sum("id")).collect()[0][0] == sum(range(10000))
-    # partition dirs survived
-    assert any(d.startswith("part=") for d in os.listdir(path))
+    # partition dirs survived inside the published generation
+    assert any(
+        d.startswith("part=") for d in os.listdir(manifest.resolve(path))
+    )
+    # adoption left the pre-migration copy complete for legacy readers
+    assert spark.read.parquet(path).count() == 10000
 
-    # crash safety: a failing scratch write must not touch the live data
+    # a second compaction publishes a NEW generation atomically; the old
+    # one stays on disk (readers drain) until vacuum reclaims it
+    g1 = manifest.read_manifest(path)["current"]
+    compact_dataset(spark, path, partition_by=["part"], sort_by=["id"])
+    m2 = manifest.read_manifest(path)
+    assert m2["current"] != g1
+    assert os.path.isdir(manifest.generation_dir(path, g1))
+    removed = manifest.vacuum(path)
+    assert any(g1 in p for p in removed)
+    assert not any(d.startswith("part=") for d in os.listdir(path))
+    assert read_dataset(spark, path).count() == 10000
+
+    # crash safety: a failing read must not touch the live data
     stats_live = dataset_file_stats(path)
     try:
         compact_dataset(spark, path + "_missing")
     except Exception:
         pass
     assert dataset_file_stats(path) == stats_live
+
+
+def test_compact_dataset_concurrent_reader_never_sees_mixed_state(spark, tmp_path):
+    """The round-8 verdict's done-criterion: a reader loop running DURING
+    repeated compactions (including the adopting first one) always sees a
+    complete generation — exact row count and checksum every time, no
+    missing/mixed directory window. Publishes delete nothing; only
+    vacuum (not called here) reclaims."""
+    import threading
+
+    from sql_data_warehouse_analytics_project_spark.sources.writers import (
+        compact_dataset,
+        read_dataset,
+    )
+
+    path = str(tmp_path / "hotds")
+    n, total = 5000, sum(range(5000))
+    spark.range(0, 5000).withColumn(
+        "part", (F.col("id") % 4).cast("int")
+    ).repartition(16).write.partitionBy("part").parquet(path)
+
+    stop = threading.Event()
+    failures: list[str] = []
+
+    def reader():
+        while not stop.is_set():
+            got = read_dataset(spark, path).agg(
+                F.count(F.lit(1)).alias("n"), F.sum("id").alias("s")
+            ).collect()[0]
+            if (got["n"], got["s"]) != (n, total):
+                failures.append(f"saw n={got['n']} s={got['s']}")
+                return
+
+    t = threading.Thread(target=reader)
+    t.start()
+    try:
+        for _ in range(4):
+            compact_dataset(spark, path, partition_by=["part"], sort_by=["id"])
+    finally:
+        stop.set()
+        t.join(timeout=120)
+    assert not failures, failures
