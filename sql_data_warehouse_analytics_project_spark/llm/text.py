@@ -602,8 +602,25 @@ def token_drift(
             .agg(F.count(F.lit(1)).alias(name))
         )
 
-    ca = counts(df_a, "ca")
-    cb = counts(df_b, "cb")
+    return drift_from_counts(
+        counts(df_a, "ca"), counts(df_b, "cb"), add_k=add_k, top_k=top_k
+    )
+
+
+def drift_from_counts(
+    ca: DataFrame,
+    cb: DataFrame,
+    *,
+    add_k: float = 0.5,
+    top_k: int = 20,
+) -> DataFrame:
+    """The counts→drift core of :func:`token_drift`, exposed for callers
+    that already HOLD token-count tables — above all the streaming
+    drift monitor (``streaming.ingest.token_count_sink`` folds its
+    per-batch ledger to ``(token, ca)`` and compares against a pinned
+    reference snapshot without re-reading any text). ``ca``/``cb`` are
+    ``(token, ca)`` / ``(token, cb)`` integer-count DataFrames; math,
+    determinism contract, and plan shape as :func:`token_drift`."""
     vocab = ca.join(cb, "token", "full").select(
         "token",
         F.coalesce("ca", F.lit(0)).alias("ca"),

@@ -573,6 +573,164 @@ def bm25_index_sink(
     return sink
 
 
+def token_count_sink(
+    ledger_dir: str,
+    text_col: str = "text",
+    *,
+    checkpoint_id: "str | None" = None,
+):
+    """foreachBatch sink maintaining a PER-SNAPSHOT TOKEN-COUNT ledger
+    from a document stream — the streaming half of the qd53 corpus-drift
+    monitor (``llm.text.token_drift``), productionized for recurring
+    ingest: every micro-batch tokenizes ONLY itself and appends its
+    ``(token, cnt)`` reduction as a per-(checkpoint, batch) partition
+    slice. The accumulated ledger folds to the current snapshot's token
+    distribution in one vocab-sized aggregation
+    (:func:`token_drift_from_sink`) — no text is ever re-read, so a
+    drift check against a pinned reference costs vocab, not corpus.
+
+    Replay-idempotent by the sink layout contract (partition overwrite
+    per (cp, batch); ``checkpoint_id`` keys lineages by the stream's
+    stable query uuid, exactly :func:`corpus_dedup_sink`). As slices
+    accumulate, ``sources.writers.compact_dataset`` folds them (the
+    partition columns survive as data columns; the fold is a plain
+    sum)."""
+    from sql_data_warehouse_analytics_project_spark.llm.text import tokens
+
+    resolved: dict = {}
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if checkpoint_id is not None and "id" not in resolved:
+            resolved["id"] = _checkpoint_identity(spark, checkpoint_id)
+        cp = resolved.get("id") or "default"
+        counts = (
+            batch_df.select(F.explode(tokens(text_col)).alias("token"))
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        writers.write_partitioned_slice(
+            counts, f"{ledger_dir}/cp={cp}/batch_id={batch_id}"
+        )
+
+    return sink
+
+
+def token_drift_from_sink(
+    spark,
+    ledger_dir: str,
+    reference: DataFrame,
+    *,
+    text_col: str = "text",
+    add_k: float = 0.5,
+    top_k: int = 20,
+) -> DataFrame:
+    """Drift of the sink-accumulated snapshot vs a PINNED reference
+    corpus: fold the :func:`token_count_sink` ledger to the stream's
+    token distribution (one vocab-sized sum over the already-reduced
+    slices — the stream's text is never re-read) and hand both count
+    tables to ``llm.text.drift_from_counts``. Output/contract identical
+    to ``token_drift(stream_corpus, reference)`` — gate-checked
+    bit-exact against that one-shot twin (qd55). Positive contributions
+    ⇒ over-represented in the STREAM snapshot."""
+    from sql_data_warehouse_analytics_project_spark.llm.text import (
+        drift_from_counts,
+        tokens,
+    )
+
+    ca = (
+        spark.read.parquet(sources_manifest.resolve(ledger_dir))
+        .groupBy("token")
+        .agg(F.sum("cnt").cast("long").alias("ca"))
+    )
+    cb = (
+        reference.select(F.explode(tokens(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cb"))
+    )
+    return drift_from_counts(ca, cb, add_k=add_k, top_k=top_k)
+
+
+def retire_compact_bm25_sink(spark, index_dir: str) -> dict:
+    """Fold the CDC tombstone ledger INTO the postings files: physically
+    drop every posting a later batch retired and truncate the ``retired``
+    ledger — the maintenance op that returns fold cost to ∝ live index
+    on a long-running CDC stream (without it the ledger, and the dead
+    postings it shadows, grow with history: every
+    :func:`load_bm25_index_from_sink` pays for documents that died
+    months ago).
+
+    Both rewrites commit through the generation manifest
+    (``sources/manifest``): the live postings land as a new generation
+    partitioned by ``(cp, batch_id)`` — the SAME directory shape the
+    sink writes, so later micro-batches keep appending slices into the
+    current generation — and the ledger's new generation holds a single
+    0-row marker slice (``cp=__compacted__/batch_id=-1``) that keeps
+    the dataset readable and the fold on the CDC branch. Publishes are
+    atomic; concurrent READERS are always safe; superseded generations
+    are reclaimed by ``sources.manifest.vacuum`` later.
+
+    Correctness after compaction is unchanged: surviving postings keep
+    their original ``(cp, batch_id)``, so a FUTURE retire of doc ``d``
+    at batch ``B`` still shadows d's older rows (``batch_id < B``), and
+    a replace in batch ``B`` keeps its own rows (``batch_id >= B``).
+    The one contract (same as any sink compaction): run it only when
+    the stream's checkpoint is PAST the compacted batches — a replay of
+    an already-compacted batch would re-write its slice alongside the
+    compacted copy and double-count. Returns row counts dropped/kept."""
+    from pyspark.sql.utils import AnalysisException
+
+    from sql_data_warehouse_analytics_project_spark.sources.writers import (
+        write_dataset,
+    )
+
+    root = index_dir.rstrip("/")
+    try:
+        retired = spark.read.parquet(
+            sources_manifest.resolve(f"{root}/retired")
+        )
+    except AnalysisException:
+        return {"postings_kept": None, "postings_dropped": 0,
+                "retired_folded": 0}
+    postings = spark.read.parquet(sources_manifest.resolve(f"{root}/postings"))
+    n_retired = retired.count()
+    last = retired.groupBy("cp", "doc").agg(
+        F.max("batch_id").alias("_last_retire")
+    )
+    live = (
+        postings.join(last, ["cp", "doc"], "left")
+        .filter(
+            F.col("_last_retire").isNull()
+            | (F.col("batch_id") >= F.col("_last_retire"))
+        )
+        .drop("_last_retire")
+        .select("term", "doc", "tf", "dl", "cp", "batch_id")
+    )
+    n_before = postings.count()
+
+    gid, gdir = sources_manifest.new_generation(f"{root}/postings")
+    write_dataset(live, gdir, partition_by=["cp", "batch_id"],
+                  sort_by=["term"])
+    sources_manifest.publish(f"{root}/postings", gid)
+    n_after = spark.read.parquet(
+        sources_manifest.resolve(f"{root}/postings")
+    ).count()
+
+    # truncate the ledger: one 0-row marker slice keeps the dataset
+    # readable (an empty dir can't be) and the fold on the CDC branch
+    doc_type = dict(retired.dtypes)["doc"]
+    rgid, rgdir = sources_manifest.new_generation(f"{root}/retired")
+    spark.createDataFrame([], f"doc {doc_type}").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{rgdir}/cp=__compacted__/batch_id=-1")
+    sources_manifest.publish(f"{root}/retired", rgid)
+    return {
+        "postings_kept": n_after,
+        "postings_dropped": n_before - n_after,
+        "retired_folded": n_retired,
+    }
+
+
 def load_bm25_index_from_sink(spark, index_dir: str) -> dict:
     """Fold a :func:`bm25_index_sink` directory into a search-ready index
     dict (the ``retrieval.search_bm25`` contract).

@@ -908,3 +908,132 @@ def test_bm25_index_sink_cdc_replace_and_delete(spark, tmp_path):
     loaded_c = load_bm25_index_from_sink(spark, idx_dir)
     got_c = sorted(map(tuple, retrieval.search_bm25(loaded_c, queries, k=5).collect()))
     assert got_c == got
+
+
+def test_bm25_cdc_retire_compaction_drops_dead_postings(spark, tmp_path):
+    """Round-9 (verdict #3): retire-compaction physically folds the CDC
+    tombstone ledger into the postings — dead postings are GONE FROM DISK
+    (file-level scan of the published generation), the retired ledger
+    truncates to a 0-row marker, the folded index still equals
+    ``update_bm25_index`` over the same batches, and a FUTURE CDC batch
+    (replace + delete) keeps working against the compacted layout. Both
+    rewrites are manifest-committed (concurrent readers safe; only the
+    stream must be quiesced past the compacted batches)."""
+    from pyspark.sql import functions as F
+
+    from sql_data_warehouse_analytics_project_spark.llm import retrieval
+    from sql_data_warehouse_analytics_project_spark.sources import manifest
+    from sql_data_warehouse_analytics_project_spark.streaming.ingest import (
+        bm25_index_sink,
+        load_bm25_index_from_sink,
+        retire_compact_bm25_sink,
+    )
+
+    idx_dir = str(tmp_path / "bm25_cdc_rc")
+    sink = bm25_index_sink(idx_dir, cdc=True)
+    b0 = spark.createDataFrame(
+        [
+            (1, "spark shuffles data between executors during wide joins"),
+            (2, "cats purr softly in the warm afternoon sun"),
+            (3, "zebras graze quietly on the open savanna"),
+        ],
+        "doc_id long, text string",
+    )
+    b1 = spark.createDataFrame(
+        [
+            (2, "dogs bark loudly in the cold morning rain"),  # replace
+            (3, ""),                                           # delete
+            (4, "executors spill shuffle data to disk under pressure"),
+        ],
+        "doc_id long, text string",
+    )
+    sink(b0, 0)
+    sink(b1, 1)
+    sink(b1, 1)  # replay before compaction — slices overwrite cleanly
+
+    report = retire_compact_bm25_sink(spark, idx_dir)
+    assert report["retired_folded"] > 0
+    assert report["postings_dropped"] > 0
+
+    # dead postings are PHYSICALLY gone: the published postings files
+    # hold no row for the deleted doc or the replaced doc's old version
+    postings = spark.read.parquet(manifest.resolve(f"{idx_dir}/postings"))
+    assert postings.filter(F.col("doc") == 3).count() == 0
+    assert postings.filter(
+        (F.col("doc") == 2) & (F.col("term") == "cats")
+    ).count() == 0
+    # the ledger truncated to the 0-row marker
+    retired = spark.read.parquet(manifest.resolve(f"{idx_dir}/retired"))
+    assert retired.count() == 0
+
+    # fold after compaction == the batch path over the same batches
+    loaded = load_bm25_index_from_sink(spark, idx_dir)
+    updated = retrieval.update_bm25_index(retrieval.build_bm25_index(b0), b1)
+    assert loaded["n_docs"] == updated["n_docs"] == 3
+    assert loaded["total_dl"] == updated["total_dl"]
+    ts_l = {r.term: r.df for r in loaded["term_stats"].collect()}
+    ts_u = {r.term: r.df for r in updated["term_stats"].collect()}
+    assert ts_l == ts_u and "zebras" not in ts_l and "dogs" in ts_l
+
+    # the stream keeps going against the compacted layout: a later batch
+    # replaces doc 4 and deletes doc 1; the fold applies it
+    b2 = spark.createDataFrame(
+        [(4, "fresh telescopes resolve distant galaxies"), (1, "")],
+        "doc_id long, text string",
+    )
+    sink(b2, 2)
+    loaded2 = load_bm25_index_from_sink(spark, idx_dir)
+    updated2 = retrieval.update_bm25_index(updated, b2)
+    assert loaded2["n_docs"] == updated2["n_docs"] == 2
+    ts_l2 = {r.term: r.df for r in loaded2["term_stats"].collect()}
+    ts_u2 = {r.term: r.df for r in updated2["term_stats"].collect()}
+    assert ts_l2 == ts_u2 and "spark" not in ts_l2 and "telescopes" in ts_l2
+
+    # and a SECOND retire-compaction converges on the same state
+    retire_compact_bm25_sink(spark, idx_dir)
+    loaded3 = load_bm25_index_from_sink(spark, idx_dir)
+    ts_l3 = {r.term: r.df for r in loaded3["term_stats"].collect()}
+    assert ts_l3 == ts_u2 and loaded3["n_docs"] == 2
+
+
+def test_token_count_sink_replay_and_compaction_invariant(spark, tmp_path):
+    """Round-9 (verdict #4): the streaming drift ledger is
+    replay-idempotent (a re-delivered batch overwrites its own slice)
+    and compaction-invariant (slices fold to the same counts after
+    compact_dataset), and the folded drift equals the one-shot
+    token_drift over the same corpora."""
+    from pyspark.sql import functions as F
+
+    from sql_data_warehouse_analytics_project_spark.llm import text
+    from sql_data_warehouse_analytics_project_spark.sources.writers import (
+        compact_dataset,
+    )
+    from sql_data_warehouse_analytics_project_spark.streaming.ingest import (
+        token_count_sink,
+        token_drift_from_sink,
+    )
+
+    ledger = str(tmp_path / "tok_ledger")
+    stream_docs = spark.createDataFrame(
+        [(1, "spark spark shuffle executors"),
+         (2, "cats purr in the sun"),
+         (3, "executors spill shuffle data")],
+        "doc_id long, text string",
+    )
+    reference = spark.createDataFrame(
+        [(10, "spark shuffle in the rain"), (11, "dogs bark at the sun")],
+        "doc_id long, text string",
+    )
+    sink = token_count_sink(ledger)
+    sink(stream_docs.filter(F.col("doc_id") <= 2), 0)
+    sink(stream_docs.filter(F.col("doc_id") == 3), 1)
+    sink(stream_docs.filter(F.col("doc_id") == 3), 1)  # crash replay
+
+    got = token_drift_from_sink(spark, ledger, reference, top_k=50)
+    want = text.token_drift(stream_docs, reference, top_k=50)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+    # compaction folds the slices without changing the counts
+    compact_dataset(spark, ledger)
+    got_c = token_drift_from_sink(spark, ledger, reference, top_k=50)
+    assert sorted(map(tuple, got_c.collect())) == sorted(map(tuple, want.collect()))
