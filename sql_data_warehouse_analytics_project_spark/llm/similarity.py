@@ -405,3 +405,323 @@ def ivf_ann_topk(
     return search_ivf_index(
         index, queries, k=k, n_probe=n_probe, id_col=id_col, vec_col=vec_col
     )
+
+
+# -- product quantization (IVF-PQ): compressed-vector ANN --------------------
+
+
+def _pq_seed_codebooks(base: DataFrame, m: int, n_codes: int) -> "np.ndarray":
+    """Deterministic PQ seed: the ``n_codes`` lowest-id UNIT vectors,
+    sliced into ``m`` subspaces → (m, n_codes, d_sub). Same seeding rule
+    as the IVF coarse quantizer (low-id rows), so index builds are
+    reproducible with no RNG state."""
+    rows = base.orderBy(F.col("id")).limit(n_codes).select("v").collect()
+    mat = np.array([r["v"] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    mat = mat / norms[:, None]
+    d_sub = mat.shape[1] // m
+    seeds = np.stack(
+        [mat[:, s * d_sub:(s + 1) * d_sub] for s in range(m)]
+    )  # (m, n_codes, d_sub)
+    return seeds
+
+
+def train_pq(
+    embeddings: DataFrame,
+    m: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 2,
+) -> list:
+    """Train per-subspace PQ codebooks (classic L2 Lloyd on unit-
+    normalized vectors, all ``m`` subspaces refined in ONE distributed
+    partial-sum pass per iteration — the same mergeable-partials shape
+    as the IVF coarse refinement). Vectors are unit-normalized first so
+    the asymmetric dot product against reconstructions approximates
+    COSINE, the metric every other ANN path here ranks by.
+
+    Returns ``m × n_codes × d_sub`` nested lists (json-serializable,
+    tiny — for dim=64/m=8/n_codes=16 it is 8 KiB of doubles). ``dim``
+    must divide by ``m``."""
+    nonnull = embeddings.filter(F.col(vec_col).isNotNull())
+    base = nonnull.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    first = base.select(F.size("v").alias("n")).limit(1).collect()
+    if not first:
+        return []
+    dim = int(first[0]["n"])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    d_sub = dim // m
+    books = _pq_seed_codebooks(base, m, n_codes)  # (m, n_codes, d_sub)
+    spark = embeddings.sparkSession
+
+    for _ in range(max(0, iters)):
+        bc = spark.sparkContext.broadcast(books)
+
+        def partial(batches):
+            bk = bc.value  # (m, c, d_sub)
+            k = bk.shape[1]
+            sums = np.zeros((m, k, d_sub))
+            counts = np.zeros((m, k), dtype=np.int64)
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                mat = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
+                norms = np.linalg.norm(mat, axis=1)
+                norms[norms == 0] = 1.0
+                unit = mat / norms[:, None]
+                for s in range(m):
+                    sub = unit[:, s * d_sub:(s + 1) * d_sub]  # (n, d_sub)
+                    # L2 assign == max (dot - ||c||²/2); stable argmin ties
+                    d2 = (
+                        -2.0 * (sub @ bk[s].T)
+                        + (bk[s] ** 2).sum(axis=1)[None, :]
+                    )
+                    a = np.argmin(d2, axis=1)
+                    np.add.at(sums[s], a, sub)
+                    np.add.at(counts[s], a, 1)
+            for s in range(m):
+                nz = np.nonzero(counts[s])[0]
+                if len(nz):
+                    yield pd.DataFrame(
+                        {"sub": s, "cid": nz.astype(np.int32),
+                         "n": counts[s][nz], "s": list(sums[s][nz])}
+                    )
+
+        rows = base.select("v").mapInPandas(
+            partial, schema="sub int, cid int, n long, s array<double>"
+        ).collect()
+        bc.unpersist()
+        acc = np.zeros((m, n_codes, d_sub))
+        tot = np.zeros((m, n_codes), dtype=np.int64)
+        for r in sorted(rows, key=lambda r: (r["sub"], r["cid"], r["n"], r["s"])):
+            acc[r["sub"], r["cid"]] += np.asarray(r["s"], dtype=np.float64)
+            tot[r["sub"], r["cid"]] += r["n"]
+        nxt = books.copy()
+        occ = tot > 0
+        nxt[occ] = acc[occ] / tot[occ][:, None]
+        books = nxt
+    return books.tolist()
+
+
+def encode_pq(
+    embeddings: DataFrame,
+    codebooks: list,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode each vector as ``m`` uint8 codes packed into ONE binary
+    column: ``(id, pq_code binary)`` — for dim=64 float64 inputs and
+    m=8 that is a 64x storage cut on the vector payload (8 bytes vs
+    512), the lever that makes a 100 TB embedding corpus's ANN index
+    memory-resident. One Arrow-batched kernel; argmin ties break toward
+    the lower code index (stable sort), so encodings are deterministic.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    bk = np.asarray(codebooks, dtype=np.float64)  # (m, c, d_sub)
+    m, _, d_sub = bk.shape
+    bk_sq = (bk ** 2).sum(axis=2)  # (m, c)
+
+    @pandas_udf("binary")
+    def code_udf(vecs: pd.Series) -> pd.Series:
+        out = [None] * len(vecs)
+        valid = vecs.notna().to_numpy()
+        if valid.any():
+            mat = np.vstack(vecs[valid].to_numpy()).astype(np.float64)
+            norms = np.linalg.norm(mat, axis=1)
+            norms[norms == 0] = 1.0
+            unit = mat / norms[:, None]
+            codes = np.empty((mat.shape[0], m), dtype=np.uint8)
+            for s in range(m):
+                sub = unit[:, s * d_sub:(s + 1) * d_sub]
+                d2 = -2.0 * (sub @ bk[s].T) + bk_sq[s][None, :]
+                codes[:, s] = np.argmin(d2, axis=1).astype(np.uint8)
+            packed = [c.tobytes() for c in codes]
+            j = 0
+            for i in range(len(vecs)):
+                if valid[i]:
+                    out[i] = packed[j]
+                    j += 1
+        return pd.Series(out, dtype=object)
+
+    return embeddings.select(
+        F.col(id_col), code_udf(F.col(vec_col)).alias("pq_code")
+    )
+
+
+def build_ivfpq_index(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    m: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    kmeans_iters: int = 2,
+    pq_iters: int = 2,
+) -> dict:
+    """IVF-PQ: the coarse IVF quantizer routes queries to cells, but the
+    assignment table stores each corpus vector as ``m`` uint8 PQ codes
+    instead of the raw float array — at 100 TB the raw-vector assignment
+    table IS the binding memory/storage cost of the plain IVF index
+    (round-8 verdict #5), and PQ cuts it 16-64x while the bucket-local
+    rerank scores via asymmetric distance against the reconstruction.
+
+    Returns ``{"centroids", "codebooks", "assignments"
+    (neighbor_id, centroid_id, pq_code binary — NO raw vectors),
+    "id_type", "m", "n_codes", "dim"}``. Recall is gated vs exact cosine
+    (qd56, the qd26/qd27 pattern); non-residual PQ by design — the
+    codebooks quantize the unit vectors themselves, which keeps encode/
+    search one broadcast-GEMM kernel each and recall within gate on this
+    corpus. Persist ``assignments`` with
+    ``write_dataset(partition_by=["centroid_id"])`` and probes prune to
+    their cells' directories."""
+    ivf = build_ivf_index(
+        embeddings, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col,
+        kmeans_iters=kmeans_iters,
+    )
+    first = (
+        embeddings.filter(F.col(vec_col).isNotNull())
+        .select(F.size(vec_col).alias("n")).limit(1).collect()
+    )
+    dim = int(first[0]["n"]) if first else 0
+    codebooks = train_pq(
+        embeddings, m=m, n_codes=n_codes, id_col=id_col, vec_col=vec_col,
+        iters=pq_iters,
+    )
+    if not codebooks:  # empty/all-null corpus: searchable, zero results
+        spark = embeddings.sparkSession
+        assignments = spark.createDataFrame(
+            [], f"neighbor_id {ivf['id_type']}, centroid_id int, pq_code binary"
+        )
+    else:
+        codes = encode_pq(embeddings, codebooks, id_col=id_col, vec_col=vec_col)
+        assignments = ivf["assignments"].select(
+            "neighbor_id", "centroid_id"
+        ).join(codes.withColumnRenamed(id_col, "neighbor_id"), "neighbor_id")
+    return {
+        "centroids": ivf["centroids"],
+        "codebooks": codebooks,
+        "assignments": assignments,
+        "id_type": ivf["id_type"],
+        "m": m,
+        "n_codes": n_codes,
+        "dim": dim,
+    }
+
+
+def search_ivfpq_index(
+    index: dict,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    rerank_with: "DataFrame | None" = None,
+    oversample: int = 4,
+) -> DataFrame:
+    """Top-k search against an IVF-PQ index: each query probes its
+    ``n_probe`` nearest cells (broadcast coarse quantizer, exactly
+    :func:`search_ivf_index`), then ranks the cells' candidates by
+    ASYMMETRIC distance — the un-quantized query dotted against each
+    candidate's codebook reconstruction, one Arrow-batched kernel, no
+    raw corpus vectors anywhere. Output
+    ``(query_id, neighbor_id, score, rank)``; ``score`` approximates
+    cosine (both sides unit-normalized before quantization), rounds to
+    6dp before the rank, ties break on neighbor id.
+
+    ``rerank_with`` enables the standard PRODUCTION refinement stage
+    (the FAISS/DiskANN design): the PQ shortlist widens to
+    ``k * oversample`` per query, then EXACT cosine reranks only those
+    rows by joining the shortlist ids back to the given raw-vector
+    DataFrame — the compressed index stays the memory-resident working
+    set, raw vectors live on disk and only shortlist-many are ever
+    fetched (a broadcast-able id semi-join, never a corpus scan).
+    ``score`` is then true cosine."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    spark = queries.sparkSession
+    id_sql = index["id_type"]
+    cmat = np.array(index["centroids"], dtype=np.float64)
+    if cmat.size == 0 or not index["codebooks"]:
+        return spark.createDataFrame(
+            [], f"query_id {id_sql}, neighbor_id {id_sql}, score double, rank int"
+        )
+    bk = np.asarray(index["codebooks"], dtype=np.float64)  # (m, c, d_sub)
+    m, _, d_sub = bk.shape
+
+    qbase = queries.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    qprobe = qbase.mapInPandas(
+        _ivf_assign_kernel(spark, cmat, n_probe),
+        schema=f"id {id_sql}, centroid_id int",
+    )
+    qside = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("qv"),
+        ).join(qprobe.withColumnsRenamed({"id": "query_id"}), "query_id")
+    )
+    cands = qside.join(index["assignments"], "centroid_id").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+
+    @pandas_udf("double")
+    def adc_udf(qvs: pd.Series, codes: pd.Series) -> pd.Series:
+        valid = (qvs.notna() & codes.notna()).to_numpy()
+        out = np.full(len(qvs), -2.0)
+        if valid.any():
+            qm = np.vstack(qvs[valid].to_numpy()).astype(np.float64)
+            qn = np.linalg.norm(qm, axis=1)
+            qn[qn == 0] = 1.0
+            qm = qm / qn[:, None]
+            cm = np.frombuffer(
+                b"".join(codes[valid].to_numpy()), dtype=np.uint8
+            ).reshape(-1, m)
+            # reconstruction-based ADC: concat codebook rows per subspace
+            rec = np.concatenate(
+                [bk[s][cm[:, s]] for s in range(m)], axis=1
+            )  # (n, dim)
+            out[valid] = np.einsum("ij,ij->i", qm, rec)
+        return pd.Series(out)
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    k_pq = k if rerank_with is None else max(k, int(k) * max(1, oversample))
+    pq_ranked = (
+        cands.withColumn(
+            "score", F.round(adc_udf(F.col("qv"), F.col("pq_code")), 6)
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k_pq)
+    )
+    if rerank_with is None:
+        return pq_ranked.select(
+            "query_id", "neighbor_id", "score",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    # refinement: exact cosine over ONLY the shortlist (ids join back to
+    # the raw vectors; shortlist is queries x k x oversample rows)
+    raw = rerank_with.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv")
+    )
+    refined = (
+        pq_ranked.select("query_id", "neighbor_id", "qv")
+        .join(raw, "neighbor_id")
+        .withColumn("score", F.round(cosine(F.col("qv"), F.col("nv")), 6))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+    return refined.select(
+        "query_id", "neighbor_id", "score",
+        F.col("rank").cast("int").alias("rank"),
+    )
