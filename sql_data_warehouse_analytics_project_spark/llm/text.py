@@ -499,6 +499,19 @@ def bigram_lm_scores(
     bigram exists in the model (no OOV path); out-of-corpus scoring is
     the same join with the model tables persisted.
 
+    Denominator choice (deliberate, per the round-8 review): ``C(w1)``
+    is w1's FULL corpus unigram count — including its occurrences as the
+    last token of a document, which have no outgoing transition — not
+    its count as a bigram PREFIX. ``Σ_w2 P(w2|w1)`` is therefore
+    slightly below 1 for tokens that end documents: a strictly
+    sub-normalized (penalized-at-document-edges) smoothed model, not a
+    textbook conditional. The variant is standard for filtering (CCNet
+    scores with fixed external models and absolute thresholds; only the
+    RANKING of documents matters here), keeps the plan to exactly two
+    count tables, and is replayed identically by the qd51 oracle. Use
+    per-doc last-token subtraction if true conditional normalization is
+    ever needed.
+
     Plan: one explode builds the unigram vocab (map-side combined), one
     bigram pass (array slice+zip — no self-join) builds the bigram counts
     AND the per-doc (w1, w2, tf) reduction; the doc side then joins the
