@@ -660,19 +660,30 @@ def search_ivfpq_index(
     qbase = queries.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
     )
+    # pinned: the probe feeds the candidate join AND the cell-prune
+    # collect below without re-running the assignment kernel
     qprobe = qbase.mapInPandas(
         _ivf_assign_kernel(spark, cmat, n_probe),
         schema=f"id {id_sql}, centroid_id int",
-    )
+    ).localCheckpoint()
     qside = F.broadcast(
         queries.select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).cast("array<double>").alias("qv"),
         ).join(qprobe.withColumnsRenamed({"id": "query_id"}), "query_id")
     )
-    cands = qside.join(index["assignments"], "centroid_id").filter(
-        F.col("query_id") != F.col("neighbor_id")
+    # static cell pruning: the probed cell set is tiny (≤ queries ×
+    # n_probe ≤ n_centroids values) — an isin literal reaches the scan as
+    # a PartitionFilter when the assignment table is persisted
+    # partitioned by centroid_id (write_ivfpq_index), so a probe reads
+    # ~n_probe/n_centroids of the index's directories, never all of it
+    cells = sorted(
+        r[0] for r in qprobe.select("centroid_id").distinct().collect()
     )
+    cands = qside.join(
+        index["assignments"].filter(F.col("centroid_id").isin(cells)),
+        "centroid_id",
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
 
     @pandas_udf("double")
     def adc_udf(qvs: pd.Series, codes: pd.Series) -> pd.Series:
@@ -725,3 +736,72 @@ def search_ivfpq_index(
         "query_id", "neighbor_id", "score",
         F.col("rank").cast("int").alias("rank"),
     )
+
+
+def write_ivfpq_index(index: dict, path: str) -> None:
+    """Persist an IVF-PQ index as a MANIFEST-COMMITTED on-disk layout
+    (``sources/manifest`` — the same atomic-publish discipline as the
+    BM25 index, qd52)::
+
+        <path>/_MANIFEST.json     <- centroids + codebooks + scalars
+                                     (tiny: KBs of doubles) and the
+                                     generation pointer
+        <path>/_generations/<gid>/assignments/centroid_id=<c>/
+
+    The assignment table — the only corpus-sized piece, and already PQ-
+    compressed to (id, m bytes) — partitions by ``centroid_id``, so a
+    probe reads ONLY its cells' directories (``n_probe/n_centroids`` of
+    the index; :func:`search_ivfpq_index` applies the cell filter and
+    the scan shows PartitionFilters). Publish is one atomic rename;
+    rebuilds write a new generation and republish; readers resolving the
+    manifest never see a partial index; superseded generations vacuum
+    later."""
+    from sql_data_warehouse_analytics_project_spark.sources import manifest
+    from sql_data_warehouse_analytics_project_spark.sources.writers import (
+        write_dataset,
+    )
+
+    root = path.rstrip("/")
+    gid, gdir = manifest.new_generation(root)
+    write_dataset(
+        index["assignments"],
+        f"{gdir}/assignments",
+        partition_by=["centroid_id"],
+        sort_by=["neighbor_id"],
+    )
+    manifest.publish(
+        root,
+        gid,
+        extra={
+            "centroids": index["centroids"],
+            "codebooks": index["codebooks"],
+            "id_type": index["id_type"],
+            "m": int(index["m"]),
+            "n_codes": int(index["n_codes"]),
+            "dim": int(index["dim"]),
+        },
+    )
+
+
+def read_ivfpq_index(spark, path: str) -> dict:
+    """Load a :func:`write_ivfpq_index` layout into the
+    :func:`search_ivfpq_index` contract by resolving the manifest ONCE —
+    a pinned consistent snapshot; the assignment table stays a lazy scan
+    whose probes prune to their cells' partition directories."""
+    from sql_data_warehouse_analytics_project_spark.sources import manifest
+
+    root = path.rstrip("/")
+    m = manifest.read_manifest(root)
+    if m is None:
+        raise FileNotFoundError(f"no IVF-PQ index manifest at {root}")
+    extra = m["extra"]
+    gdir = manifest.generation_dir(root, m["current"])
+    return {
+        "centroids": extra["centroids"],
+        "codebooks": extra["codebooks"],
+        "assignments": spark.read.parquet(f"{gdir}/assignments"),
+        "id_type": extra["id_type"],
+        "m": int(extra["m"]),
+        "n_codes": int(extra["n_codes"]),
+        "dim": int(extra["dim"]),
+    }

@@ -2537,3 +2537,55 @@ def qd57_png_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir).select("doc_id")
     media = multimodal.synthesize_png_media(docs)
     return multimodal.image_pixel_stats(media, decode="png")
+
+
+@register(
+    "qd58_ivfpq_disk_index",
+    "SELECT CAST(count(*) AS BIGINT) AS n_queries, TRUE AS same_as_memory,"
+    " TRUE AS recall_ok FROM embeddings WHERE vec_id < 8",
+)
+def qd58_ivfpq_disk_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSISTED IVF-PQ lifecycle (`similarity.write_ivfpq_index` →
+    `read_ivfpq_index` → cell-pruned `search_ivfpq_index`): the
+    compressed index commits to disk through the generation manifest
+    (qd52's atomic-publish discipline applied to the ANN stack), a fresh
+    read resolves the pinned snapshot, and the refined search through it
+    must (a) equal the in-memory index's results bit-exactly and (b)
+    hold the qd56 aggregate recall gate. The probe's assignment scan is
+    partition-pruned to its cells' directories (plan-asserted in
+    tests/test_llm.py) — at 100 TB a probe reads ~n_probe/n_centroids of
+    the index, never all of it."""
+    import shutil
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    index = similarity.build_ivfpq_index(emb, n_centroids=16, m=8, n_codes=16)
+    tmp = tempfile.mkdtemp(prefix="qd58_ivfpq_")
+    try:
+        similarity.write_ivfpq_index(index, tmp)
+        disk = similarity.read_ivfpq_index(spark, tmp)
+        got = sorted(map(tuple, similarity.search_ivfpq_index(
+            disk, queries, k=5, rerank_with=emb, oversample=16
+        ).collect()))
+        want = sorted(map(tuple, similarity.search_ivfpq_index(
+            index, queries, k=5, rerank_with=emb, oversample=16
+        ).collect()))
+        exact = similarity.cosine_topk(emb, queries, k=5).select(
+            "query_id", "neighbor_id"
+        )
+        hits = (
+            spark.createDataFrame(
+                [(r[0], r[1]) for r in got],
+                f"query_id {index['id_type']}, neighbor_id {index['id_type']}",
+            )
+            .join(exact, ["query_id", "neighbor_id"])
+            .count()
+        )
+        n_q = queries.count()
+        return spark.createDataFrame(
+            [(n_q, got == want, hits / float(exact.count() or 1) >= 0.6)],
+            "n_queries bigint, same_as_memory boolean, recall_ok boolean",
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -1665,3 +1665,71 @@ def test_png_codec_roundtrip_and_all_filters(spark):
     assert resized[1].width <= 8 and resized[1].height <= 8
     back = mm.decode_png(bytes(resized[1].content))
     assert back.shape == (resized[1].height, resized[1].width, 3)
+
+
+def test_ivfpq_disk_index_pruned_search_matches_memory(spark, tmp_path):
+    """The persisted IVF-PQ layout (manifest-committed, cell-partitioned):
+    search through the on-disk index equals search through the in-memory
+    one, and the probe's scan physically reads ONLY the probed cells'
+    partition directories (inputFiles subset + PartitionFilters in the
+    plan). Republish is atomic (new generation; old one intact until
+    vacuum)."""
+    from pyspark.sql import functions as F
+
+    from sql_data_warehouse_analytics_project_spark.llm import similarity
+    from sql_data_warehouse_analytics_project_spark.sources import manifest
+    from sql_data_warehouse_analytics_project_spark.sources.readers import (
+        load_table,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.filter(F.col("vec_id") < 4)
+    index = similarity.build_ivfpq_index(emb, n_centroids=16, m=8, n_codes=16)
+    path = str(tmp_path / "ivfpq")
+    similarity.write_ivfpq_index(index, path)
+    disk = similarity.read_ivfpq_index(spark, path)
+    assert disk["centroids"] == index["centroids"]
+    assert disk["codebooks"] == index["codebooks"]
+
+    got = sorted(map(tuple, similarity.search_ivfpq_index(
+        disk, queries, k=5, rerank_with=emb, oversample=8
+    ).collect()))
+    want = sorted(map(tuple, similarity.search_ivfpq_index(
+        index, queries, k=5, rerank_with=emb, oversample=8
+    ).collect()))
+    assert got == want and len(got) > 0
+
+    # physical pruning: the filtered assignment scan lists only the
+    # probed cells' directories
+    import numpy as np
+
+    cmat = np.array(disk["centroids"])
+    qprobe = (
+        queries.select(F.col("vec_id").alias("id"),
+                       F.col("embedding").cast("array<double>").alias("v"))
+        .mapInPandas(similarity._ivf_assign_kernel(spark, cmat, 4),
+                     schema="id long, centroid_id int")
+    )
+    cells = {r[0] for r in qprobe.select("centroid_id").distinct().collect()}
+    assert len(cells) < 16  # some cells NOT probed at n_probe=4
+    pruned = disk["assignments"].filter(
+        F.col("centroid_id").isin(sorted(cells))
+    )
+    plan = pruned._jdf.queryExecution().executedPlan().treeString()
+    assert "PartitionFilters: [" in plan
+    assert "centroid_id" in plan.split("PartitionFilters:")[1].split("]")[0]
+    # and the pruned scan actually reads fewer rows than the full index
+    assert pruned.count() < disk["assignments"].count()
+
+    # atomic republish: a rebuild writes a new generation; the old stays
+    # until vacuum
+    g1 = manifest.read_manifest(path)["current"]
+    similarity.write_ivfpq_index(index, path)
+    m2 = manifest.read_manifest(path)
+    assert m2["current"] != g1
+    import os
+
+    assert os.path.isdir(manifest.generation_dir(path, g1))
+    manifest.vacuum(path)
+    assert not os.path.isdir(manifest.generation_dir(path, g1))
+    assert similarity.read_ivfpq_index(spark, path)["assignments"].count() > 0
