@@ -563,7 +563,7 @@ def run_gold_incremental(catalog, *, run_context=None) -> dict:
     Crash-safety: the affected-month worklist is persisted to
     ``logs.gold_pending_months`` BEFORE the first destructive step (the
     dim swap) and cleared only after the last (the ledger write). Every
-    step in between is idempotent (dim staged swaps, deterministic
+    step in between is idempotent (dim generation publishes, deterministic
     partition rebuilds), and a replay after a crash unions the durable
     worklist into its own — so even the window where the dims are
     already swapped (and the dim diff reads "unchanged") still rebuilds

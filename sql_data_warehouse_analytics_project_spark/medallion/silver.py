@@ -335,8 +335,9 @@ def run_silver_incremental(
       re-cleaned (a semi join against the broadcast-sized dirty-key set
       — compute is dirty-key-sized, never corpus-sized), and the silver
       rows carrying a dirty key are replaced. The physical replace is
-      the staged-overwrite swap (parquet has no row-level delete; on
-      Delta this step becomes a MERGE) — acceptable because every keyed
+      :meth:`Catalog.overwrite`'s generation write + atomic view
+      republish (parquet has no row-level delete; on Delta this step
+      becomes a MERGE) — acceptable because every keyed
       table here is a dimension; fact-scale tables belong in ``append``
       mode. A replayed keyed batch recomputes to the identical state, so
       the crash window before the ledger write is harmless here too.

@@ -291,9 +291,9 @@ def rollup_batch_sink(
     cost is batch-size + rollup-cardinality, never the full fact history.
 
     Batch-level idempotence rides inside the state itself: every state row
-    carries ``_last_batch_id`` (the highest applied batch), and the staged
-    atomic swap of :meth:`Catalog.overwrite` commits data + marker in one
-    step — a replayed batch sees its own id recorded and skips, and there
+    carries ``_last_batch_id`` (the highest applied batch), and the
+    atomic generation publish of :meth:`Catalog.overwrite` commits data
+    + marker in one step — a replayed batch sees its own id recorded and skips, and there
     is no window where the data is applied but the marker is not (the
     separate-marker-table design would have exactly that window).
 
