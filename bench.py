@@ -68,6 +68,15 @@ BENCH_EXCLUDE = {
     # on-disk bucketed-index maintenance replay (persist + bucket-dir
     # swaps = disk-write overhead; same rationale as qd50)
     "qd52_bm25_bucketed_disk_update",
+    # CDC lifecycle replay (4 sink micro-batch rounds + 2 manifest-
+    # committed rewrites + fold = fixed write/job overhead — measured
+    # near-FLAT from sf0.01 to sf0.1; the data-scaled BM25 costs are
+    # benched via qd45/qd46, the drift-sink fold via qd55)
+    "qd54_bm25_cdc_retire_compact",
+    # persisted-index round-trip replay (write + manifest publish + read
+    # + disk-vs-memory equality = disk-write overhead; the data-scaled
+    # IVF-PQ search cost is benched via qd56)
+    "qd58_ivfpq_disk_index",
 }
 
 _RESULT_PATH = os.environ.get(
