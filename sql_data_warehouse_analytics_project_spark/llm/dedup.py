@@ -1027,3 +1027,120 @@ def source_dup_matrix(
         F.count(F.lit(1)).alias("n_pairs"),
         F.round(F.avg("jaccard"), 4).alias("avg_jaccard"),
     )
+
+
+def duplicate_span_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    *,
+    span: int = 8,
+    salt: str = "dupspan",
+) -> DataFrame:
+    """Span-level exact substring dedup (the Lee et al. 2021
+    "Deduplicating Training Data Makes Language Models Better" move, at
+    fixed token-window granularity): find every ``span``-token window
+    that occurs in MORE THAN ONE document, merge each document's
+    duplicated windows into covered-token intervals, and report
+    ``(id, n_tokens, dup_spans, dup_tokens, dup_fraction)``. Where
+    :func:`ngram_jaccard_pairs` asks "are these two DOCUMENTS near-dups",
+    this asks "which PARTS of this document are copied from elsewhere" —
+    the boilerplate/quotation signal used to cut memorization, filtering
+    on ``dup_fraction`` or feeding :func:`strip_duplicate_spans`.
+    Documents shorter than ``span`` tokens have no windows and report
+    zero duplication.
+
+    Plan (100 TB story): one tokenize; windows come from an in-row
+    ``transform(sequence)`` (no self-join); windows hash to 60-bit ints
+    (md5-portable, so the qd61 oracle replays the bucketing) so the
+    global window-frequency shuffle moves fixed-width ints, never text;
+    doc-frequency per window is two map-side-combined aggregations; the
+    covered-interval union is a per-document window function (lag-free
+    running-max merge — each doc's dup windows are a short sorted list).
+    Cost is Σ windows = Σ tokens, linear in the corpus.
+
+    Collisions: two DIFFERENT spans hashing together would count as
+    cross-doc duplicates; at 60 bits the birthday bound is ~2^30 distinct
+    windows per expected collision — and the SQL twin replays the same
+    hash, so the check is exact either way."""
+    t = tokens(text_col)
+    base = df.select(F.col(id_col), t.alias("_t")).select(
+        F.col(id_col),
+        F.size("_t").alias("n_tokens"),
+        F.when(
+            F.size("_t") >= span,
+            F.transform(
+                F.sequence(F.lit(1), F.size("_t") - span + 1),
+                lambda i: md5_60bit(
+                    F.concat(
+                        F.lit(f"{salt}|"),
+                        F.concat_ws(" ", F.slice("_t", i, span)),
+                    )
+                ),
+            ),
+        )
+        .otherwise(F.array().cast("array<long>"))
+        .alias("_grams"),
+    )
+    pos = base.select(
+        F.col(id_col),
+        "n_tokens",
+        F.posexplode_outer("_grams").alias("_pos", "_g"),
+    )
+    # windows seen in >1 distinct document (two map-side-combined aggs:
+    # per-(gram, doc) first, then per-gram doc counts — no count_distinct
+    # Expand blowup)
+    gram_docs = (
+        pos.filter(F.col("_g").isNotNull())
+        .groupBy("_g", id_col)
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    dup_grams = (
+        gram_docs.groupBy("_g")
+        .agg(F.count(F.lit(1)).alias("_docs"))
+        .filter(F.col("_docs") > 1)
+        .select("_g")
+    )
+    dup_pos = pos.join(dup_grams, "_g")
+    # merge per-doc covered intervals [pos, pos+span): classic running-max
+    # sweep — contribution = how far this window extends past everything
+    # before it
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("_pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    covered = (
+        dup_pos.withColumn("_prev_end", F.max(F.col("_pos") + span).over(w))
+        .withColumn(
+            "_cov",
+            F.greatest(
+                F.lit(0),
+                F.col("_pos")
+                + span
+                - F.greatest(
+                    F.coalesce("_prev_end", F.col("_pos")), F.col("_pos")
+                ),
+            ),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("dup_spans"),
+            F.sum("_cov").cast("long").alias("dup_tokens"),
+        )
+    )
+    return (
+        base.select(id_col, "n_tokens")
+        .join(covered, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.coalesce("dup_spans", F.lit(0)).cast("long").alias("dup_spans"),
+            F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
+            F.round(
+                F.coalesce("dup_tokens", F.lit(0))
+                / F.greatest("n_tokens", F.lit(1)),
+                6,
+            ).alias("dup_fraction"),
+        )
+    )

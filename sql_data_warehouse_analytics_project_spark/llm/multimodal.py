@@ -13,8 +13,11 @@ does not. ``decode="png"`` (round 9) needs NO probe: PNG is fully
 decodable with stdlib zlib + numpy scanline unfiltering
 (:func:`decode_png` / :func:`encode_png`), so real pixel decode,
 resize, and pixel statistics run dependency-free and are oracle-checked
-(qd57) — only JPEG/video keep the honest capability guards. Video frame
-sampling keeps its ffmpeg integration point stubbed."""
+(qd57) — and WAV is fully decodable with stdlib ``struct`` (RIFF is a
+container, not a codec), so real audio decode, feature extraction, and
+decimation run dependency-free too (qd59) — only JPEG/mp3/video keep the
+honest capability guards. Video frame sampling keeps its ffmpeg
+integration point stubbed."""
 
 from __future__ import annotations
 
@@ -512,3 +515,210 @@ def sample_video_frames(
         )
         .withColumn("timestamp_ms", F.col("frame_index") * every_ms)
     )
+
+
+# -- dependency-free WAV codec (round 9) -------------------------------------
+#
+# RIFF/WAVE PCM is a pure container format — no entropy coding — so like
+# PNG it decodes with nothing but stdlib ``struct``: a RIFF header, an
+# ``fmt `` chunk (format tag / channels / rate / bit depth), and a
+# ``data`` chunk of little-endian PCM samples. Supporting 16-bit mono
+# PCM (the shape a speech/training pipeline normalizes to anyway) closes
+# the real-decode half of the AUDIO gap with zero dependencies; mp3/flac
+# keep the honest capability guard (those are codecs, not containers).
+
+_RIFF_MAGIC = b"RIFF"
+_WAVE_MAGIC = b"WAVE"
+
+
+def encode_wav(samples, sample_rate: int = 8000) -> bytes:
+    """Minimal stdlib WAV encoder: 16-bit mono PCM, one ``data`` chunk.
+    ``samples`` is any int sequence in [-32768, 32767]."""
+    import numpy as np
+
+    pcm = np.asarray(samples, dtype=np.int16).tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    body = (
+        _WAVE_MAGIC
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
+    )
+    return _RIFF_MAGIC + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(content: bytes):
+    """Full stdlib WAV decode → ``(numpy int16 samples, sample_rate)``.
+
+    Walks the RIFF chunk list (tolerating extra chunks like ``LIST``),
+    validates PCM/16-bit/mono in ``fmt ``, and reads ``data`` verbatim.
+    Compressed format tags (mp3/adpcm/float) raise NotImplementedError
+    honestly — they are codecs, not containers."""
+    import numpy as np
+
+    if content is None or content[:4] != _RIFF_MAGIC or content[8:12] != _WAVE_MAGIC:
+        raise ValueError("not a RIFF/WAVE file")
+    pos = 12
+    fmt = data = None
+    while pos + 8 <= len(content):
+        ctype = content[pos:pos + 4]
+        (length,) = struct.unpack("<I", content[pos + 4:pos + 8])
+        chunk = content[pos + 8:pos + 8 + length]
+        if len(chunk) != length:
+            raise ValueError("truncated WAV chunk")
+        if ctype == b"fmt ":
+            fmt = chunk
+        elif ctype == b"data":
+            data = chunk
+        pos += 8 + length + (length & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    tag, channels, rate, _bps, _align, depth = struct.unpack("<HHIIHH", fmt[:16])
+    if tag != 1 or depth != 16 or channels != 1:
+        raise NotImplementedError(
+            f"WAV format_tag={tag} channels={channels} bit_depth={depth} not"
+            " supported by the stdlib decoder (16-bit mono PCM only)"
+        )
+    return np.frombuffer(data, dtype="<i2"), int(rate)
+
+
+def synthesize_wav_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic REAL-WAV media table from any id column: each row is
+    an actual 8 kHz 16-bit mono PCM WAV whose samples follow the closed
+    form ``((id*7 + n*13) % 4096) - 2048`` over ``64 + id%32`` samples —
+    so decoded amplitude statistics are exact integer formulas an SQL
+    oracle can replay (qd59). Every 97th row is corrupt bytes, like the
+    image generators."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def pack(ids: pd.Series) -> pd.Series:
+        def one(i: int) -> bytes:
+            if i % 97 == 0:
+                return b"CORRUPT"
+            n = 64 + int(i) % 32
+            s = (int(i) * 7 + np.arange(n, dtype=np.int64) * 13) % 4096 - 2048
+            return encode_wav(s, sample_rate=8000)
+
+        return ids.map(one)
+
+    return df.select(F.col(id_col).alias("media_id")).select(
+        "media_id",
+        F.lit("audio").alias("media_type"),
+        pack(F.col("media_id")).alias("content"),
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("duration_ms"),
+            F.lit("wav").alias("format"),
+        ).alias("meta"),
+    )
+
+
+AUDIO_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("duration_ms", T.IntegerType(), True),
+        T.StructField("amp_sum", T.LongType(), True),
+        T.StructField("energy", T.LongType(), True),
+        T.StructField("amp_min", T.IntegerType(), True),
+        T.StructField("amp_max", T.IntegerType(), True),
+        T.StructField("zero_crossings", T.LongType(), True),
+        T.StructField("decode_ok", T.BooleanType(), False),
+    ]
+)
+
+
+def audio_features(df: DataFrame, *, decode: str = "wav") -> DataFrame:
+    """REAL audio feature extraction per clip — the statistics a speech
+    pipeline filters on (silence, clipping, activity): amplitude sum,
+    energy (sum of squared samples), min/max, and strict zero-crossing
+    count (adjacent samples with opposite sign; a zero sample breaks a
+    crossing). All-integer reductions make every feature engine-portable,
+    so the qd59 oracle replays them from the fixture's closed form.
+    Corrupt or unsupported media flags the row instead of failing the
+    job. ``decode='wav'`` is the dependency-free stdlib path; other
+    codecs would plug in behind the same kernel seam."""
+    if decode != "wav":
+        raise NotImplementedError(
+            "only the stdlib WAV decoder is available in this environment"
+        )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                try:
+                    s, rate = decode_wav(content)
+                    w = s.astype(np.int64)
+                    rows.append(
+                        (
+                            media_id,
+                            rate,
+                            len(s),
+                            int(len(s) * 1000 // rate),
+                            int(w.sum()),
+                            int((w * w).sum()),
+                            int(w.min()) if len(w) else None,
+                            int(w.max()) if len(w) else None,
+                            int(np.count_nonzero(w[:-1] * w[1:] < 0)),
+                            True,
+                        )
+                    )
+                except Exception:  # noqa: BLE001 — corrupt media → flagged row
+                    rows.append(
+                        (media_id, None, None, None, None, None, None, None,
+                         None, False)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "sample_rate", "n_samples", "duration_ms",
+                         "amp_sum", "energy", "amp_min", "amp_max",
+                         "zero_crossings", "decode_ok"],
+            )
+
+    return df.select("media_id", "content").mapInPandas(
+        kernel, AUDIO_FEATURE_SCHEMA
+    )
+
+
+def downsample_audio(df: DataFrame, factor: int) -> DataFrame:
+    """Integer-factor decimation (every ``factor``-th sample, rate/factor)
+    through a full decode → slice → re-encode round trip — the audio
+    analogue of ``resize_images``. Returns (media_id, content, sample_rate,
+    n_samples); corrupt rows null out. A real pipeline would low-pass
+    first; plain decimation keeps the kernel exact for the round-trip
+    tests."""
+    if factor < 1:
+        raise ValueError("factor must be >= 1")
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("content", T.BinaryType(), True),
+            T.StructField("sample_rate", T.IntegerType(), True),
+            T.StructField("n_samples", T.LongType(), True),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, content in zip(pdf["media_id"], pdf["content"]):
+                try:
+                    s, rate = decode_wav(content)
+                    out = s[::factor]
+                    new_rate = max(rate // factor, 1)
+                    rows.append(
+                        (media_id, encode_wav(out, new_rate), new_rate, len(out))
+                    )
+                except Exception:  # noqa: BLE001
+                    rows.append((media_id, None, None, None))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "content", "sample_rate", "n_samples"]
+            )
+
+    return df.select("media_id", "content").mapInPandas(kernel, out_schema)

@@ -168,3 +168,124 @@ def cap_per_stratum(
         .filter(F.col("_cap_rk") <= cap)
         .drop("_cap_rk")
     )
+
+
+def dsir_importance_weights(
+    df: DataFrame,
+    id_col: str,
+    is_target: Column,
+    text_col: str = "text",
+    *,
+    num_buckets: int = 4096,
+    add_k: float = 0.5,
+    salt: str = "dsir",
+) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al. 2023 —
+    the public method behind "select raw-corpus documents that look like
+    the target domain"): fit two hashed-bigram bag models — one on the
+    ``is_target`` subset, one on the full corpus — and score every
+    document by its mean per-feature log-likelihood ratio
+    ``ln p_target(b) − ln p_raw(b)``. Positive weight ⇒ the document's
+    transition distribution resembles the target domain more than the
+    corpus average; selection keeps the top-weighted docs
+    (:func:`dsir_select`). Returns ``(id, n_features, weight)``;
+    documents with fewer than two tokens have no bigram features and are
+    omitted (the qd51 convention).
+
+    Hashing: features are bigrams hashed into ``num_buckets`` via the
+    module's portable md5-60-bit idiom (``text.md5_60bit``), so a DuckDB
+    oracle replays the bucketing bit-exactly and — per DSIR — the model
+    is FIXED-SIZE regardless of vocabulary: the two models together are
+    one ``num_buckets``-row table, broadcastable at any corpus scale.
+
+    Plan (100 TB story): ONE corpus tokenize+explode builds per-doc
+    bucket tf (map-side combined groupBy); the bucket model is a single
+    conditional aggregation over it (``num_buckets`` rows out — raw and
+    target counts in one pass, no second corpus scan); totals are one
+    1-row cross-joined aggregate (broadcast); the scoring join is
+    per-doc-features ⋈ broadcast(bucket model). Nothing
+    after the first explode scales past ``num_buckets`` except the
+    per-doc reduction itself.
+
+    Determinism: integer counts ⇒ identical IEEE ratios on any engine;
+    the per-doc mean rounds to 6dp (ln-then-round, the qd51/qd45
+    convention) so distributed summation-order ulps are absorbed."""
+    from sql_data_warehouse_analytics_project_spark.llm.text import tokens
+
+    if add_k <= 0:
+        raise ValueError("add_k must be positive (unsmoothed buckets can be empty)")
+    t = tokens(text_col)
+    base = df.select(
+        F.col(id_col), is_target.cast("boolean").alias("_is_t"), t.alias("_t")
+    )
+    feat = (
+        base.filter(F.size("_t") >= 2)
+        .select(
+            F.col(id_col),
+            "_is_t",
+            F.explode(
+                F.arrays_zip(
+                    F.slice("_t", 1, F.size("_t") - 1).alias("w1"),
+                    F.slice("_t", 2, F.size("_t") - 1).alias("w2"),
+                )
+            ).alias("_bg"),
+        )
+        .select(
+            F.col(id_col),
+            "_is_t",
+            (
+                md5_60bit(
+                    F.concat(
+                        F.lit(f"{salt}|"),
+                        F.col("_bg.w1"),
+                        F.lit(" "),
+                        F.col("_bg.w2"),
+                    )
+                )
+                % num_buckets
+            ).alias("bucket"),
+        )
+    )
+    doc_feat = feat.groupBy(id_col, "_is_t", "bucket").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    model = doc_feat.groupBy("bucket").agg(
+        F.sum("tf").alias("cr"),
+        F.sum(F.when(F.col("_is_t"), F.col("tf")).otherwise(F.lit(0))).alias("ct"),
+    )
+    totals = model.agg(
+        F.sum("cr").alias("tr"), F.sum("ct").alias("tt")
+    )
+    k = float(add_k)
+    kb = k * num_buckets
+    ratios = (
+        model.crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            (
+                F.log((F.col("ct") + F.lit(k)) / (F.col("tt") + F.lit(kb)))
+                - F.log((F.col("cr") + F.lit(k)) / (F.col("tr") + F.lit(kb)))
+            ).alias("_lr"),
+        )
+    )
+    return (
+        doc_feat.join(F.broadcast(ratios), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").cast("long").alias("n_features"),
+            F.round(
+                F.sum(F.col("tf") * F.col("_lr")) / F.sum("tf"), 6
+            ).alias("weight"),
+        )
+    )
+
+
+def dsir_select(
+    weights: DataFrame, id_col: str, k: int
+) -> DataFrame:
+    """Deterministic top-``k`` selection over :func:`dsir_importance_weights`
+    output: highest weight first, id ascending on ties (the 6dp-rounded
+    weights make ties real). ``orderBy().limit()`` compiles to
+    TakeOrderedAndProject — a distributed per-partition top-k + driver
+    merge of k rows, never a global sort."""
+    return weights.orderBy(F.col("weight").desc(), F.col(id_col)).limit(k)

@@ -86,3 +86,156 @@ def bpe_pair_counts(df, text_col: str = "text") -> DataFrame:
         .groupBy("pair")
         .agg(F.sum("wn").alias("n_occurrences"))
     )
+
+
+def _append_piece(acc, x):
+    """Fold step for the merge-application aggregate: flush the held-back
+    previous symbol (if any) and hold ``x``."""
+    return F.struct(
+        F.when(acc.prev.isNull(), acc.out)
+        .otherwise(F.concat(acc.out, F.array(acc.prev)))
+        .alias("out"),
+        x.alias("prev"),
+    )
+
+
+def _apply_merge(pieces_col, s1: str, s2: str):
+    """Greedy left-to-right replacement of adjacent ``(s1, s2)`` with the
+    merged symbol inside a symbol array — pure JVM expression
+    (``aggregate`` with a one-symbol-lookbehind state), no Python in the
+    hot path. Greedy means "aaa" under merge (a,a) → ["aa", "a"], the
+    Sennrich reference semantics."""
+    merged = s1 + s2
+    init = F.struct(
+        F.array().cast("array<string>").alias("out"),
+        F.lit(None).cast("string").alias("prev"),
+    )
+    return F.aggregate(
+        pieces_col,
+        init,
+        lambda acc, x: F.when(
+            (acc.prev == s1) & (x == s2),
+            F.struct(
+                F.concat(acc.out, F.array(F.lit(merged))).alias("out"),
+                F.lit(None).cast("string").alias("prev"),
+            ),
+        ).otherwise(_append_piece(acc, x)),
+        lambda acc: F.when(acc.prev.isNull(), acc.out).otherwise(
+            F.concat(acc.out, F.array(acc.prev))
+        ),
+    )
+
+
+def train_bpe(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    num_merges: int = 16,
+    min_freq: int = 2,
+):
+    """Full BPE tokenizer TRAINING (Sennrich et al. 2016 — the iterative
+    half that :func:`bpe_pair_counts` only takes the first step of):
+    repeatedly find the most frequent adjacent symbol pair over the
+    corpus and merge it, ``num_merges`` times or until the best pair
+    drops below ``min_freq``. Returns ``{"merges", "word_pieces",
+    "n_merges"}`` — the ordered merge table ``(rank, s1, s2, freq)``
+    (rank 1 = first merge) and the final per-word segmentation
+    ``(w, wn, pieces)`` that encodes any in-vocabulary text.
+
+    Determinism: the argmax tie-breaks (freq desc, s1 asc, s2 asc), so
+    the merge sequence is a pure function of the corpus — the qd62
+    oracle replays it with an independent reference implementation.
+
+    Plan (100 TB story): the corpus collapses ONCE to ``(word, count)``
+    — classic BPE trains on word types, so every later step is
+    vocabulary-sized, independent of corpus size. Each iteration is one
+    map-side-combined pair count over the vocabulary, a 1-row
+    TakeOrdered argmax (the only driver transfer: one pair per merge),
+    and a JVM-side greedy re-segmentation (:func:`_apply_merge` — an
+    ``aggregate`` expression, not a Python UDF). The working set is
+    localCheckpointed per iteration so the plan stays shallow instead of
+    nesting ``num_merges`` aggregates."""
+    chars = F.expr(
+        "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
+    )
+    wc = (
+        df.select(F.explode(tokens(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wn"))
+        .select("w", "wn", chars.alias("pieces"))
+        .localCheckpoint(eager=True)
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, num_merges + 1):
+        pairs = (
+            wc.filter(F.size("pieces") >= 2)
+            .select(
+                "wn",
+                F.explode(
+                    F.arrays_zip(
+                        F.slice("pieces", 1, F.size("pieces") - 1).alias("s1"),
+                        F.slice("pieces", 2, F.size("pieces") - 1).alias("s2"),
+                    )
+                ).alias("_p"),
+            )
+            .groupBy(F.col("_p.s1").alias("s1"), F.col("_p.s2").alias("s2"))
+            .agg(F.sum("wn").alias("freq"))
+        )
+        best = (
+            pairs.orderBy(F.desc("freq"), F.asc("s1"), F.asc("s2"))
+            .limit(1)
+            .collect()
+        )
+        if not best or best[0]["freq"] < min_freq:
+            break
+        s1, s2, freq = best[0]["s1"], best[0]["s2"], int(best[0]["freq"])
+        merges.append((rank, s1, s2, freq))
+        nxt = wc.select(
+            "w", "wn", _apply_merge(F.col("pieces"), s1, s2).alias("pieces")
+        ).localCheckpoint(eager=True)
+        wc.unpersist()
+        wc = nxt
+    spark = df.sparkSession
+    merges_df = spark.createDataFrame(
+        merges, "rank int, s1 string, s2 string, freq bigint"
+    ) if merges else spark.createDataFrame(
+        [], "rank int, s1 string, s2 string, freq bigint"
+    )
+    return {"merges": merges_df, "word_pieces": wc, "n_merges": len(merges)}
+
+
+def bpe_encode(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    word_pieces: DataFrame,
+) -> DataFrame:
+    """Encode documents with a trained segmentation: tokenize, join the
+    ``word_pieces`` table (vocabulary-sized — broadcastable), flatten to
+    ``(id, n_tokens, n_pieces, pieces)``. Out-of-vocabulary words fall
+    back to character symbols (the untrained segmentation) — exact for
+    any corpus the model was trained on; retrain on the union corpus to
+    extend coverage."""
+    chars = F.expr(
+        "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
+    )
+    toks = df.select(F.col(id_col), F.posexplode(tokens(text_col)).alias("_i", "w"))
+    return (
+        toks.join(F.broadcast(word_pieces.select("w", "pieces")), "w", "left")
+        .select(
+            F.col(id_col),
+            "_i",
+            F.coalesce("pieces", chars).alias("_pc"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.flatten(F.array_sort(F.collect_list(F.struct("_i", "_pc"))).getField("_pc")).alias("pieces"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.size("pieces").cast("long").alias("n_pieces"),
+            "pieces",
+        )
+    )

@@ -2589,3 +2589,209 @@ def qd58_ivfpq_disk_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@register(
+    "qd59_wav_audio_features",
+    """
+    WITH ids AS (SELECT doc_id AS media_id FROM documents),
+    ok AS (
+      SELECT media_id, CAST(64 + media_id % 32 AS BIGINT) AS n
+      FROM ids WHERE media_id % 97 <> 0
+    ),
+    ns AS (SELECT media_id, n, unnest(range(n)) AS i FROM ok),
+    smp AS (
+      SELECT media_id, n, i,
+             (media_id * 7 + i * 13) % 4096 - 2048 AS s
+      FROM ns
+    ),
+    lagged AS (
+      SELECT media_id, n, i, s,
+             lag(s) OVER (PARTITION BY media_id ORDER BY i) AS sp
+      FROM smp
+    ),
+    stats AS (
+      SELECT media_id,
+             CAST(8000 AS INT) AS sample_rate,
+             CAST(MIN(n) AS BIGINT) AS n_samples,
+             CAST((MIN(n) * 1000) // 8000 AS INT) AS duration_ms,
+             CAST(SUM(s) AS BIGINT) AS amp_sum,
+             CAST(SUM(s * s) AS BIGINT) AS energy,
+             CAST(MIN(s) AS INT) AS amp_min,
+             CAST(MAX(s) AS INT) AS amp_max,
+             CAST(SUM(CASE WHEN sp * s < 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS zero_crossings,
+             TRUE AS decode_ok
+      FROM lagged GROUP BY media_id
+    ),
+    bad AS (
+      SELECT media_id, CAST(NULL AS INT) AS sample_rate,
+             CAST(NULL AS BIGINT) AS n_samples,
+             CAST(NULL AS INT) AS duration_ms,
+             CAST(NULL AS BIGINT) AS amp_sum, CAST(NULL AS BIGINT) AS energy,
+             CAST(NULL AS INT) AS amp_min, CAST(NULL AS INT) AS amp_max,
+             CAST(NULL AS BIGINT) AS zero_crossings, FALSE AS decode_ok
+      FROM ids WHERE media_id % 97 = 0
+    )
+    SELECT * FROM stats UNION ALL SELECT * FROM bad
+    """,
+)
+def qd59_wav_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode, oracle-checked (closing the WAV half of the
+    environment-blocked audio gap with zero dependencies, the qd57
+    pattern applied to sound): each document id becomes an actual 8 kHz
+    16-bit mono PCM WAV (stdlib RIFF encoder) whose samples follow the
+    closed form ``((id*7 + n*13) % 4096) - 2048``;
+    `multimodal.audio_features` parses the RIFF chunk list, reads the
+    PCM payload, and reduces exact integer statistics — amplitude sum,
+    energy, min/max, strict zero-crossings — per clip, and the DuckDB
+    twin replays the formula over generated sample ranges (a lag window
+    for the crossings). Corrupt rows flagged, not failed. Reference
+    anchor: the multimodal ingestion surface SURVEY §2 prescribes;
+    mp3/flac keep the honest capability guard (codecs, not containers)."""
+    docs = _docs(spark, sf_dir).select("doc_id")
+    media = multimodal.synthesize_wav_media(docs)
+    return multimodal.audio_features(media, decode="wav")
+
+
+@register(
+    "qd60_dsir_selection",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, (lang = 'en') AS is_t, {{toks}} AS t FROM documents
+    ),
+    big AS (
+      SELECT doc_id, is_t,
+             unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2
+      FROM toks WHERE len(t) >= 2
+    ),
+    feat AS (
+      SELECT doc_id, is_t,
+             CAST(CAST(concat('0x', substr(md5('dsir|' || w1 || ' ' || w2),
+                                           1, 15)) AS UBIGINT) % 4096
+                  AS BIGINT) AS bucket
+      FROM big
+    ),
+    doc_feat AS (
+      SELECT doc_id, is_t, bucket, count(*) AS tf FROM feat GROUP BY 1, 2, 3
+    ),
+    model AS (
+      SELECT bucket, SUM(tf) AS cr,
+             SUM(CASE WHEN is_t THEN tf ELSE 0 END) AS ct
+      FROM doc_feat GROUP BY 1
+    ),
+    tot AS (SELECT SUM(cr) AS tr, SUM(ct) AS tt FROM model),
+    lr AS (
+      SELECT bucket,
+             ln((ct + 0.5) / (tt + 0.5 * 4096))
+               - ln((cr + 0.5) / (tr + 0.5 * 4096)) AS lr
+      FROM model, tot
+    ),
+    w AS (
+      SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_features,
+             round(SUM(tf * lr) / SUM(tf), 6) AS weight
+      FROM doc_feat JOIN lr USING (bucket) GROUP BY 1
+    ),
+    sel AS (SELECT doc_id FROM w ORDER BY weight DESC, doc_id LIMIT 50)
+    SELECT w.doc_id, w.n_features, w.weight,
+           (w.doc_id IN (SELECT doc_id FROM sel)) AS selected
+    FROM w
+    """.replace("{toks}", _TOKS),
+)
+def qd60_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (Xie et al. 2023,
+    `sampling.dsir_importance_weights` + `dsir_select`): hashed-bigram
+    models of the target domain (here ``lang = 'en'``) and the raw
+    corpus score every document by mean log-likelihood ratio; the top-50
+    by (weight desc, id) are flagged ``selected``. The model is a
+    fixed-size (4096-bucket) table — broadcastable at any corpus scale —
+    and the selection compiles to TakeOrderedAndProject, never a global
+    sort. The DuckDB twin replays the md5 bucketing, the smoothed
+    log-ratios, and the tie-broken top-k bit-exactly (6dp ln-then-round
+    convention)."""
+    from sql_data_warehouse_analytics_project_spark.llm import sampling
+
+    docs = _docs(spark, sf_dir)
+    weights = sampling.dsir_importance_weights(
+        docs, "doc_id", F.col("lang") == "en"
+    ).localCheckpoint(eager=True)  # weights feed BOTH the top-k and the flag join
+    sel = sampling.dsir_select(weights, "doc_id", 50).select("doc_id")
+    return weights.join(
+        F.broadcast(sel.withColumn("selected", F.lit(True))), "doc_id", "left"
+    ).select(
+        "doc_id",
+        "n_features",
+        "weight",
+        F.coalesce("selected", F.lit(False)).alias("selected"),
+    )
+
+
+@register(
+    "qd61_duplicate_span_stats",
+    f"""
+    WITH toks AS (SELECT doc_id, {{toks}} AS t FROM documents),
+    base AS (SELECT doc_id, len(t) AS n_tokens, t FROM toks),
+    pos AS (
+      SELECT doc_id, t, unnest(range(1, n_tokens - 8 + 2)) AS i
+      FROM base WHERE n_tokens >= 8
+    ),
+    grams AS (
+      SELECT doc_id, i AS p,
+             CAST(CAST(concat('0x', substr(md5('dupspan|' ||
+                    array_to_string(t[i:i+7], ' ')), 1, 15)) AS UBIGINT)
+                  AS BIGINT) AS g
+      FROM pos
+    ),
+    gd AS (SELECT g, doc_id FROM grams GROUP BY 1, 2),
+    dup AS (SELECT g FROM gd GROUP BY g HAVING count(*) > 1),
+    dp AS (SELECT doc_id, p FROM grams JOIN dup USING (g)),
+    cov AS (
+      SELECT doc_id, p,
+             max(p + 8) OVER (PARTITION BY doc_id ORDER BY p
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+      FROM dp
+    ),
+    agg AS (
+      SELECT doc_id, count(*) AS dup_spans,
+             SUM(GREATEST(0, p + 8
+                 - GREATEST(COALESCE(prev_end, p), p))) AS dup_tokens
+      FROM cov GROUP BY 1
+    )
+    SELECT b.doc_id, CAST(b.n_tokens AS BIGINT) AS n_tokens,
+           CAST(COALESCE(a.dup_spans, 0) AS BIGINT) AS dup_spans,
+           CAST(COALESCE(a.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+           round(COALESCE(a.dup_tokens, 0) / GREATEST(b.n_tokens, 1), 6)
+             AS dup_fraction
+    FROM base b LEFT JOIN agg a USING (doc_id)
+    """.replace("{toks}", _TOKS),
+)
+def qd61_duplicate_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level exact substring dedup (`dedup.duplicate_span_stats` —
+    the Lee et al. 2021 move at 8-token-window granularity): every
+    window occurring in >1 document is a duplicated span; per document,
+    overlapping duplicated windows merge into covered intervals and the
+    covered-token fraction is the memorization/boilerplate filter
+    signal. Windows hash to md5-60-bit ints in-row (the shuffle moves
+    ints, never text; the DuckDB twin replays hash, interval sweep, and
+    rounding bit-exactly); ~2k duplicated window positions exist in the
+    gate corpus, so the check exercises the non-trivial path."""
+    docs = _docs(spark, sf_dir)
+    return dedup.duplicate_span_stats(docs, "doc_id", span=8)
+
+
+@register("qd62_bpe_train_merges")  # merge loop is not ANSI-SQL-expressible:
+# the DRIVER records a rows-only check; the LOCAL gate value-checks it via
+# an independent pure-Python reference BPE registered on the DuckDB
+# connection (tools/local_oracles.py, the qd09/qd16 twin pattern)
+def qd62_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full BPE tokenizer training (`vocab.train_bpe`, Sennrich et al.
+    2016): 16 iterations of corpus-wide best-pair argmax + greedy JVM-side
+    re-segmentation over the (word, count) vocabulary. Returns the
+    ordered merge table ``(rank, s1, s2, freq)`` — a pure function of the
+    corpus thanks to (freq desc, s1, s2) tie-breaks, so the local gate's
+    reference implementation replays it exactly. Everything after the
+    one corpus pass is vocabulary-sized (the classic word-type trick) —
+    at 100 TB each merge costs one vocab-sized shuffle + one collected
+    pair, never a corpus re-read."""
+    docs = _docs(spark, sf_dir)
+    return vocab.train_bpe(docs, num_merges=16, min_freq=2)["merges"]

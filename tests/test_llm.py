@@ -1733,3 +1733,235 @@ def test_ivfpq_disk_index_pruned_search_matches_memory(spark, tmp_path):
     manifest.vacuum(path)
     assert not os.path.isdir(manifest.generation_dir(path, g1))
     assert similarity.read_ivfpq_index(spark, path)["assignments"].count() > 0
+
+
+def test_wav_codec_roundtrip_features_and_decimation(spark):
+    """Round-9: the dependency-free WAV codec. Round-trips PCM16 mono
+    (incl. an extra LIST chunk and odd-length word alignment), honestly
+    refuses compressed/stereo/8-bit shapes, and the Spark kernels
+    (audio_features / downsample_audio) run real samples end-to-end with
+    corruption flagging — no soundfile/ffmpeg anywhere."""
+    import struct
+
+    import numpy as np
+
+    from sql_data_warehouse_analytics_project_spark.llm import multimodal as mm
+
+    s = ((np.arange(200, dtype=np.int64) * 131 + 7) % 65536 - 32768).astype(
+        np.int16
+    )
+    back, rate = mm.decode_wav(mm.encode_wav(s, 16000))
+    assert rate == 16000 and (back == s).all()
+
+    # chunk-list tolerance: a LIST chunk (odd length → word-aligned pad)
+    # before fmt/data must be skipped, like real recorder output
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    pcm = np.array([5, -3, 0, 7], dtype=np.int16).tobytes()
+    body = (b"WAVE"
+            + b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"  # pad
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(pcm)) + pcm)
+    wav = b"RIFF" + struct.pack("<I", len(body)) + body
+    got, rate = mm.decode_wav(wav)
+    assert rate == 8000 and list(got) == [5, -3, 0, 7]
+
+    # honest refusals: stereo, 8-bit, and float tags raise
+    for tag, nch, depth in ((1, 2, 16), (1, 1, 8), (3, 1, 16)):
+        badfmt = struct.pack("<HHIIHH", tag, nch, 8000, 16000, 2, depth)
+        bad = (b"RIFF" + struct.pack("<I", 28 + len(pcm)) + b"WAVE"
+               + b"fmt " + struct.pack("<I", len(badfmt)) + badfmt
+               + b"data" + struct.pack("<I", len(pcm)) + pcm)
+        with pytest.raises(NotImplementedError):
+            mm.decode_wav(bad)
+    with pytest.raises(ValueError):
+        mm.decode_wav(b"CORRUPT")
+
+    # Spark kernels over real WAVs: features match the closed form
+    docs = spark.range(1, 40).select(F.col("id").alias("doc_id"))
+    media = mm.synthesize_wav_media(docs)
+    feats = {r.media_id: r for r in
+             mm.audio_features(media, decode="wav").collect()}
+    i = 3
+    n = 64 + i % 32
+    samples = [(i * 7 + k * 13) % 4096 - 2048 for k in range(n)]
+    r = feats[i]
+    assert r.n_samples == n and r.sample_rate == 8000
+    assert r.duration_ms == n * 1000 // 8000
+    assert r.amp_sum == sum(samples)
+    assert r.energy == sum(v * v for v in samples)
+    assert r.amp_min == min(samples) and r.amp_max == max(samples)
+    assert r.zero_crossings == sum(
+        1 for a, b in zip(samples, samples[1:]) if a * b < 0
+    )
+
+    # decimation round trip: every 4th sample at rate/4
+    down = {r.media_id: r for r in
+            mm.downsample_audio(media, factor=4).collect()}
+    d3, _ = mm.decode_wav(bytes(down[i].content))
+    assert list(d3) == samples[::4]
+    assert down[i].sample_rate == 2000 and down[i].n_samples == len(samples[::4])
+
+
+def test_dsir_importance_weights_hand_check(spark):
+    """DSIR (round 9): target-looking documents must outscore
+    corpus-average ones, the weights must match an independent pure-Python
+    replay (hashlib md5 bucketing + the same smoothed log-ratio math),
+    and dsir_select's top-k must honor the (weight desc, id) tie-break."""
+    import hashlib
+    import math
+
+    from sql_data_warehouse_analytics_project_spark.llm import sampling
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog", True),
+        (2, "the quick brown fox leaps over the lazy cat", True),
+        (3, "der schnelle braune fuchs springt sehr hoch", False),
+        (4, "the quick brown fox jumps over the lazy dog", False),
+        (5, "ein kleiner hund schlaeft unter dem baum dort", False),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, is_t boolean")
+    got = {
+        r.doc_id: r
+        for r in sampling.dsir_importance_weights(
+            df, "doc_id", F.col("is_t"), num_buckets=64
+        ).collect()
+    }
+
+    # independent replay
+    def buckets(text):
+        toks = [t for t in __import__("re").split(r"[^a-z0-9]+", text.lower()) if t]
+        out = []
+        for a, b in zip(toks, toks[1:]):
+            h = hashlib.md5(f"dsir|{a} {b}".encode()).hexdigest()
+            out.append(int(h[:15], 16) % 64)
+        return out
+
+    ct: dict[int, int] = {}
+    cr: dict[int, int] = {}
+    for _id, text, is_t in rows:
+        for b in buckets(text):
+            cr[b] = cr.get(b, 0) + 1
+            if is_t:
+                ct[b] = ct.get(b, 0) + 1
+    tr, tt = sum(cr.values()), sum(ct.values())
+    for _id, text, _ in rows:
+        bs = buckets(text)
+        lrs = [
+            math.log((ct.get(b, 0) + 0.5) / (tt + 0.5 * 64))
+            - math.log((cr.get(b, 0) + 0.5) / (tr + 0.5 * 64))
+            for b in bs
+        ]
+        want = round(sum(lrs) / len(lrs), 6)
+        assert got[_id].weight == pytest.approx(want, abs=2e-6)
+        assert got[_id].n_features == len(bs)
+
+    # doc 4 is textually identical to target doc 1 → same weight; both
+    # must beat the German docs
+    assert got[4].weight == got[1].weight
+    assert min(got[1].weight, got[2].weight) > max(got[3].weight, got[5].weight)
+
+    sel = sampling.dsir_select(
+        sampling.dsir_importance_weights(df, "doc_id", F.col("is_t"), num_buckets=64),
+        "doc_id",
+        2,
+    ).collect()
+    # expected top-2 from the replayed weights, (weight desc, id asc) —
+    # docs 1 and 4 are textually identical so their tie is real and the
+    # id tie-break decides which survives the cut
+    order = sorted(got, key=lambda i: (-got[i].weight, i))
+    assert sorted(r.doc_id for r in sel) == sorted(order[:2])
+
+
+def test_duplicate_span_stats_interval_merge(spark):
+    """Span dedup (round 9): shared runs longer than the window merge into
+    one covered interval (10 shared tokens = 3 windows → 10 covered
+    tokens, not 24); unique and short documents report zero."""
+    from sql_data_warehouse_analytics_project_spark.llm import dedup as dd
+
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    rows = [
+        (1, shared + " unique tail one two three"),
+        (2, "prefix words here " + shared),
+        (3, "completely different text with no duplicated spans at all ok"),
+        (4, "too short"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in
+           dd.duplicate_span_stats(df, "doc_id", span=8).collect()}
+    # 10 shared tokens → 3 sliding 8-windows per doc, union = 10 tokens
+    assert got[1].dup_spans == 3 and got[1].dup_tokens == 10
+    assert got[2].dup_spans == 3 and got[2].dup_tokens == 10
+    assert got[1].dup_fraction == pytest.approx(10 / 15, abs=1e-6)
+    assert got[3].dup_spans == 0 and got[3].dup_tokens == 0
+    assert got[4].n_tokens == 2 and got[4].dup_fraction == 0.0
+
+
+def test_train_bpe_matches_reference_and_encode(spark):
+    """BPE training (round 9): the Spark merge loop (JVM aggregate
+    expressions) must reproduce an independent pure-Python Sennrich
+    reference — merge table AND final segmentations — on a corpus with
+    overlap cases ("aaa" under (a,a)) and frequency ties; bpe_encode
+    round-trips in-vocab text and falls back to chars for OOV."""
+    texts = [
+        "low low low low low",
+        "lower lower newest newest",
+        "newest newest newest newest",
+        "widest widest widest aaa aaa",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id long, text string")
+    from sql_data_warehouse_analytics_project_spark.llm import vocab as vb
+
+    got = vb.train_bpe(df, num_merges=8, min_freq=2)
+
+    # independent reference (overlap-counted stats, greedy merge)
+    import re
+
+    words: dict[str, int] = {}
+    for t in texts:
+        for w in re.split(r"[^a-z0-9]+", t.lower()):
+            if w:
+                words[w] = words.get(w, 0) + 1
+    segs = {w: tuple(w) for w in words}
+    want_merges = []
+    for rank in range(1, 9):
+        pc: dict = {}
+        for w, cnt in words.items():
+            s = segs[w]
+            for a, b in zip(s, s[1:]):
+                pc[(a, b)] = pc.get((a, b), 0) + cnt
+        if not pc:
+            break
+        (s1, s2), freq = min(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        if freq < 2:
+            break
+        want_merges.append((rank, s1, s2, freq))
+        m = s1 + s2
+        for w, s in segs.items():
+            out, prev = [], None
+            for x in s:
+                if prev == s1 and x == s2:
+                    out.append(m)
+                    prev = None
+                else:
+                    if prev is not None:
+                        out.append(prev)
+                    prev = x
+            if prev is not None:
+                out.append(prev)
+            segs[w] = tuple(out)
+
+    assert [(r.rank, r.s1, r.s2, r.freq) for r in
+            got["merges"].orderBy("rank").collect()] == want_merges
+    assert got["n_merges"] == len(want_merges)
+    pieces = {r.w: list(r.pieces) for r in got["word_pieces"].collect()}
+    assert pieces == {w: list(s) for w, s in segs.items()}
+
+    # encode: in-vocab text concatenates trained pieces in order; OOV
+    # word ("zzz") falls back to chars
+    enc = vb.bpe_encode(
+        spark.createDataFrame([(9, "newest lower zzz")], "doc_id long, text string"),
+        "doc_id", "text", got["word_pieces"],
+    ).collect()[0]
+    assert enc.n_tokens == 3
+    assert list(enc.pieces) == list(segs["newest"]) + list(segs["lower"]) + ["z", "z", "z"]

@@ -17,8 +17,12 @@ This module closes the gap for the LOCAL gate (tools/oracle_check.py):
   (long, int-literal) MinHash seed pattern).
 - :func:`local_oracle_sql` returns full-pipeline SQL twins keyed like the
   registry; oracle_check merges them over ``oracle_sql()`` so the gate
-  value-checks all 133 keys (133 PASS / 0 SKIP target), while the
-  driver-facing ``oracle_sql()`` contract is unchanged.
+  value-checks EVERY key (0 SKIP target), while the driver-facing
+  ``oracle_sql()`` contract is unchanged.
+- Round 9 adds ``bpe_merges_py`` — an independent pure-Python reference
+  BPE trainer (qd62's twin): the merge loop is not ANSI-SQL-expressible,
+  so like the seeded-hash keys it is value-checked locally and rows-only
+  at the driver.
 
 Every twin replays the ENTIRE production pipeline — tokenize → shingle →
 seeded min-hash → banding → candidate join → verify (qd09), token-hash
@@ -89,6 +93,53 @@ def register(con) -> None:
     con.create_function("xxh64long", _long, ["BIGINT", "BIGINT"], "BIGINT", type="arrow")
     con.create_function("xxh64int", _int, ["BIGINT", "BIGINT"], "BIGINT", type="arrow")
     con.create_function("xxh64str", _str, ["VARCHAR", "BIGINT"], "BIGINT", type="arrow")
+    con.create_function(
+        "bpe_merges_py",
+        _bpe_reference,
+        ["VARCHAR[]", "BIGINT[]", "INTEGER", "INTEGER"],
+        "STRUCT(rank INTEGER, s1 VARCHAR, s2 VARCHAR, freq BIGINT)[]",
+    )
+
+
+def _bpe_reference(ws, cs, k, min_freq):
+    """Independent pure-Python reference BPE trainer (Sennrich semantics:
+    overlap-counted pair statistics, greedy left-to-right merge
+    application, (freq desc, s1, s2) argmax tie-break) — the qd62 twin.
+    Deliberately shares no code with ``vocab.train_bpe``'s JVM
+    expressions; agreement of the two merge tables is the check."""
+    segs = {w: tuple(w) for w in ws}
+    wcnt = dict(zip(ws, cs))
+    merges = []
+    for rank in range(1, k + 1):
+        pc: dict[tuple[str, str], int] = {}
+        for w, cnt in wcnt.items():
+            s = segs[w]
+            for a, b in zip(s, s[1:]):
+                pc[(a, b)] = pc.get((a, b), 0) + cnt
+        if not pc:
+            break
+        (s1, s2), freq = min(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if freq < min_freq:
+            break
+        merges.append({"rank": rank, "s1": s1, "s2": s2, "freq": freq})
+        m = s1 + s2
+        for w, s in segs.items():
+            out: list[str] = []
+            prev = None
+            for x in s:
+                if prev == s1 and x == s2:
+                    out.append(m)
+                    prev = None
+                else:
+                    if prev is not None:
+                        out.append(prev)
+                    prev = x
+            if prev is not None:
+                out.append(prev)
+            segs[w] = tuple(out)
+    return merges
 
 
 # ---------------------------------------------------------------------------
@@ -317,4 +368,16 @@ def local_oracle_sql() -> dict[str, str]:
         "qd10_simhash_pairs": _qd10_sql(),
         "qd11_lsh_ann_topk": _qd11_sql(),
         "qd16_ivf_ann_topk": _qd16_sql(),
+        "qd62_bpe_train_merges": f"""
+        WITH wc AS (
+          SELECT w, count(*) AS c
+          FROM (SELECT unnest({_TOKS}) AS w FROM documents) GROUP BY 1
+        ),
+        packed AS (
+          SELECT bpe_merges_py(list(w ORDER BY w), list(c ORDER BY w),
+                               16, 2) AS ms
+          FROM wc
+        )
+        SELECT unnest(ms, recursive := true) FROM packed
+        """,
     }
