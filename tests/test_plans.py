@@ -379,3 +379,40 @@ def test_round6_new_query_plans(plans):
     p = plans("q87_new_vs_returning")
     assert "CartesianProduct" not in p
     assert "Window" in p  # first-month via window, not a join-back
+
+
+def test_round9_new_query_plans(plans, spark, sf_dir):
+    """Plan shapes of the round-9 additions: the DSIR bucket model joins
+    by broadcast (fixed 4096-row model — never a shuffle of the per-doc
+    features against it), the span-dedup interval-merge window stays
+    partitioned by document, and neither collapses any stage to a single
+    partition."""
+    p = plans("qd60_dsir_selection")
+    assert "SinglePartition" not in p and "SortMergeJoin" not in p, p
+
+    # the registry key checkpoints the weights (they feed two consumers),
+    # which hides the scoring join from its final plan — assert the
+    # broadcast on the operator itself
+    from pyspark.sql import functions as F
+
+    from sql_data_warehouse_analytics_project_spark.llm import sampling
+    from sql_data_warehouse_analytics_project_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    p = (
+        sampling.dsir_importance_weights(docs, "doc_id", F.col("lang") == "en")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .treeString()
+    )
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
+    # the only single-partition exchange allowed is the 1-ROW totals
+    # aggregate that broadcasts through the cross join — never the data
+    assert p.count("Exchange SinglePartition") <= 1, p
+    if "Exchange SinglePartition" in p:
+        assert "BroadcastNestedLoopJoin BuildRight, Cross" in p, p
+
+    p = plans("qd61_duplicate_span_stats")
+    assert "SinglePartition" not in p and "SortMergeJoin" not in p, p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
