@@ -278,10 +278,30 @@ def main() -> None:
             "start": calib, "passes": pass_calibs[: len(all_passes)],
         }
 
+    def _purge_context() -> None:
+        # Measurement hygiene (round 9): several operators localCheckpoint
+        # intermediates; the checkpointed RDD blocks stay pinned in the
+        # block manager until Python GC releases the wrapper and the
+        # ContextCleaner gets around to them — across a 137-query pass
+        # they accumulate into real storage-memory pressure that slows
+        # LATER queries (measured: a 1 s GEMM query decays to 8 s by
+        # plain repetition). Each query is measured on a clean context,
+        # the way a real cluster job starts. Purge time is excluded from
+        # every query's timing.
+        import gc
+
+        gc.collect()
+        try:
+            for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+                rdd.unpersist()
+        except Exception:  # noqa: BLE001 — purge is best-effort
+            pass
+
     for _ in range(max(n_passes, 1)):
         pass_calibs.append(_cpu_calibration())
         timings: dict[str, float] = {}
         for name, fn in qs.items():
+            _purge_context()
             t0 = time.time()
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
