@@ -1,14 +1,15 @@
-"""Tokenizer-training corpus prep: vocabulary construction and BPE merge
-statistics (north-star extension — no reference counterpart; nearest
-surface is the reference's aggregation catalog
-``sql/query_builder.py:193-291``, re-expressed here as corpus-scale
-term statistics).
+"""Tokenizer-training corpus prep: vocabulary construction, BPE merge
+statistics, and full iterative BPE training (north-star extension — no
+reference counterpart; nearest surface is the reference's aggregation
+catalog ``sql/query_builder.py:193-291``, re-expressed here as
+corpus-scale term statistics).
 
-Both operators reduce the corpus to vocabulary-keyed tables in
+Every operator reduces the corpus to vocabulary-keyed tables in
 map-side-combined aggregations: the corpus text never shuffles, only
 (term, count) pairs do. That is the shape a 100 TB tokenizer-training
 prep job needs — the first aggregate cuts petabytes of text to a
-vocabulary (millions of rows), and everything downstream is tiny.
+vocabulary (millions of rows), and everything downstream — including
+every :func:`train_bpe` merge iteration — is vocabulary-sized.
 """
 
 from __future__ import annotations
