@@ -533,10 +533,15 @@ _WAVE_MAGIC = b"WAVE"
 
 def encode_wav(samples, sample_rate: int = 8000) -> bytes:
     """Minimal stdlib WAV encoder: 16-bit mono PCM, one ``data`` chunk.
-    ``samples`` is any int sequence in [-32768, 32767]."""
+    ``samples`` is any int sequence in [-32768, 32767]; out-of-range
+    values raise (an int16 cast would silently wrap them — or raise
+    OverflowError on newer numpy, an inconsistent failure mode)."""
     import numpy as np
 
-    pcm = np.asarray(samples, dtype=np.int16).tobytes()
+    arr = np.asarray(samples, dtype=np.int64)
+    if arr.size and (int(arr.min()) < -32768 or int(arr.max()) > 32767):
+        raise ValueError("WAV samples out of int16 range [-32768, 32767]")
+    pcm = arr.astype(np.int16).tobytes()
     fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
     body = (
         _WAVE_MAGIC
@@ -572,6 +577,8 @@ def decode_wav(content: bytes):
         pos += 8 + length + (length & 1)  # chunks are word-aligned
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
+    if len(fmt) < 16:  # struct.error here would leak an undocumented type
+        raise ValueError("malformed fmt chunk")
     tag, channels, rate, _bps, _align, depth = struct.unpack("<HHIIHH", fmt[:16])
     if tag != 1 or depth != 16 or channels != 1:
         raise NotImplementedError(

@@ -89,6 +89,25 @@ def bpe_pair_counts(df, text_col: str = "text") -> DataFrame:
     )
 
 
+def _release_checkpoint(df: DataFrame) -> None:
+    """Free the block-manager storage of a ``localCheckpoint``-backed
+    DataFrame NOW. ``Dataset.unpersist`` only evicts CacheManager
+    entries, so a checkpointed RDD's blocks otherwise stay pinned until
+    driver GC + ContextCleaner get around to the wrapper — across
+    ``train_bpe``'s ``num_merges`` iterations that re-creates exactly
+    the block accumulation bench.py's purge fix documents. The analyzed
+    plan of a checkpointed frame is a single ``LogicalRDD`` whose
+    ``rdd()`` IS the pinned RDD; unpersisting it directly is the
+    deterministic release. Best-effort by contract (a failure merely
+    defers cleanup to the ContextCleaner)."""
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() == "LogicalRDD":
+            plan.rdd().unpersist(False)
+    except Exception:  # noqa: BLE001 — cleanup must never break training
+        pass
+
+
 def _append_piece(acc, x):
     """Fold step for the merge-application aggregate: flush the held-back
     previous symbol (if any) and hold ``x``."""
@@ -194,7 +213,7 @@ def train_bpe(
         nxt = wc.select(
             "w", "wn", _apply_merge(F.col("pieces"), s1, s2).alias("pieces")
         ).localCheckpoint(eager=True)
-        wc.unpersist()
+        _release_checkpoint(wc)
         wc = nxt
     spark = df.sparkSession
     merges_df = spark.createDataFrame(
@@ -216,12 +235,16 @@ def bpe_encode(
     ``(id, n_tokens, n_pieces, pieces)``. Out-of-vocabulary words fall
     back to character symbols (the untrained segmentation) — exact for
     any corpus the model was trained on; retrain on the union corpus to
-    extend coverage."""
+    extend coverage. Documents that tokenize to NOTHING are preserved
+    with ``n_tokens = 0`` and empty pieces (the ``duplicate_span_stats``
+    empty-doc convention), via a left join of the encoded rows back to
+    the input ids — not ``posexplode_outer``, whose null token row would
+    miscount ``n_tokens`` as 1."""
     chars = F.expr(
         "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
     )
     toks = df.select(F.col(id_col), F.posexplode(tokens(text_col)).alias("_i", "w"))
-    return (
+    encoded = (
         toks.join(F.broadcast(word_pieces.select("w", "pieces")), "w", "left")
         .select(
             F.col(id_col),
@@ -233,10 +256,10 @@ def bpe_encode(
             F.count(F.lit(1)).alias("n_tokens"),
             F.flatten(F.array_sort(F.collect_list(F.struct("_i", "_pc"))).getField("_pc")).alias("pieces"),
         )
-        .select(
-            F.col(id_col),
-            F.col("n_tokens").cast("long").alias("n_tokens"),
-            F.size("pieces").cast("long").alias("n_pieces"),
-            "pieces",
-        )
+    )
+    return df.select(F.col(id_col)).join(encoded, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+        F.coalesce(F.size("pieces"), F.lit(0)).cast("long").alias("n_pieces"),
+        F.coalesce("pieces", F.array().cast("array<string>")).alias("pieces"),
     )

@@ -1776,6 +1776,21 @@ def test_wav_codec_roundtrip_features_and_decimation(spark):
     with pytest.raises(ValueError):
         mm.decode_wav(b"CORRUPT")
 
+    # out-of-int16-range samples raise instead of silently wrapping
+    with pytest.raises(ValueError):
+        mm.encode_wav([0, 40000])
+    with pytest.raises(ValueError):
+        mm.encode_wav([-32769])
+
+    # a short (malformed) fmt chunk raises the documented ValueError,
+    # not struct.error
+    shortfmt = struct.pack("<HHII", 1, 1, 8000, 16000)  # 12 bytes < 16
+    bad = (b"RIFF" + struct.pack("<I", 24 + len(pcm)) + b"WAVE"
+           + b"fmt " + struct.pack("<I", len(shortfmt)) + shortfmt
+           + b"data" + struct.pack("<I", len(pcm)) + pcm)
+    with pytest.raises(ValueError, match="malformed fmt"):
+        mm.decode_wav(bad)
+
     # Spark kernels over real WAVs: features match the closed form
     docs = spark.range(1, 40).select(F.col("id").alias("doc_id"))
     media = mm.synthesize_wav_media(docs)
@@ -1912,6 +1927,7 @@ def test_train_bpe_matches_reference_and_encode(spark):
                                "doc_id long, text string")
     from sql_data_warehouse_analytics_project_spark.llm import vocab as vb
 
+    pinned_before = len(spark.sparkContext._jsc.getPersistentRDDs())
     got = vb.train_bpe(df, num_merges=8, min_freq=2)
 
     # independent reference (overlap-counted stats, greedy merge)
@@ -1965,3 +1981,28 @@ def test_train_bpe_matches_reference_and_encode(spark):
     ).collect()[0]
     assert enc.n_tokens == 3
     assert list(enc.pieces) == list(segs["newest"]) + list(segs["lower"]) + ["z", "z", "z"]
+
+    # empty-tokenizing documents are PRESERVED with zero counts (the
+    # duplicate_span_stats convention), not dropped by the explode
+    enc2 = {
+        r.doc_id: r
+        for r in vb.bpe_encode(
+            spark.createDataFrame(
+                [(1, "newest"), (2, "!!! ???"), (3, None)],
+                "doc_id long, text string",
+            ),
+            "doc_id", "text", got["word_pieces"],
+        ).collect()
+    }
+    assert set(enc2) == {1, 2, 3}
+    assert enc2[1].n_tokens == 1 and list(enc2[1].pieces) == list(segs["newest"])
+    for empty_id in (2, 3):
+        r = enc2[empty_id]
+        assert (r.n_tokens, r.n_pieces, list(r.pieces)) == (0, 0, [])
+
+    # the merge loop must RELEASE each iteration's checkpointed blocks
+    # (Dataset.unpersist is a no-op for localCheckpoint storage): after
+    # training, at most the final word_pieces frame may still be pinned
+    # beyond whatever earlier tests left in this shared session
+    pinned = len(spark.sparkContext._jsc.getPersistentRDDs()) - pinned_before
+    assert pinned <= 1, f"train_bpe leaked {pinned} checkpointed RDDs"
