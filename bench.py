@@ -94,30 +94,75 @@ _MEASURED_PATHS = (
 )
 
 
+def _semantic_digest(blob: bytes) -> str:
+    """Digest of a Python source file that ignores comments, whitespace,
+    and docstrings: the AST (which never contains comments) is dumped
+    with every docstring slot removed, so only executable structure
+    feeds the hash. Non-parseable sources fall back to the raw bytes."""
+    import ast
+    import hashlib
+
+    try:
+        tree = ast.parse(blob)
+    except (SyntaxError, ValueError):
+        return hashlib.sha256(blob).hexdigest()
+    for node in ast.walk(tree):
+        if isinstance(
+            node, (ast.Module, ast.ClassDef, ast.FunctionDef, ast.AsyncFunctionDef)
+        ):
+            body = node.body
+            if (
+                body
+                and isinstance(body[0], ast.Expr)
+                and isinstance(body[0].value, ast.Constant)
+                and isinstance(body[0].value.value, str)
+            ):
+                del body[0]
+    return hashlib.sha256(
+        ast.dump(tree, include_attributes=False).encode()
+    ).hexdigest()
+
+
 def _code_fingerprint() -> str | None:
-    """Content hash of the MEASURED code paths (tracked blobs + working
-    diff) — identifies the code a bench run measured, so best-of-run
-    merging (below) can never mix timings from two different code
-    states, while committing notes or bench artifacts (which changes
-    HEAD but not the measured code) keeps the fingerprint stable."""
+    """Content hash of the MEASURED code paths as they sit in the
+    WORKING TREE — identifies the code a bench run measured, so
+    best-of-run merging (below) can never mix timings from two different
+    code states, while committing notes or bench artifacts keeps the
+    fingerprint stable.
+
+    Python sources hash via :func:`_semantic_digest` (AST minus
+    docstrings), NOT raw bytes: a docstring/comment-only edit cannot
+    change what a run measures, but under the old blob hash it silently
+    de-merged the artifact — a round-9 docstring commit made the
+    driver's single run OVERWRITE the committed best-of-4 result
+    (VERDICT r9 process defect). Comment/doc edits now keep the
+    fingerprint; any executable change still rotates it."""
     import hashlib
     import subprocess
 
     try:
         here = os.path.dirname(os.path.abspath(__file__))
-        blobs = subprocess.run(
-            ["git", "ls-files", "-s", "--", *_MEASURED_PATHS], cwd=here,
-            capture_output=True, text=True, timeout=30,
+        ls = subprocess.run(
+            ["git", "ls-files", "--cached", "--others", "--exclude-standard",
+             "--", *_MEASURED_PATHS],
+            cwd=here, capture_output=True, text=True, timeout=30,
         )
-        if blobs.returncode != 0:
+        if ls.returncode != 0:
             return None
-        diff = subprocess.run(
-            ["git", "diff", "HEAD", "--", *_MEASURED_PATHS], cwd=here,
-            capture_output=True, text=True, timeout=30,
-        )
         h = hashlib.sha256()
-        h.update(blobs.stdout.encode())
-        h.update(diff.stdout.encode())
+        for rel in sorted(set(ls.stdout.splitlines())):
+            path = os.path.join(here, rel)
+            try:
+                with open(path, "rb") as fh:
+                    blob = fh.read()
+            except OSError:  # tracked but deleted from the working tree
+                h.update(f"!{rel}\n".encode())
+                continue
+            if rel.endswith(".py"):
+                digest = _semantic_digest(blob)
+            else:
+                digest = hashlib.sha256(blob).hexdigest()
+            h.update(f"{rel}:{digest}\n".encode())
         return h.hexdigest()[:24]
     except Exception:  # noqa: BLE001
         return None

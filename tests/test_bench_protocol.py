@@ -1,0 +1,82 @@
+"""bench.py measurement-protocol invariants (no Spark session needed).
+
+The code fingerprint decides whether a bench run MERGES into the
+committed best-of-runs artifact or OVERWRITES it. Round 9's process
+defect: a docstring-only commit rotated the blob-based fingerprint, so
+the driver's single run overwrote a best-of-4 artifact. The fingerprint
+is therefore SEMANTIC — AST minus docstrings — and these tests pin that
+contract.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import bench
+
+ENGINE_INIT = Path(
+    "/root/repo/sql_data_warehouse_analytics_project_spark/__init__.py"
+)
+
+
+def test_semantic_digest_ignores_comments_and_docstrings():
+    base = b'''
+"""Module doc."""
+
+def f(x):
+    """f doc."""
+    return x + 1
+
+
+class C:
+    """C doc."""
+
+    def g(self):
+        return 2
+'''
+    cosmetic = b'''
+"""A completely rewritten module docstring.
+
+With extra lines.
+"""
+
+# a new comment block
+def f(x):
+    # inline commentary
+    return x + 1  # trailing note
+
+
+class C:
+    def g(self):
+        """g grew a docstring."""
+        return 2
+'''
+    behavioral = base.replace(b"return x + 1", b"return x + 2")
+    assert bench._semantic_digest(base) == bench._semantic_digest(cosmetic)
+    assert bench._semantic_digest(base) != bench._semantic_digest(behavioral)
+
+
+def test_semantic_digest_falls_back_on_syntax_error():
+    bad = b"def broken(:\n"
+    # non-parseable sources hash by content — still deterministic
+    assert bench._semantic_digest(bad) == bench._semantic_digest(bad)
+    assert bench._semantic_digest(bad) != bench._semantic_digest(bad + b"x")
+
+
+def test_code_fingerprint_stable_and_docstring_insensitive():
+    fp0 = bench._code_fingerprint()
+    assert fp0 is not None and len(fp0) == 24
+    assert bench._code_fingerprint() == fp0
+
+    # a comment appended to a MEASURED engine file must not rotate the
+    # fingerprint (the round-9 overwrite trigger); restore unconditionally
+    original = ENGINE_INIT.read_bytes()
+    try:
+        ENGINE_INIT.write_bytes(original + b"\n# bench fingerprint probe\n")
+        assert bench._code_fingerprint() == fp0
+        # an executable change MUST rotate it
+        ENGINE_INIT.write_bytes(original + b"\n_BENCH_PROBE = 1\n")
+        assert bench._code_fingerprint() != fp0
+    finally:
+        ENGINE_INIT.write_bytes(original)
+    assert bench._code_fingerprint() == fp0
