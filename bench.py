@@ -77,6 +77,11 @@ BENCH_EXCLUDE = {
     # + disk-vs-memory equality = disk-write overhead; the data-scaled
     # IVF-PQ search cost is benched via qd56)
     "qd58_ivfpq_disk_index",
+    # incremental-index maintenance lifecycle replay (build + persist +
+    # update + pinned-rebuild equality + file-level asserts = fixed
+    # write/job overhead, the qd50/qd52/qd54 rationale; the data-scaled
+    # IVF-PQ costs are benched via qd56)
+    "qd63_ivfpq_incremental_update",
 }
 
 _RESULT_PATH = os.environ.get(

@@ -612,6 +612,10 @@ def build_ivfpq_index(
         "m": m,
         "n_codes": n_codes,
         "dim": dim,
+        # baseline quantization error (deterministic low-id sample):
+        # update_ivfpq_index compares each batch against it to decide
+        # when the pinned codebooks have drifted enough to re-train
+        "qerr": _mean_qerr(embeddings, codebooks, id_col, vec_col),
     }
 
 
@@ -738,24 +742,108 @@ def search_ivfpq_index(
     )
 
 
+def _assign_encode(
+    embeddings: DataFrame,
+    cmat,
+    codebooks: list,
+    id_col: str,
+    vec_col: str,
+    id_sql: str,
+) -> DataFrame:
+    """``(neighbor_id, centroid_id, pq_code)`` for every non-null vector
+    of ``embeddings``, under PINNED models (coarse quantizer ``cmat`` +
+    PQ ``codebooks``) — the shared encode used by the initial build, by
+    :func:`update_ivfpq_index` (whose whole contract is "same models,
+    new rows"), and by tests constructing the pinned-model rebuild an
+    update must equal."""
+    spark = embeddings.sparkSession
+    nonnull = embeddings.filter(F.col(vec_col).isNotNull())
+    base = nonnull.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    assign = base.mapInPandas(
+        _ivf_assign_kernel(spark, np.asarray(cmat, dtype=np.float64), 1),
+        schema=f"id {id_sql}, centroid_id int",
+    )
+    codes = encode_pq(nonnull, codebooks, id_col=id_col, vec_col=vec_col)
+    return (
+        codes.withColumnRenamed(id_col, "neighbor_id")
+        .join(assign.withColumnsRenamed({"id": "neighbor_id"}), "neighbor_id")
+        .select("neighbor_id", "centroid_id", "pq_code")
+    )
+
+
+def _unit_rows(mat: "np.ndarray") -> "np.ndarray":
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    return mat / norms[:, None]
+
+
+def _mean_qerr(
+    embeddings: DataFrame,
+    codebooks: list,
+    id_col: str,
+    vec_col: str,
+    *,
+    sample: int = 1024,
+) -> "float | None":
+    """Mean PQ quantization error — ``1 − cos(unit(v), reconstruction)``
+    — over the ``sample`` LOWEST-ID vectors: a deterministic, bounded
+    probe (never a corpus pass; a mean is exactly the statistic sampling
+    estimates well at 100 TB). Recorded at build time as the baseline
+    and re-measured per update batch: a batch whose embeddings the
+    pinned codebooks no longer fit (distribution drift) shows a rising
+    error, which is the re-train trigger. Driver-side numpy on ≤
+    ``sample`` rows, summed in id order → reproducible."""
+    rows = (
+        embeddings.filter(F.col(vec_col).isNotNull())
+        .orderBy(F.col(id_col))
+        .limit(sample)
+        .select(F.col(vec_col).cast("array<double>"))
+        .collect()
+    )
+    if not rows or not codebooks:
+        return None
+    bk = np.asarray(codebooks, dtype=np.float64)  # (m, c, d_sub)
+    m, _, d_sub = bk.shape
+    bk_sq = (bk ** 2).sum(axis=2)
+    unit = _unit_rows(np.array([r[0] for r in rows], dtype=np.float64))
+    rec = np.empty_like(unit)
+    for s in range(m):
+        sub = unit[:, s * d_sub:(s + 1) * d_sub]
+        d2 = -2.0 * (sub @ bk[s].T) + bk_sq[s][None, :]
+        rec[:, s * d_sub:(s + 1) * d_sub] = bk[s][np.argmin(d2, axis=1)]
+    return round(float(1.0 - np.einsum("ij,ij->i", unit, rec).mean()), 9)
+
+
 def write_ivfpq_index(index: dict, path: str) -> None:
     """Persist an IVF-PQ index as a MANIFEST-COMMITTED on-disk layout
     (``sources/manifest`` — the same atomic-publish discipline as the
     BM25 index, qd52)::
 
         <path>/_MANIFEST.json     <- centroids + codebooks + scalars
-                                     (tiny: KBs of doubles) and the
-                                     generation pointer
+                                     (tiny: KBs of doubles), the cell →
+                                     generation map, and the tombstone
+                                     generation list
         <path>/_generations/<gid>/assignments/centroid_id=<c>/
+        <path>/_generations/<gid>/tombstones/   (updates only)
 
     The assignment table — the only corpus-sized piece, and already PQ-
     compressed to (id, m bytes) — partitions by ``centroid_id``, so a
     probe reads ONLY its cells' directories (``n_probe/n_centroids`` of
     the index; :func:`search_ivfpq_index` applies the cell filter and
-    the scan shows PartitionFilters). Publish is one atomic rename;
+    the scan shows PartitionFilters). The manifest maps EVERY cell to
+    the generation that last wrote it (the BM25 bucket-map protocol,
+    qd52), which is what lets :func:`update_ivfpq_index` rewrite only
+    the cells a batch lands in while unaffected cell directories stay
+    byte-untouched in their generations. Publish is one atomic rename;
     rebuilds write a new generation and republish; readers resolving the
     manifest never see a partial index; superseded generations vacuum
-    later."""
+    later. A full (re)build starts the tombstone list empty — it holds
+    the update batches' replaced-id markers, and re-writing the index
+    whole is the compaction that folds them away."""
+    import os
+
     from sql_data_warehouse_analytics_project_spark.sources import manifest
     from sql_data_warehouse_analytics_project_spark.sources.writers import (
         write_dataset,
@@ -769,6 +857,11 @@ def write_ivfpq_index(index: dict, path: str) -> None:
         partition_by=["centroid_id"],
         sort_by=["neighbor_id"],
     )
+    present = sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(f"{gdir}/assignments")
+        if d.startswith("centroid_id=")
+    )
     manifest.publish(
         root,
         gid,
@@ -779,15 +872,81 @@ def write_ivfpq_index(index: dict, path: str) -> None:
             "m": int(index["m"]),
             "n_codes": int(index["n_codes"]),
             "dim": int(index["dim"]),
+            "cells": {str(c): gid for c in present},
+            "tombstones": [],
+            "qerr": index.get("qerr"),
+            "qerr_history": [],
+            "retrain_recommended": False,
         },
     )
+
+
+def _read_assignments(spark, root: str, m: dict, only_cells=None) -> DataFrame:
+    """LIVE assignment rows of a manifest-committed IVF-PQ layout: for
+    every generation the cell map references, read EXACTLY its cell
+    directories (``basePath`` keeps ``centroid_id`` a partition column,
+    so a probe's ``isin`` filter still prunes) and union; then drop rows
+    superseded by a LATER tombstone. ``only_cells`` restricts the
+    listing to those cells — the physically partition-pruned scan an
+    update's affected-cell rewrite rides. Tombstone semantics: a row
+    written by generation seq ``s`` is dead iff some batch with seq
+    ``> s`` re-ingested (or deleted) its id — new rows carry the
+    tombstoning batch's own seq, so they survive it."""
+    from sql_data_warehouse_analytics_project_spark.sources import manifest
+
+    extra = m["extra"]
+    id_sql = extra["id_type"]
+    sel = None if only_cells is None else {int(c) for c in only_cells}
+    by_gen: dict[str, list[int]] = {}
+    for c, gid in extra["cells"].items():
+        by_gen.setdefault(gid, []).append(int(c))
+    parts = []
+    for gid, cs in sorted(by_gen.items()):
+        want = cs if sel is None else [c for c in cs if c in sel]
+        if not want:
+            continue
+        base = f"{manifest.generation_dir(root, gid)}/assignments"
+        parts.append(
+            spark.read.option("basePath", base)
+            .parquet(*[f"{base}/centroid_id={c}" for c in sorted(want)])
+            .select(
+                "neighbor_id", "centroid_id", "pq_code",
+                F.lit(int(gid.lstrip("g"))).alias("_seq"),
+            )
+        )
+    if not parts:
+        return spark.createDataFrame(
+            [], f"neighbor_id {id_sql}, centroid_id int, pq_code binary"
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    tomb_gids = extra.get("tombstones") or []
+    if tomb_gids:
+        tomb = None
+        for gid in tomb_gids:
+            t = spark.read.parquet(
+                f"{manifest.generation_dir(root, gid)}/tombstones"
+            )
+            tomb = t if tomb is None else tomb.unionByName(t)
+        kill = tomb.groupBy("neighbor_id").agg(
+            F.max("since_seq").alias("_kill_seq")
+        )
+        out = (
+            out.join(F.broadcast(kill), "neighbor_id", "left")
+            .filter(F.col("_kill_seq").isNull() | (F.col("_kill_seq") <= F.col("_seq")))
+            .drop("_kill_seq")
+        )
+    return out.drop("_seq")
 
 
 def read_ivfpq_index(spark, path: str) -> dict:
     """Load a :func:`write_ivfpq_index` layout into the
     :func:`search_ivfpq_index` contract by resolving the manifest ONCE —
     a pinned consistent snapshot; the assignment table stays a lazy scan
-    whose probes prune to their cells' partition directories."""
+    whose probes prune to their cells' partition directories (reading
+    per-generation through the cell map and filtering tombstoned rows,
+    :func:`_read_assignments`)."""
     from sql_data_warehouse_analytics_project_spark.sources import manifest
 
     root = path.rstrip("/")
@@ -795,13 +954,156 @@ def read_ivfpq_index(spark, path: str) -> dict:
     if m is None:
         raise FileNotFoundError(f"no IVF-PQ index manifest at {root}")
     extra = m["extra"]
-    gdir = manifest.generation_dir(root, m["current"])
+    if "cells" in extra:
+        assignments = _read_assignments(spark, root, m)
+    else:  # pre-cell-map layout: one generation holds everything
+        gdir = manifest.generation_dir(root, m["current"])
+        assignments = spark.read.parquet(f"{gdir}/assignments")
     return {
         "centroids": extra["centroids"],
         "codebooks": extra["codebooks"],
-        "assignments": spark.read.parquet(f"{gdir}/assignments"),
+        "assignments": assignments,
         "id_type": extra["id_type"],
         "m": int(extra["m"]),
         "n_codes": int(extra["n_codes"]),
         "dim": int(extra["dim"]),
+        "qerr": extra.get("qerr"),
+        "retrain_recommended": bool(extra.get("retrain_recommended", False)),
     }
+
+
+def update_ivfpq_index(
+    spark,
+    path: str,
+    new_embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    retrain_factor: float = 2.0,
+) -> dict:
+    """Absorb an embedding batch into a :func:`write_ivfpq_index` layout
+    WITHOUT re-training or re-encoding the corpus — the qd46/qd52
+    incremental-maintenance lifecycle applied to the ANN stack (a
+    recurring-crawl pipeline otherwise re-builds the whole index per
+    refresh, and at 100 TB the historical re-encode IS the cost).
+
+    Work ∝ batch + affected cells, never ∝ index:
+
+    1. the batch encodes under the PINNED models from the manifest —
+       coarse assignment + PQ codes, :func:`_assign_encode` (the same
+       kernels the build used, so an update is value-identical to
+       re-encoding the union corpus with those models — gate qd63);
+    2. the batch's target cells (≤ ``n_centroids`` values) prune the
+       assignment read to EXACTLY those cells' directories; within
+       them, re-ingested ids retire by anti-join and the merged
+       contents land in a NEW generation — unaffected cell directories
+       are never read or written (byte-untouched, the qd52 assert);
+    3. every batch id is also TOMBSTONED (id, since_seq): an id whose
+       new vector moved to a different cell — or whose vector is NULL,
+       the delete convention — may still have a live row in an
+       UNTOUCHED cell, and readers drop rows superseded by a later
+       tombstone (:func:`_read_assignments`). Tombstones are
+       batch-sized; re-running ``write_ivfpq_index`` over a read-back
+       corpus is the compaction that folds them away;
+    4. the batch's quantization error under the pinned codebooks is
+       recorded (``qerr_history``) and compared against the build-time
+       baseline: a batch whose error exceeds ``retrain_factor ×``
+       baseline flips ``retrain_recommended`` — the drift signal that
+       the frozen codebooks no longer fit the incoming distribution;
+    5. ONE atomic manifest replace publishes: affected cells point at
+       the new generation, unaffected cells keep pointing at the
+       generations that last wrote them.
+
+    Concurrent readers are always safe (an index resolved before the
+    publish is a complete pinned snapshot); a crash before publish
+    leaves the old manifest fully live. Returns the updated index dict
+    (lazy reads of the new layout)."""
+    import os
+
+    from sql_data_warehouse_analytics_project_spark.sources import manifest
+    from sql_data_warehouse_analytics_project_spark.sources.writers import (
+        write_dataset,
+    )
+
+    root = path.rstrip("/")
+    m = manifest.read_manifest(root)
+    if m is None:
+        raise FileNotFoundError(f"no IVF-PQ index manifest at {root}")
+    extra = m["extra"]
+    if "cells" not in extra:
+        raise ValueError(
+            "pre-cell-map IVF-PQ layout: rebuild via write_ivfpq_index first"
+        )
+    id_sql = extra["id_type"]
+
+    batch_ids = new_embeddings.select(
+        F.col(id_col).alias("neighbor_id")
+    ).distinct().localCheckpoint(eager=True)
+    if batch_ids.limit(1).count() == 0:
+        return read_ivfpq_index(spark, root)
+
+    new_rows = _assign_encode(
+        new_embeddings, extra["centroids"], extra["codebooks"],
+        id_col, vec_col, id_sql,
+    ).localCheckpoint(eager=True)  # batch-sized; feeds cells probe + write
+    cells_new = sorted(
+        r[0] for r in new_rows.select("centroid_id").distinct().collect()
+    )
+
+    gid, gdir = manifest.new_generation(root)
+    seq = int(gid.lstrip("g"))
+    written: set[int] = set()
+    if cells_new:
+        kept = _read_assignments(spark, root, m, only_cells=cells_new).join(
+            F.broadcast(batch_ids), "neighbor_id", "anti"
+        )
+        write_dataset(
+            kept.unionByName(new_rows),
+            f"{gdir}/assignments",
+            partition_by=["centroid_id"],
+            sort_by=["neighbor_id"],
+        )
+        written = {
+            int(d.split("=", 1)[1])
+            for d in os.listdir(f"{gdir}/assignments")
+            if d.startswith("centroid_id=")
+        }
+    write_dataset(
+        batch_ids.withColumn("since_seq", F.lit(seq)), f"{gdir}/tombstones"
+    )
+
+    batch_qerr = _mean_qerr(new_embeddings, extra["codebooks"], id_col, vec_col)
+    base_qerr = extra.get("qerr")
+    drifted = bool(
+        base_qerr and batch_qerr is not None
+        and batch_qerr > retrain_factor * base_qerr
+    )
+    cells_map = {
+        c: g for c, g in extra["cells"].items() if int(c) not in set(cells_new)
+    }
+    cells_map.update({str(c): gid for c in sorted(written)})
+    tombs = [*(extra.get("tombstones") or []), gid]
+    manifest.publish(
+        root,
+        gid,
+        extra={
+            "centroids": extra["centroids"],
+            "codebooks": extra["codebooks"],
+            "id_type": id_sql,
+            "m": int(extra["m"]),
+            "n_codes": int(extra["n_codes"]),
+            "dim": int(extra["dim"]),
+            "cells": cells_map,
+            "tombstones": tombs,
+            "qerr": base_qerr,
+            "qerr_history": [
+                *(extra.get("qerr_history") or []),
+                {"gen": gid, "batch_qerr": batch_qerr},
+            ],
+            "retrain_recommended": bool(
+                extra.get("retrain_recommended", False) or drifted
+            ),
+        },
+        referenced=sorted({gid, *cells_map.values(), *tombs}),
+    )
+    return read_ivfpq_index(spark, root)
