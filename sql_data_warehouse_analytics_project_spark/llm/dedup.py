@@ -15,6 +15,8 @@ All logic is built-in expressions (xxhash64, explode, groupBy) — no UDFs.
 
 from __future__ import annotations
 
+from collections.abc import Sequence  # noqa: F401 — used in annotations
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -1029,6 +1031,117 @@ def source_dup_matrix(
     )
 
 
+def _dup_window_positions(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    widths: "list[int]",
+    salt: str,
+    *,
+    width_in_salt: bool,
+):
+    """Shared core of the span-dedup operators: tokenize ONCE, emit every
+    ``w``-token window of every width as ``(id, _w, _pos, _end, _g)``
+    via in-row ``transform(sequence)`` (no self-join, no extra corpus
+    pass per width), hash windows to md5-portable 60-bit ints (the
+    shuffle moves fixed-width ints, never text), and keep only windows
+    seen in MORE THAN ONE distinct document (two map-side-combined
+    aggregations — no count_distinct Expand blowup). Returns
+    ``(base, dup_pos)`` where ``base`` is ``(id, n_tokens)`` for the
+    zero-fill join. Cost is Σ windows ≈ |widths| × Σ tokens, linear in
+    the corpus.
+
+    ``width_in_salt`` prefixes the width into the hash salt (so a
+    w-window can never collide with a 2w-window when several widths
+    share one frequency pass); the single-width callers keep the
+    historical ``{salt}|`` format the qd61 oracle replays.
+
+    The per-width window arrays are PLAIN ``array<long>`` hash columns,
+    one explode branch per width unioned afterwards — NOT structs built
+    inside ``transform``: a ``named_struct`` in the lambda body drops
+    the whole stage out of codegen and measured 10× slower at sf0.1;
+    position and end re-derive from ``posexplode``'s index + the
+    branch's literal width for free.
+
+    Collisions: two DIFFERENT spans hashing together would count as
+    cross-doc duplicates; at 60 bits the birthday bound is ~2^30
+    distinct windows per expected collision — and the SQL twins replay
+    the same hash, so the gate check is exact either way."""
+    t = tokens(text_col)
+    base = df.select(F.col(id_col), t.alias("_t")).select(
+        F.col(id_col), F.size("_t").alias("n_tokens"), "_t"
+    )
+
+    def width_branch(w: int) -> DataFrame:
+        gram_salt = f"{salt}|{w}|" if width_in_salt else f"{salt}|"
+        grams = F.when(
+            F.size("_t") >= w,
+            F.transform(
+                F.sequence(F.lit(1), F.size("_t") - w + 1),
+                lambda i: md5_60bit(
+                    F.concat(
+                        F.lit(gram_salt),
+                        F.concat_ws(" ", F.slice("_t", i, w)),
+                    )
+                ),
+            ),
+        ).otherwise(F.array().cast("array<long>"))
+        return (
+            base.select(F.col(id_col), F.posexplode(grams).alias("_i", "_g"))
+            .select(
+                F.col(id_col),
+                F.lit(w).cast("int").alias("_w"),
+                (F.col("_i") + 1).cast("int").alias("_pos"),
+                (F.col("_i") + 1 + w).cast("int").alias("_end"),
+                "_g",
+            )
+        )
+
+    pos = width_branch(widths[0])
+    for w in widths[1:]:
+        pos = pos.unionByName(width_branch(w))
+    gram_docs = pos.groupBy("_g", id_col).agg(F.count(F.lit(1)).alias("_n"))
+    dup_grams = (
+        gram_docs.groupBy("_g")
+        .agg(F.count(F.lit(1)).alias("_docs"))
+        .filter(F.col("_docs") > 1)
+        .select("_g")
+    )
+    return base.select(id_col, "n_tokens"), pos.join(dup_grams, "_g")
+
+
+def _interval_union(dup_pos: DataFrame, keys: "list[str]") -> DataFrame:
+    """Covered-token union of ``[pos, end)`` intervals per key group:
+    classic running-max sweep over start-sorted intervals — each row
+    contributes how far its window extends past everything before it
+    (any tie order among equal starts sums to the same union length).
+    Each group's dup windows are a short sorted list, so the window
+    function is cheap and key-parallel."""
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("_pos", "_end")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        dup_pos.withColumn("_prev_end", F.max(F.col("_end")).over(w))
+        .withColumn(
+            "_cov",
+            F.greatest(
+                F.lit(0),
+                F.col("_end")
+                - F.greatest(
+                    F.coalesce("_prev_end", F.col("_pos")), F.col("_pos")
+                ),
+            ),
+        )
+        .groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).alias("dup_spans"),
+            F.sum("_cov").cast("long").alias("dup_tokens"),
+        )
+    )
+
+
 def duplicate_span_stats(
     df: DataFrame,
     id_col: str,
@@ -1046,94 +1159,88 @@ def duplicate_span_stats(
     :func:`ngram_jaccard_pairs` asks "are these two DOCUMENTS near-dups",
     this asks "which PARTS of this document are copied from elsewhere" —
     the boilerplate/quotation signal used to cut memorization, filtering
-    on ``dup_fraction`` or feeding :func:`strip_duplicate_spans`.
-    Documents shorter than ``span`` tokens have no windows and report
-    zero duplication.
+    on ``dup_fraction``. Documents shorter than ``span`` tokens have no
+    windows and report zero duplication. Because windows slide at stride
+    1, the covered union is EXACTLY the tokens inside maximal cross-doc
+    shared runs of length ≥ ``span`` — i.e. Lee et al.'s any-length
+    "matches of at least N tokens" semantics with N = ``span``; for the
+    duplication profile across several thresholds use
+    :func:`duplicate_span_profile`.
 
-    Plan (100 TB story): one tokenize; windows come from an in-row
-    ``transform(sequence)`` (no self-join); windows hash to 60-bit ints
-    (md5-portable, so the qd61 oracle replays the bucketing) so the
-    global window-frequency shuffle moves fixed-width ints, never text;
-    doc-frequency per window is two map-side-combined aggregations; the
-    covered-interval union is a per-document window function (lag-free
-    running-max merge — each doc's dup windows are a short sorted list).
-    Cost is Σ windows = Σ tokens, linear in the corpus.
-
-    Collisions: two DIFFERENT spans hashing together would count as
-    cross-doc duplicates; at 60 bits the birthday bound is ~2^30 distinct
-    windows per expected collision — and the SQL twin replays the same
-    hash, so the check is exact either way."""
-    t = tokens(text_col)
-    base = df.select(F.col(id_col), t.alias("_t")).select(
-        F.col(id_col),
-        F.size("_t").alias("n_tokens"),
-        F.when(
-            F.size("_t") >= span,
-            F.transform(
-                F.sequence(F.lit(1), F.size("_t") - span + 1),
-                lambda i: md5_60bit(
-                    F.concat(
-                        F.lit(f"{salt}|"),
-                        F.concat_ws(" ", F.slice("_t", i, span)),
-                    )
-                ),
-            ),
-        )
-        .otherwise(F.array().cast("array<long>"))
-        .alias("_grams"),
+    Plan (100 TB story): see :func:`_dup_window_positions` (one
+    tokenize, in-row window generation, int-only shuffles) and
+    :func:`_interval_union` (per-document sweep). The qd61 oracle
+    replays hash, sweep, and rounding bit-exactly."""
+    base, dup_pos = _dup_window_positions(
+        df, id_col, text_col, [int(span)], salt, width_in_salt=False
     )
-    pos = base.select(
-        F.col(id_col),
-        "n_tokens",
-        F.posexplode_outer("_grams").alias("_pos", "_g"),
-    )
-    # windows seen in >1 distinct document (two map-side-combined aggs:
-    # per-(gram, doc) first, then per-gram doc counts — no count_distinct
-    # Expand blowup)
-    gram_docs = (
-        pos.filter(F.col("_g").isNotNull())
-        .groupBy("_g", id_col)
-        .agg(F.count(F.lit(1)).alias("_n"))
-    )
-    dup_grams = (
-        gram_docs.groupBy("_g")
-        .agg(F.count(F.lit(1)).alias("_docs"))
-        .filter(F.col("_docs") > 1)
-        .select("_g")
-    )
-    dup_pos = pos.join(dup_grams, "_g")
-    # merge per-doc covered intervals [pos, pos+span): classic running-max
-    # sweep — contribution = how far this window extends past everything
-    # before it
-    w = (
-        Window.partitionBy(id_col)
-        .orderBy("_pos")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    covered = (
-        dup_pos.withColumn("_prev_end", F.max(F.col("_pos") + span).over(w))
-        .withColumn(
-            "_cov",
-            F.greatest(
-                F.lit(0),
-                F.col("_pos")
-                + span
-                - F.greatest(
-                    F.coalesce("_prev_end", F.col("_pos")), F.col("_pos")
-                ),
-            ),
-        )
-        .groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).alias("dup_spans"),
-            F.sum("_cov").cast("long").alias("dup_tokens"),
-        )
-    )
+    covered = _interval_union(dup_pos, [id_col])
     return (
-        base.select(id_col, "n_tokens")
-        .join(covered, id_col, "left")
+        base.join(covered, id_col, "left")
         .select(
             F.col(id_col),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.coalesce("dup_spans", F.lit(0)).cast("long").alias("dup_spans"),
+            F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
+            F.round(
+                F.coalesce("dup_tokens", F.lit(0))
+                / F.greatest("n_tokens", F.lit(1)),
+                6,
+            ).alias("dup_fraction"),
+        )
+    )
+
+
+def duplicate_span_profile(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    *,
+    min_lens: "Sequence[int]" = (8, 16, 32, 64),
+    salt: str = "dupspan",
+) -> DataFrame:
+    """Variable-length substring-dedup PROFILE (round-10 verdict #3 —
+    the full Lee et al. 2021 semantics): for EACH minimum match length
+    in ``min_lens``, report per document the tokens lying inside
+    cross-document exact shared runs of AT LEAST that length —
+    ``(id, min_len, n_tokens, dup_spans, dup_tokens, dup_fraction)``,
+    one row per (document, threshold), zeros where nothing matches.
+
+    Why this is exact for ANY match length (no suffix array needed):
+    windows slide at stride 1, so a shared run of length L ≥ w produces
+    L−w+1 duplicated w-windows whose interval union covers exactly its
+    L tokens — non-aligned run boundaries included; conversely every
+    duplicated w-window lies inside such a run. The union of duplicated
+    w-windows therefore EQUALS the coverage of shared runs ≥ w, and the
+    per-width unions form the match-length profile (monotone
+    non-increasing in ``min_len`` — gate-checked, qd64). Lee et al.'s
+    "remove matches ≥ 50 tokens" is ``min_len=50``'s row; the smaller
+    thresholds expose the boilerplate tail.
+
+    Plan (100 TB story): ONE tokenize and ONE window-frequency shuffle
+    for all widths (:func:`_dup_window_positions`, widths salted apart);
+    the sweep partitions by (document, width) (:func:`_interval_union`);
+    the zero-fill grid is |docs| × |widths| rows. Cost ≈ |widths| ×
+    Σ tokens, linear in the corpus."""
+    widths = sorted({int(w) for w in min_lens})
+    if not widths or widths[0] < 1:
+        raise ValueError(f"min_lens must be positive ints, got {min_lens!r}")
+    base, dup_pos = _dup_window_positions(
+        df, id_col, text_col, widths, salt, width_in_salt=True
+    )
+    covered = _interval_union(dup_pos, [id_col, "_w"])
+    grid = base.select(
+        F.col(id_col),
+        "n_tokens",
+        F.explode(F.array(*[F.lit(w) for w in widths])).alias("min_len"),
+    )
+    return (
+        grid.join(
+            covered.withColumnRenamed("_w", "min_len"), [id_col, "min_len"], "left"
+        )
+        .select(
+            F.col(id_col),
+            F.col("min_len").cast("int").alias("min_len"),
             F.col("n_tokens").cast("long").alias("n_tokens"),
             F.coalesce("dup_spans", F.lit(0)).cast("long").alias("dup_spans"),
             F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),

@@ -2105,6 +2105,82 @@ def test_duplicate_span_stats_interval_merge(spark):
     assert got[4].n_tokens == 2 and got[4].dup_fraction == 0.0
 
 
+def test_duplicate_span_profile_any_length_exact(spark):
+    """Round-10: `duplicate_span_profile` must report, per minimum match
+    length, EXACTLY the tokens inside cross-doc shared runs ≥ that
+    length — including runs whose length is NOT a multiple of any window
+    width (the non-aligned case a fixed window was suspected of
+    undercounting; stride-1 unions make it exact). Hand-built fixture:
+    a 20-token shared run, a doc with two disjoint shared runs, and an
+    empty doc."""
+    from sql_data_warehouse_analytics_project_spark.llm import dedup as dd
+
+    run20 = " ".join(f"s{i}" for i in range(20))  # the shared 20-token run
+    run9 = " ".join(f"t{i}" for i in range(9))  # a second shared run
+    rows = [
+        # doc1: 5 unique + 20 shared + 5 unique = 30 tokens
+        (1, "a1 a2 a3 a4 a5 " + run20 + " a6 a7 a8 a9 a10"),
+        # doc2: 20 shared + 5 unique = 25 tokens
+        (2, run20 + " b1 b2 b3 b4 b5"),
+        # doc3: 9-token shared run + 3 unique + SAME 9-run again = 21
+        (3, run9 + " c1 c2 c3 " + run9),
+        # doc4: the other copy of the 9-run (8 unique + 9 shared = 17)
+        (4, "d1 d2 d3 d4 d5 d6 d7 d8 " + run9),
+        # doc5: too short to hold any window, shares nothing
+        (5, "e1 e2"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    prof = {
+        (r.doc_id, r.min_len): r
+        for r in dd.duplicate_span_profile(
+            df, "doc_id", min_lens=(8, 16, 32)
+        ).collect()
+    }
+    # grid: every (doc, threshold) pair present, zeros included
+    assert set(prof) == {(d, w) for d in (1, 2, 3, 4, 5) for w in (8, 16, 32)}
+
+    # the 20-token run: covered exactly at thresholds 8 and 16 (20 is a
+    # multiple of neither), absent at 32; window counts are L-w+1
+    for doc, n in ((1, 30), (2, 25)):
+        assert prof[(doc, 8)].dup_tokens == 20
+        assert prof[(doc, 8)].dup_spans == 13
+        assert prof[(doc, 16)].dup_tokens == 20
+        assert prof[(doc, 16)].dup_spans == 5
+        assert prof[(doc, 32)].dup_tokens == 0
+        assert prof[(doc, 8)].n_tokens == n
+        assert prof[(doc, 8)].dup_fraction == round(20 / n, 6)
+
+    # doc3 holds the 9-run twice (disjoint intervals → union 18); doc4
+    # once; nothing reaches threshold 16
+    assert prof[(3, 8)].dup_tokens == 18 and prof[(3, 8)].dup_spans == 4
+    assert prof[(4, 8)].dup_tokens == 9 and prof[(4, 8)].dup_spans == 2
+    assert prof[(3, 16)].dup_tokens == 0 and prof[(4, 16)].dup_tokens == 0
+
+    # the empty-ish doc reports zeros at every threshold
+    for w in (8, 16, 32):
+        r = prof[(5, w)]
+        assert (r.dup_spans, r.dup_tokens, r.dup_fraction) == (0, 0, 0.0)
+
+    # profile ≡ fixed-width stats at each threshold (shared-core parity:
+    # the multi-width pass must not disturb single-width semantics)
+    for w in (8, 16, 32):
+        fixed = {
+            r.doc_id: (r.dup_spans, r.dup_tokens)
+            for r in dd.duplicate_span_stats(df, "doc_id", span=w).collect()
+        }
+        got = {d: (prof[(d, w)].dup_spans, prof[(d, w)].dup_tokens)
+               for d in (1, 2, 3, 4, 5)}
+        assert got == fixed
+
+    # refusals
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        dd.duplicate_span_profile(df, "doc_id", min_lens=())
+    with _pytest.raises(ValueError):
+        dd.duplicate_span_profile(df, "doc_id", min_lens=(0, 8))
+
+
 def test_train_bpe_matches_reference_and_encode(spark):
     """BPE training (round 9): the Spark merge loop (JVM aggregate
     expressions) must reproduce an independent pure-Python Sennrich
