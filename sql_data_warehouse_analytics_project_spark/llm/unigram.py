@@ -177,34 +177,9 @@ def train_unigram(
     wc = _word_types(df, text_col).localCheckpoint(eager=True)
 
     # candidate seeding: every substring of length 1..max_piece_len of
-    # every word type, weighted by word count — in-row generation
-    # (transform over positions per length, concatenated), one
-    # vocab-keyed shuffle
-    subs = [
-        F.when(
-            F.length("w") >= ln,
-            F.transform(
-                F.sequence(F.lit(1), F.length("w") - ln + 1),
-                # single-parameter closure (a 2-arg lambda would receive
-                # the array index as the second argument)
-                (lambda ln_: lambda i: F.substring_index(  # noqa: E731
-                    F.lit(""), "", 0
-                ))(ln),
-            ),
-        )
-        for ln in range(1, max_piece_len + 1)
-    ]
-    # (the transform body needs the real substring expression — built
-    # below via a helper closure to keep the width out of lambda arity)
-
-    def sub_array(ln: int):
-        def entry(i):
-            return F.substring("w", 0, 0)
-
-        return entry
-
-    # NOTE: F.substring needs int literals for pos/len only in the
-    # column API; use expr-based slicing instead (pos is the lambda var)
+    # every word type, weighted by word count — in-row generation (one
+    # expr-based transform per length, concatenated; plain string
+    # arrays, the codegen-friendly shape), one vocab-keyed shuffle
     sub_cols = [
         F.when(
             F.length("w") >= ln,

@@ -2964,3 +2964,28 @@ def qd64_duplicate_span_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dup_fraction") <= F.lag("dup_fraction").over(w), F.lit(True)
         ),
     )
+
+@register("qd65_unigram_train_pieces")  # the EM loop is not
+# ANSI-SQL-expressible: the DRIVER records a rows-only check; the LOCAL
+# gate value-checks it against an independent pure-Python reference
+# trainer registered on the DuckDB connection (tools/local_oracles.py,
+# the qd62 pattern)
+def qd65_unigram_train_pieces(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM (SentencePiece-style) tokenizer training (round-10
+    verdict #4 — `unigram.train_unigram`, Kudo 2018): substring
+    candidate seeding, then EM — a distributed Viterbi E-step over word
+    types (integer piece-count partials, the _kmeans_refine shape) and a
+    vocab-sized M-step with likelihood-loss pruning toward the vocab
+    budget. Returns the final (piece, count, logp) model — a pure
+    function of the corpus (deterministic seeding, tie-breaks, and
+    integer counts), so the local gate's independent reference replays
+    training end-to-end, logp bit-exact. At 100 TB the corpus collapses
+    once to word types; every EM pass is vocabulary-sized."""
+    from sql_data_warehouse_analytics_project_spark.llm import unigram
+
+    docs = _docs(spark, sf_dir)
+    got = unigram.train_unigram(
+        docs, vocab_size=32, max_piece_len=4, em_iters=2
+    )
+    return got["pieces"]
+

@@ -2105,6 +2105,80 @@ def test_duplicate_span_stats_interval_merge(spark):
     assert got[4].n_tokens == 2 and got[4].dup_fraction == 0.0
 
 
+def test_train_unigram_learns_pieces_and_encodes(spark):
+    """Round-10: unigram-LM training (`unigram.train_unigram`, Kudo
+    2018). On a corpus of repeated morphemes the EM must surface them as
+    multi-char pieces; encode must Viterbi-segment with them, round-trip
+    every document (concat(pieces) == concat(tokens)), preserve
+    empty-tokenizing docs with zero counts, and escape OOV characters at
+    the floor score. The qd65 gate separately replays training against
+    an independent pure-Python reference — this test pins the human-
+    readable behavior."""
+    from sql_data_warehouse_analytics_project_spark.llm import unigram as ug
+
+    texts = [
+        "low low low low low",
+        "lower lower newest newest",
+        "newest newest newest newest",
+        "widest widest widest aaa aaa",
+        "the cat sat on the mat the cat",
+        "lowering the newest widest cat",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = ug.train_unigram(df, vocab_size=8, max_piece_len=4, em_iters=3)
+    rows = got["pieces"].collect()
+    model = {r.piece: (r["count"], r.logp) for r in rows}
+
+    # every corpus character survives (never pruned), budgeted multis
+    chars = sorted(set("".join(texts).replace(" ", "")))
+    assert set(chars) <= set(model)
+    multis = [p for p in model if len(p) > 1]
+    assert 0 < len(multis) <= 8
+    # the dominant morphemes are IN the learned vocabulary
+    assert {"low", "est", "new"} <= set(multis)
+    # counts are integers, logp consistent with the floored distribution
+    import math
+
+    floored = {p: (max(c, 1) if len(p) == 1 else c) for p, (c, _) in model.items()}
+    total = sum(c for c in floored.values() if c > 0)
+    for p, (c, lp) in model.items():
+        assert lp == math.log(floored[p] / total)
+
+    # encode: segmentation uses the learned pieces and round-trips
+    enc = {
+        r.doc_id: r
+        for r in ug.unigram_encode(df, "doc_id", "text", got["pieces"]).collect()
+    }
+    assert list(enc[0].pieces) == ["low"] * 5
+    import re
+
+    for i, t in enumerate(texts):
+        toks = [w for w in re.split(r"[^a-z0-9]+", t.lower()) if w]
+        assert "".join(enc[i].pieces) == "".join(toks)
+        assert enc[i].n_tokens == len(toks)
+
+    # empty + OOV contracts
+    extra = spark.createDataFrame(
+        [(90, "!!!"), (91, None), (92, "zq")], "doc_id long, text string"
+    )
+    enc2 = {
+        r.doc_id: r
+        for r in ug.unigram_encode(extra, "doc_id", "text", got["pieces"]).collect()
+    }
+    for i in (90, 91):
+        r = enc2[i]
+        assert (r.n_tokens, r.n_pieces, list(r.pieces), r.logp) == (0, 0, [], 0.0)
+    assert list(enc2[92].pieces) == ["z", "q"] and enc2[92].logp < -1e8
+
+    # refusals
+    with pytest.raises(ValueError):
+        ug.train_unigram(df, vocab_size=0)
+    with pytest.raises(ValueError):
+        ug.train_unigram(df, max_piece_len=1)
+
+
 def test_duplicate_span_profile_any_length_exact(spark):
     """Round-10: `duplicate_span_profile` must report, per minimum match
     length, EXACTLY the tokens inside cross-doc shared runs ≥ that

@@ -99,6 +99,12 @@ def register(con) -> None:
         ["VARCHAR[]", "BIGINT[]", "INTEGER", "INTEGER"],
         "STRUCT(rank INTEGER, s1 VARCHAR, s2 VARCHAR, freq BIGINT)[]",
     )
+    con.create_function(
+        "unigram_pieces_py",
+        _unigram_reference,
+        ["VARCHAR[]", "BIGINT[]", "INTEGER", "INTEGER", "INTEGER", "INTEGER"],
+        "STRUCT(piece VARCHAR, count BIGINT, logp DOUBLE)[]",
+    )
 
 
 def _bpe_reference(ws, cs, k, min_freq):
@@ -140,6 +146,102 @@ def _bpe_reference(ws, cs, k, min_freq):
                 out.append(prev)
             segs[w] = tuple(out)
     return merges
+
+
+def _unigram_reference(ws, cs, vocab_size, max_piece_len, em_iters, seed_mult):
+    """Independent pure-Python reference unigram-LM trainer (Kudo 2018
+    semantics as specified by ``llm/unigram.py``'s determinism contract:
+    substring seeding with (count desc, piece asc) top-k, Viterbi ties
+    toward the longer last piece, integer E-step counts, single-char
+    floor at 1, likelihood-loss pruning ranked (loss desc, count desc,
+    piece asc)) — the qd65 twin. Deliberately shares no code with the
+    engine module; agreement of the final (piece, count, logp) tables is
+    the check."""
+    from math import log
+
+    wn = dict(zip(ws, cs))
+    L = int(max_piece_len)
+
+    def probs(cnt):
+        kept = {}
+        for p, c in cnt.items():
+            c2 = c if len(p) > 1 else max(c, 1)
+            if c2 > 0:
+                kept[p] = c2
+        tot = sum(kept.values())
+        return {p: log(c / tot) for p, c in kept.items()}
+
+    def viterbi(word, lp):
+        n = len(word)
+        score = {0: 0.0}
+        back = {}
+        for i in range(1, n + 1):
+            # descending length + strict > keeps the LONGEST tied piece
+            for ln in range(min(i, L), 0, -1):
+                if i - ln not in score:
+                    continue
+                pc = word[i - ln:i]
+                w_lp = lp.get(pc, -1e9 if ln == 1 else None)
+                if w_lp is None:
+                    continue
+                cand = score[i - ln] + w_lp
+                if i not in score or cand > score[i]:
+                    score[i], back[i] = cand, ln
+        pieces = []
+        j = n
+        while j > 0:
+            pieces.insert(0, word[j - back[j]:j])
+            j -= back[j]
+        return pieces, score[n]
+
+    # seeding: weighted substring counts over word types
+    cand: dict[str, int] = {}
+    for w, c in wn.items():
+        for i in range(len(w)):
+            for ln in range(1, min(L, len(w) - i) + 1):
+                s = w[i:i + ln]
+                cand[s] = cand.get(s, 0) + c
+    singles = {p: c for p, c in cand.items() if len(p) == 1}
+    multi_top = sorted(
+        ((p, c) for p, c in cand.items() if len(p) > 1),
+        key=lambda t: (-t[1], t[0]),
+    )[: int(seed_mult) * int(vocab_size)]
+    counts = dict(singles)
+    counts.update(dict(multi_top))
+
+    def prune(cnt):
+        budget = int(vocab_size)
+        multis = [p for p in cnt if len(p) > 1]
+        if len(multis) <= budget:
+            return cnt
+        lp = probs(cnt)
+        ranked = []
+        for p in sorted(multis):
+            rest = dict(lp)
+            del rest[p]
+            _, alt = viterbi(p, rest)
+            ranked.append((cnt[p] * (lp[p] - alt), cnt[p], p))
+        ranked.sort(key=lambda t: (-t[0], -t[1], t[2]))
+        keep = {t[2] for t in ranked[:budget]}
+        return {p: c for p, c in cnt.items() if len(p) == 1 or p in keep}
+
+    for _ in range(int(em_iters)):
+        lp = probs(counts)
+        used: dict[str, int] = {}
+        for w, c in wn.items():
+            for p in viterbi(w, lp)[0]:
+                used[p] = used.get(p, 0) + c
+        counts = {p: c for p, c in used.items() if c > 0}
+        for ch in singles:
+            if ch not in counts:
+                counts[ch] = 0
+        counts = prune(counts)
+
+    final = probs(counts)
+    return [
+        {"piece": p, "count": counts[p], "logp": final[p]}
+        for p in sorted(final)
+    ]
 
 
 # ---------------------------------------------------------------------------
@@ -379,5 +481,17 @@ def local_oracle_sql() -> dict[str, str]:
           FROM wc
         )
         SELECT unnest(ms, recursive := true) FROM packed
+        """,
+        "qd65_unigram_train_pieces": f"""
+        WITH wc AS (
+          SELECT w, count(*) AS c
+          FROM (SELECT unnest({_TOKS}) AS w FROM documents) GROUP BY 1
+        ),
+        packed AS (
+          SELECT unigram_pieces_py(list(w ORDER BY w), list(c ORDER BY w),
+                                   32, 4, 2, 4) AS ps
+          FROM wc
+        )
+        SELECT unnest(ps, recursive := true) FROM packed
         """,
     }
