@@ -485,10 +485,18 @@ class RunContext:
 
         from sql_data_warehouse_analytics_project_spark.ops import spark_metrics
         from sql_data_warehouse_analytics_project_spark.ops.lineage_capture import (
+            plan_column_lineage,
             plan_sources,
         )
 
         sources = plan_sources(df)
+        # column-granularity edges (round-10): the analyzed plan's
+        # expression tree names every output column's source columns;
+        # degenerate plans (hundreds of edges) fall back to table-level
+        # only so a wide UNION can't flood the log table
+        col_edges = plan_column_lineage(df)
+        if len(col_edges) > 512:
+            col_edges = []
         logs_db = self.catalog.db("logs")
         obs = Observation()
         instrumented = df.observe(obs, F.count(F.lit(1)).alias("rows"))
@@ -522,6 +530,20 @@ class RunContext:
                     target_table=target_table,
                     transformation_logic=f"auto:{mode}",
                     record_count=rows,
+                )
+            for src_schema, src_table, src_col, tgt_col in col_edges:
+                if src_schema == logs_db:
+                    continue
+                if (src_schema, src_table) == (target_schema, target_table):
+                    continue
+                self.log_lineage(
+                    source_schema=src_schema,
+                    source_table=src_table,
+                    source_column=src_col,
+                    target_schema=target_schema,
+                    target_table=target_table,
+                    target_column=tgt_col,
+                    transformation_logic=f"auto:{mode}:column",
                 )
             if rows is not None:
                 self.record_metric(

@@ -90,6 +90,125 @@ def dataset_leaf(path: str) -> str:
     return _path_leaf(segs[-1]) if segs else path
 
 
+def _seq(jseq) -> list:
+    """Scala Seq → python list of py4j objects."""
+    return [jseq.apply(i) for i in range(jseq.size())]
+
+
+def _attr_ids(attrset) -> set[int]:
+    """Scala AttributeSet → python set of exprId longs."""
+    out: set[int] = set()
+    it = attrset.iterator()
+    while it.hasNext():
+        out.add(it.next().exprId().id())
+    return out
+
+
+def _leaf_identity(node) -> tuple[str, str] | None:
+    """(schema, table) identity of a leaf relation — the same naming
+    rules :func:`plan_sources` uses (catalog tables by name, path
+    relations as ``(external, <leaf>)``), shared by the column walk."""
+    cls = node.getClass().getSimpleName()
+    if cls == "LogicalRelation":
+        pair = _ident_from_option(node.catalogTable())
+        if pair is not None:
+            return pair
+        paths = node.relation().location().rootPaths()
+        if paths.size():
+            return (EXTERNAL_SCHEMA, _path_leaf(paths.apply(0).toString()))
+        return None
+    if cls == "HiveTableRelation":
+        ident = node.tableMeta().identifier()
+        db = ident.database()
+        return (db.get() if db.isDefined() else "",
+                _logical_table(ident.table()))
+    if cls == "DataSourceV2Relation":
+        ident = node.identifier()
+        if ident.isDefined():
+            v2 = ident.get()
+            ns = v2.namespace()
+            db = ns[-1] if len(ns) else ""
+            return (str(db), _logical_table(str(v2.name())))
+    return None
+
+
+def plan_column_lineage(df: DataFrame) -> list[tuple[str, str, str, str]]:
+    """COLUMN-level provenance of ``df``'s output: one
+    ``(source_schema, source_table, source_column, target_column)``
+    edge per (leaf column → output column) dependency — round-10
+    verdict #6, upgrading auto-capture from table to column granularity
+    (reference contract: the manual ``source_column``/``target_column``
+    fields of ``logs/data_lineage.py:271-307``, which the reference
+    relies on authors to fill by hand).
+
+    The analyzed plan carries this for free in its expression tree:
+    every derived column is an ``Alias`` whose references name the
+    attribute ids it reads; renames/passthroughs keep their ids; Union
+    remaps positionally; Generate (explode) maps generator outputs to
+    the generator's inputs. The walk records those id→ids dependency
+    edges, then resolves each output attribute transitively down to
+    leaf-relation attributes (BFS over ids — driver-side plan metadata
+    only, no job, no file listing). Multi-source derivations emit one
+    edge per contributing source column; ``Expand``-style nodes that
+    mint ids outside these rules simply contribute no edges. Returns
+    ``[]`` on any extraction failure (capture is best-effort by
+    contract)."""
+    out: list[tuple[str, str, str, str]] = []
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        leaf_attr: dict[int, tuple[str, str, str]] = {}
+        for leaf in _seq(plan.collectLeaves()):
+            ident = _leaf_identity(leaf)
+            if ident is None:
+                continue
+            for a in _seq(leaf.output()):
+                leaf_attr[a.exprId().id()] = (ident[0], ident[1], a.name())
+        deps: dict[int, set[int]] = {}
+        stack = [plan]
+        while stack:
+            node = stack.pop()
+            stack.extend(_seq(node.children()))
+            cls = node.getClass().getSimpleName()
+            if cls == "Union":
+                outs = _seq(node.output())
+                for child in _seq(node.children()):
+                    for o, c in zip(outs, _seq(child.output())):
+                        deps.setdefault(o.exprId().id(), set()).add(
+                            c.exprId().id()
+                        )
+            elif cls == "Generate":
+                refs = _attr_ids(node.generator().references())
+                for o in _seq(node.generatorOutput()):
+                    deps.setdefault(o.exprId().id(), set()).update(refs)
+            estack = _seq(node.expressions())
+            while estack:
+                e = estack.pop()
+                estack.extend(_seq(e.children()))
+                if e.getClass().getSimpleName() == "Alias":
+                    deps.setdefault(e.exprId().id(), set()).update(
+                        _attr_ids(e.references())
+                    )
+        seen: set[tuple[str, str, str, str]] = set()
+        for o in _seq(plan.output()):
+            target = o.name()
+            frontier = [o.exprId().id()]
+            visited: set[int] = set()
+            while frontier:
+                nid = frontier.pop()
+                if nid in visited:
+                    continue
+                visited.add(nid)
+                if nid in leaf_attr:
+                    edge = (*leaf_attr[nid], target)
+                    if edge not in seen:
+                        seen.add(edge)
+                        out.append(edge)
+                frontier.extend(deps.get(nid, ()))
+    except Exception:  # noqa: BLE001 — capture never breaks a write
+        return []
+    return out
+
+
 def plan_sources(df: DataFrame) -> list[tuple[str, str]]:
     """The (schema, table) relations ``df``'s plan reads, in leaf order,
     deduplicated.
