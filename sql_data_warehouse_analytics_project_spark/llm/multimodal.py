@@ -13,11 +13,15 @@ does not. ``decode="png"`` (round 9) needs NO probe: PNG is fully
 decodable with stdlib zlib + numpy scanline unfiltering
 (:func:`decode_png` / :func:`encode_png`), so real pixel decode,
 resize, and pixel statistics run dependency-free and are oracle-checked
-(qd57) — and WAV is fully decodable with stdlib ``struct`` (RIFF is a
+(qd57) — WAV is fully decodable with stdlib ``struct`` (RIFF is a
 container, not a codec), so real audio decode, feature extraction, and
-decimation run dependency-free too (qd59) — only JPEG/mp3/video keep the
-honest capability guards. Video frame sampling keeps its ffmpeg
-integration point stubbed."""
+decimation run dependency-free too (qd59) — and BASELINE JPEG (round
+10) decodes with stdlib bit-reading + a numpy IDCT
+(:func:`decode_jpeg` / :func:`encode_jpeg`, oracle-checked via qd67's
+per-block-constant exactness property); progressive/arithmetic JPEG,
+subsampled chroma, mp3/flac, and video keep the honest capability
+guards. Video frame sampling keeps its ffmpeg integration point
+stubbed."""
 
 from __future__ import annotations
 
@@ -441,12 +445,13 @@ PIXEL_STATS_SCHEMA = T.StructType(
 def image_pixel_stats(df: DataFrame, *, decode: str = "png") -> DataFrame:
     """REAL pixel statistics per image — the feature extraction that
     needs actual decoded pixels (not just container metadata): sum/mean/
-    min/max over all samples, plus dims and channel count. ``png`` runs
-    the dependency-free stdlib codec; ``real`` uses Pillow when present.
-    Integer sums make the mean an exact ratio — engine-portable, so the
-    qd57 oracle replays it from the fixture's closed form. Corrupt or
-    unsupported media flags the row instead of failing the job."""
-    if decode not in ("png", "real"):
+    min/max over all samples, plus dims and channel count. ``png`` and
+    ``jpeg`` run the dependency-free stdlib codecs; ``real`` uses Pillow
+    when present. Integer sums make the mean an exact ratio —
+    engine-portable, so the qd57/qd67 oracles replay it from the
+    fixtures' closed forms. Corrupt or unsupported media flags the row
+    instead of failing the job."""
+    if decode not in ("png", "jpeg", "real"):
         raise ValueError(decode)
     if decode == "real":
         _require_pil()
@@ -463,6 +468,10 @@ def image_pixel_stats(df: DataFrame, *, decode: str = "png") -> DataFrame:
                 with Image.open(io.BytesIO(content)) as img:
                     arr = np.asarray(img, dtype=np.uint8)
                 return arr if arr.ndim == 3 else arr[:, :, None]
+        elif decode == "jpeg":
+
+            def pixels(content: bytes):
+                return decode_jpeg(content)
         else:
 
             def pixels(content: bytes):
@@ -729,3 +738,473 @@ def downsample_audio(df: DataFrame, factor: int) -> DataFrame:
             )
 
     return df.select("media_id", "content").mapInPandas(kernel, out_schema)
+
+
+# -- dependency-free baseline JPEG codec (round 10) ---------------------------
+#
+# Baseline sequential DCT JPEG (ITU-T T.81) decodes with nothing but
+# stdlib bit twiddling + a numpy float64 IDCT: marker parse → DQT/DHT
+# tables → Huffman-decoded (DC diff, AC run-length) coefficients →
+# dequantize → de-zigzag → IDCT → level shift. The qd57/qd59
+# methodology applies unchanged: the fixture encoder writes REAL
+# baseline bitstreams whose 8×8 blocks are CONSTANT, for which the DCT
+# is exactly its DC coefficient — so decode is bit-exact and an SQL
+# oracle replays the pixel statistics from the closed form (lossy JPEG
+# is exactly lossless on per-block-constant images under unit quant
+# tables). Progressive (SOF2), arithmetic coding, 12-bit precision, and
+# chroma subsampling keep honest NotImplementedError guards.
+
+_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# standard Huffman tables (T.81 Annex K.3) — (BITS counts for code
+# lengths 1..16, symbol values)
+_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_VALS = list(range(12))
+_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125]
+_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+def _huff_codes(bits, vals):
+    """Canonical Huffman assignment (T.81 C.2): symbol → (code, length)."""
+    out, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[vals[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _dct_matrix():
+    import numpy as np
+
+    x = np.arange(8)
+    d = np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16) / 2.0
+    d[0, :] /= np.sqrt(2.0)
+    return d  # F = D f Dᵀ ; f = Dᵀ F D
+
+
+class _JpegBitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, value: int, length: int) -> None:
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            b = (self.acc >> (self.n - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:  # byte stuffing
+                self.out.append(0x00)
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> bytes:
+        if self.n:
+            self.write((1 << (8 - self.n)) - 1, 8 - self.n)  # pad with 1s
+        return bytes(self.out)
+
+
+class _JpegBitReader:
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+
+    def bit(self) -> int:
+        if not self.n:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated JPEG entropy stream")
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                nxt = self.data[self.pos] if self.pos < len(self.data) else None
+                if nxt == 0x00:
+                    self.pos += 1  # stuffed byte
+                else:  # a marker inside entropy data — stream overran
+                    raise ValueError("unexpected marker in JPEG entropy data")
+            self.acc, self.n = b, 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+    def restart(self) -> None:
+        """Align to the next RSTn marker and consume it."""
+        self.n = 0
+        while self.pos + 1 < len(self.data):
+            if (
+                self.data[self.pos] == 0xFF
+                and 0xD0 <= self.data[self.pos + 1] <= 0xD7
+            ):
+                self.pos += 2
+                return
+            self.pos += 1
+        raise ValueError("missing JPEG restart marker")
+
+
+def _category(v: int) -> int:
+    return int(v).bit_length() if v > 0 else int(-v).bit_length()
+
+
+def _encode_block(w: _JpegBitWriter, coefs, prev_dc: int,
+                  dc_codes, ac_codes) -> int:
+    """Huffman-encode one zigzagged coefficient block; returns its DC."""
+    dc = int(coefs[0])
+    diff = dc - prev_dc
+    cat = _category(diff)
+    code, ln = dc_codes[cat]
+    w.write(code, ln)
+    if cat:
+        w.write(diff if diff >= 0 else diff + (1 << cat) - 1, cat)
+    run = 0
+    last = 63
+    while last > 0 and coefs[last] == 0:
+        last -= 1
+    for i in range(1, last + 1):
+        v = int(coefs[i])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_codes[0xF0]  # ZRL
+            w.write(code, ln)
+            run -= 16
+        cat = _category(v)
+        code, ln = ac_codes[(run << 4) | cat]
+        w.write(code, ln)
+        w.write(v if v >= 0 else v + (1 << cat) - 1, cat)
+        run = 0
+    if last < 63:
+        code, ln = ac_codes[0x00]  # EOB
+        w.write(code, ln)
+    return dc
+
+
+def _decode_block(r: _JpegBitReader, prev_dc: int, dc_tbl, ac_tbl):
+    """Huffman-decode one block → (zigzagged int64 array, dc)."""
+    import numpy as np
+
+    def read_symbol(tbl):
+        code, ln = 0, 0
+        while True:
+            code = (code << 1) | r.bit()
+            ln += 1
+            if ln > 16:
+                raise ValueError("invalid JPEG Huffman code")
+            sym = tbl.get((code, ln))
+            if sym is not None:
+                return sym
+
+    def extend(v: int, cat: int) -> int:
+        return v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
+
+    out = np.zeros(64, dtype=np.int64)
+    cat = read_symbol(dc_tbl)
+    diff = extend(r.bits(cat), cat) if cat else 0
+    dc = prev_dc + diff
+    out[0] = dc
+    i = 1
+    while i < 64:
+        sym = read_symbol(ac_tbl)
+        if sym == 0x00:  # EOB
+            break
+        run, cat = sym >> 4, sym & 0xF
+        if cat == 0:
+            if run != 15:
+                raise ValueError("invalid JPEG AC symbol")
+            i += 16  # ZRL
+            continue
+        i += run
+        if i > 63:
+            raise ValueError("JPEG AC run overflows block")
+        out[i] = extend(r.bits(cat), cat)
+        i += 1
+    return out, dc
+
+
+def encode_jpeg(pixels, quant=None) -> bytes:
+    """Minimal REAL baseline-JPEG encoder: 8-bit, 4:4:4, standard
+    Annex-K Huffman tables, one interleaved scan. Input is a 2-d
+    grayscale array (one component) or an (h, w, 3) RGB array (encoded
+    as JFIF YCbCr, three components). ``quant`` defaults to the
+    all-ones table, under which grayscale images whose 8×8 blocks are
+    constant round-trip EXACTLY (their DCT is a lone integer DC
+    coefficient) — the property the qd67 oracle rides. Arbitrary images
+    encode fine too (quantization then rounds coefficients, ordinary
+    lossy JPEG)."""
+    import numpy as np
+
+    pix = np.asarray(pixels, dtype=np.uint8)
+    if pix.ndim == 2:
+        comps = [pix.astype(np.float64)]
+    elif pix.ndim == 3 and pix.shape[2] == 3:
+        r = pix[:, :, 0].astype(np.float64)
+        g = pix[:, :, 1].astype(np.float64)
+        b = pix[:, :, 2].astype(np.float64)
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        comps = [np.clip(np.floor(c + 0.5), 0, 255) for c in (y, cb, cr)]
+    else:
+        raise ValueError("encode_jpeg expects (h, w) gray or (h, w, 3) RGB")
+    h, w = pix.shape[:2]
+    q = np.ones((8, 8), dtype=np.int64) if quant is None else np.asarray(
+        quant, dtype=np.int64
+    )
+    if q.shape != (8, 8) or (q < 1).any() or (q > 255).any():
+        raise ValueError("quant must be 8x8 with entries in [1, 255]")
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    padded = [
+        np.pad(c, ((0, ph - h), (0, pw - w)), mode="edge") - 128.0
+        for c in comps
+    ]
+    d = _dct_matrix()
+    dc_codes = _huff_codes(_DC_BITS, _DC_VALS)
+    ac_codes = _huff_codes(_AC_BITS, _AC_VALS)
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    zz = np.array(_ZIGZAG)
+    qz = q.reshape(64)[zz]
+    nc = len(comps)
+    head = (
+        b"\xff\xd8"
+        + seg(0xDB, bytes([0x00]) + bytes(int(v) for v in qz))
+        + seg(
+            0xC0,
+            struct.pack(">BHHB", 8, h, w, nc)
+            + b"".join(bytes([cid + 1, 0x11, 0]) for cid in range(nc)),
+        )
+        + seg(0xC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS))
+        + seg(0xC4, bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS))
+        + seg(
+            0xDA,
+            bytes([nc])
+            + b"".join(bytes([cid + 1, 0x00]) for cid in range(nc))
+            + bytes([0, 63, 0]),
+        )
+    )
+    bw = _JpegBitWriter()
+    prev = [0] * nc
+    for by in range(0, ph, 8):
+        for bx in range(0, pw, 8):
+            for ci, plane in enumerate(padded):
+                block = plane[by:by + 8, bx:bx + 8]
+                coefs = d @ block @ d.T
+                zq = coefs.reshape(64)[zz] / qz
+                ints = np.floor(np.abs(zq) + 0.5) * np.sign(zq)
+                prev[ci] = _encode_block(
+                    bw, ints.astype(np.int64), prev[ci], dc_codes, ac_codes
+                )
+    return head + bw.flush() + b"\xff\xd9"
+
+
+def encode_jpeg_gray(pixels, quant=None) -> bytes:
+    """Grayscale alias of :func:`encode_jpeg` (the qd67 fixture path)."""
+    import numpy as np
+
+    pix = np.asarray(pixels, dtype=np.uint8)
+    if pix.ndim != 2:
+        raise ValueError("encode_jpeg_gray expects a 2-d grayscale array")
+    return encode_jpeg(pix, quant)
+
+
+def decode_jpeg(content: bytes):
+    """Full dependency-free BASELINE JPEG decode → (h, w, ch) uint8.
+
+    Supports baseline sequential DCT (SOF0), 8-bit, grayscale or
+    3-component 4:4:4 (YCbCr → RGB per JFIF), restart intervals, and
+    multiple DQT/DHT segments. Progressive (SOF2), the extended/
+    lossless/hierarchical SOF variants, arithmetic coding (DAC), 12-bit
+    precision, and subsampled chroma raise NotImplementedError honestly
+    — they are different entropy/scan structures, not containers."""
+    import numpy as np
+
+    if content is None or content[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG file (missing SOI)")
+    pos = 2
+    quant: dict[int, "np.ndarray"] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    frame = None
+    restart = 0
+    while pos + 4 <= len(content):
+        if content[pos] != 0xFF:
+            raise ValueError("corrupt JPEG marker stream")
+        marker = content[pos + 1]
+        if marker == 0xD9:  # EOI before any scan
+            break
+        (ln,) = struct.unpack(">H", content[pos + 2:pos + 4])
+        body = content[pos + 4:pos + 2 + ln]
+        if len(body) != ln - 2:
+            raise ValueError("truncated JPEG segment")
+        pos += 2 + ln
+        if marker == 0xDB:
+            b = 0
+            while b < len(body):
+                pq, tq = body[b] >> 4, body[b] & 0xF
+                if pq:
+                    raise NotImplementedError("16-bit JPEG quant tables")
+                if b + 65 > len(body):
+                    raise ValueError("malformed JPEG quant segment")
+                quant[tq] = np.frombuffer(
+                    body[b + 1:b + 65], dtype=np.uint8
+                ).astype(np.int64)
+                b += 65
+        elif marker == 0xC4:
+            b = 0
+            while b < len(body):
+                tc, th = body[b] >> 4, body[b] & 0xF
+                bits = list(body[b + 1:b + 17])
+                nv = sum(bits)
+                vals = list(body[b + 17:b + 17 + nv])
+                if len(bits) < 16 or len(vals) < nv:
+                    raise ValueError("malformed JPEG Huffman segment")
+                huff[(tc, th)] = {
+                    (c, l): s for s, (c, l) in _huff_codes(bits, vals).items()
+                }
+                b += 17 + nv
+        elif marker == 0xC0:
+            prec, fh, fw, nc = struct.unpack(">BHHB", body[:6])
+            if prec != 8:
+                raise NotImplementedError(f"{prec}-bit JPEG precision")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = body[6 + 3 * c:9 + 3 * c]
+                if hv != 0x11:
+                    raise NotImplementedError(
+                        "subsampled JPEG (only 4:4:4 supported)"
+                    )
+                comps.append((cid, tq))
+            if nc not in (1, 3):
+                raise NotImplementedError(f"{nc}-component JPEG")
+            frame = (fh, fw, comps)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            kind = "progressive" if marker == 0xC2 else f"SOF{marker - 0xC0}"
+            raise NotImplementedError(f"non-baseline JPEG ({kind})")
+        elif marker == 0xCC:
+            raise NotImplementedError("arithmetic-coded JPEG")
+        elif marker == 0xDD:
+            (restart,) = struct.unpack(">H", body[:2])
+        elif marker == 0xDA:
+            if frame is None:
+                raise ValueError("JPEG scan before frame header")
+            fh, fw, comps = frame
+            ns = body[0]
+            tables = {}
+            for s in range(ns):
+                cs, tdta = body[1 + 2 * s], body[2 + 2 * s]
+                tables[cs] = (tdta >> 4, tdta & 0xF)
+            r = _JpegBitReader(content, pos)
+            d = _dct_matrix()
+            zz = np.array(_ZIGZAG)
+            mx, my = -(-fw // 8), -(-fh // 8)
+            planes = [
+                np.empty((my * 8, mx * 8), dtype=np.uint8) for _ in comps
+            ]
+            prev = [0] * len(comps)
+            n_mcu = 0
+            for yy in range(my):
+                for xx in range(mx):
+                    if restart and n_mcu and n_mcu % restart == 0:
+                        r.restart()
+                        prev = [0] * len(comps)
+                    n_mcu += 1
+                    for ci, (cid, tq) in enumerate(comps):
+                        td, ta = tables[cid]
+                        coefs, prev[ci] = _decode_block(
+                            r, prev[ci], huff[(0, td)], huff[(1, ta)]
+                        )
+                        deq = coefs * quant[tq]
+                        block = np.zeros(64, dtype=np.float64)
+                        block[zz] = deq
+                        f = d.T @ block.reshape(8, 8) @ d
+                        pix = np.clip(
+                            np.floor(f + 128.0 + 0.5), 0, 255
+                        ).astype(np.uint8)
+                        planes[ci][yy * 8:yy * 8 + 8, xx * 8:xx * 8 + 8] = pix
+            arr = np.stack([p[:fh, :fw] for p in planes], axis=2)
+            if len(comps) == 3:  # JFIF YCbCr → RGB
+                y = arr[:, :, 0].astype(np.float64)
+                cb = arr[:, :, 1].astype(np.float64) - 128.0
+                cr = arr[:, :, 2].astype(np.float64) - 128.0
+                rgb = np.stack(
+                    [y + 1.402 * cr,
+                     y - 0.344136 * cb - 0.714136 * cr,
+                     y + 1.772 * cb],
+                    axis=2,
+                )
+                arr = np.clip(np.floor(rgb + 0.5), 0, 255).astype(np.uint8)
+            return arr
+        # APPn/COM/unknown: skipped
+    raise ValueError("JPEG has no scan data")
+
+
+def synthesize_jpeg_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic REAL-JPEG media table: each row is an actual
+    baseline-JPEG bitstream (grayscale, unit quant) whose 8×8 blocks are
+    CONSTANT with value ``(id*5 + bx*3 + by*7) % 256`` for block column
+    ``bx``/row ``by`` — per-block-constant images round-trip EXACTLY
+    through baseline JPEG under unit quantization, so every decoded
+    pixel equals the closed form of its block and an SQL oracle replays
+    the statistics (qd67). Dimensions are deliberately NOT multiples of
+    8 (h = 17 + id%5, w = 19 + id%8), so encoder padding and decoder
+    cropping of partial blocks is exercised. Every 97th row is corrupt
+    bytes, like the other media generators."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def pack(ids: pd.Series) -> pd.Series:
+        def one(i: int) -> bytes:
+            if i % 97 == 0:
+                return b"CORRUPT"
+            h, w = 17 + int(i) % 5, 19 + int(i) % 8
+            by, bx = np.indices((h, w)) // 8
+            pix = ((int(i) * 5 + bx * 3 + by * 7) % 256).astype(np.uint8)
+            return encode_jpeg_gray(pix)
+
+        return ids.map(one)
+
+    return df.select(F.col(id_col).alias("media_id")).select(
+        "media_id",
+        F.lit("image").alias("media_type"),
+        pack(F.col("media_id")).alias("content"),
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("duration_ms"),
+            F.lit("jpeg").alias("format"),
+        ).alias("meta"),
+    )

@@ -3115,3 +3115,57 @@ def qd66_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_buckets=4096, iters=3, lr=5.0,
     )
     return text.quality_classifier_scores(docs, model, "doc_id")
+
+
+@register(
+    "qd67_jpeg_pixel_stats",
+    """
+    WITH ids AS (SELECT doc_id AS media_id FROM documents),
+    ok AS (
+      SELECT media_id, CAST(17 + media_id % 5 AS BIGINT) AS h,
+             CAST(19 + media_id % 8 AS BIGINT) AS w
+      FROM ids WHERE media_id % 97 <> 0
+    ),
+    ys AS (SELECT media_id, h, w, unnest(range(h)) AS y FROM ok),
+    xs AS (SELECT media_id, h, w, y, unnest(range(w)) AS x FROM ys),
+    px AS (
+      SELECT media_id, h, w,
+             (media_id * 5 + (x // 8) * 3 + (y // 8) * 7) % 256 AS v
+      FROM xs
+    ),
+    stats AS (
+      SELECT media_id, CAST(MIN(w) AS INT) AS width,
+             CAST(MIN(h) AS INT) AS height, CAST(1 AS INT) AS channels,
+             CAST(SUM(v) AS BIGINT) AS pixel_sum,
+             round(CAST(SUM(v) AS DOUBLE) / count(*), 6) AS pixel_mean,
+             CAST(MIN(v) AS INT) AS pixel_min,
+             CAST(MAX(v) AS INT) AS pixel_max,
+             TRUE AS decode_ok
+      FROM px GROUP BY media_id
+    ),
+    bad AS (
+      SELECT media_id, CAST(NULL AS INT) AS width, CAST(NULL AS INT) AS height,
+             CAST(NULL AS INT) AS channels, CAST(NULL AS BIGINT) AS pixel_sum,
+             CAST(NULL AS DOUBLE) AS pixel_mean, CAST(NULL AS INT) AS pixel_min,
+             CAST(NULL AS INT) AS pixel_max, FALSE AS decode_ok
+      FROM ids WHERE media_id % 97 = 0
+    )
+    SELECT * FROM stats UNION ALL SELECT * FROM bad
+    """,
+)
+def qd67_jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG decode, oracle-checked (round-10 stretch —
+    the qd57/qd59 methodology applied to an entropy-coded format): each
+    document id becomes an actual baseline-JPEG bitstream (stdlib
+    Huffman encoder, Annex-K tables, unit quant) whose 8×8 blocks are
+    constant with value ``(id*5 + bx*3 + by*7) % 256``;
+    `multimodal.decode_jpeg` Huffman-decodes, dequantizes, and IDCTs the
+    scan — bit-exactly, because per-block-constant images are the lossless
+    fixed point of baseline JPEG under unit quantization — and the
+    DuckDB twin replays the closed form per pixel (each pixel inherits
+    its block's value, partial edge blocks included since dims are not
+    multiples of 8). Corrupt rows flagged, not failed;
+    progressive/arithmetic/subsampled JPEG keep honest guards."""
+    docs = _docs(spark, sf_dir).select("doc_id")
+    media = multimodal.synthesize_jpeg_media(docs)
+    return multimodal.image_pixel_stats(media, decode="jpeg")

@@ -2011,6 +2011,127 @@ def test_wav_codec_roundtrip_features_and_decimation(spark):
     assert down[i].sample_rate == 2000 and down[i].n_samples == len(samples[::4])
 
 
+def test_jpeg_codec_roundtrips_and_guards(spark):
+    """Round-10 stretch: the dependency-free baseline JPEG codec.
+    Per-block-constant grayscale images round-trip EXACTLY (the qd67
+    oracle property); arbitrary gray/RGB images round-trip within
+    coefficient-rounding tolerance; ZRL/EOB Huffman paths and restart
+    intervals are exercised directly; progressive/arithmetic/subsampled
+    shapes refuse honestly; the Spark pixel-stats kernel flags corrupt
+    rows."""
+    import struct
+
+    import numpy as np
+
+    from sql_data_warehouse_analytics_project_spark.llm import multimodal as mm
+
+    # exactness on per-block-constant images with partial edge blocks
+    for i in (3, 12, 45):
+        h, w = 17 + i % 5, 19 + i % 8
+        by, bx = np.indices((h, w)) // 8
+        pix = ((i * 5 + bx * 3 + by * 7) % 256).astype(np.uint8)
+        arr = mm.decode_jpeg(mm.encode_jpeg_gray(pix))
+        assert arr.shape == (h, w, 1) and (arr[:, :, 0] == pix).all()
+
+    # arbitrary gray image: unit-quant JPEG is lossy only through
+    # coefficient rounding — error ≤ a few counts
+    busy = ((np.arange(24 * 40).reshape(24, 40) * 37) % 256).astype(np.uint8)
+    dec = mm.decode_jpeg(mm.encode_jpeg_gray(busy))[:, :, 0].astype(np.int64)
+    assert np.abs(dec - busy.astype(np.int64)).max() <= 2
+
+    # RGB: encoder converts to YCbCr, decoder back — ±3 from the two
+    # rounded color transforms
+    rgb = np.stack(
+        [
+            (np.arange(20 * 28).reshape(20, 28) * 11) % 256,
+            (np.arange(20 * 28).reshape(20, 28) * 7 + 30) % 256,
+            (np.arange(20 * 28).reshape(20, 28) * 3 + 90) % 256,
+        ],
+        axis=2,
+    ).astype(np.uint8)
+    dec3 = mm.decode_jpeg(mm.encode_jpeg(rgb)).astype(np.int64)
+    assert dec3.shape == (20, 28, 3)
+    assert np.abs(dec3 - rgb.astype(np.int64)).max() <= 3
+
+    # Huffman block coding unit check: a coefficient pattern that forces
+    # ZRL (16-zero runs) and EOB encodes and decodes bit-identically
+    dc_codes = mm._huff_codes(mm._DC_BITS, mm._DC_VALS)
+    ac_codes = mm._huff_codes(mm._AC_BITS, mm._AC_VALS)
+    dc_tbl = {(c, l): s for s, (c, l) in dc_codes.items()}
+    ac_tbl = {(c, l): s for s, (c, l) in ac_codes.items()}
+    coefs = np.zeros(64, dtype=np.int64)
+    coefs[0] = -57          # negative DC diff path
+    coefs[1] = 3
+    coefs[40] = -1          # > 2 ZRLs before it
+    coefs[63] = 7           # last slot → no EOB after it
+    bw = mm._JpegBitWriter()
+    mm._encode_block(bw, coefs, 0, dc_codes, ac_codes)
+    rd = mm._JpegBitReader(bw.flush(), 0)
+    got, dc = mm._decode_block(rd, 0, dc_tbl, ac_tbl)
+    assert dc == -57 and (got == coefs).all()
+
+    # restart intervals: hand-built 8x16 stream with DRI=1 and an RST0
+    # between the two MCUs; DC predictors reset at the marker
+    blk = np.full((8, 8), 200, np.uint8)
+    one = mm.encode_jpeg_gray(np.hstack([blk, blk]))
+    base = mm.decode_jpeg(one)
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    zz = np.array(mm._ZIGZAG)
+    d = mm._dct_matrix()
+    head = (
+        b"\xff\xd8"
+        + seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+        + seg(0xC0, struct.pack(">BHHB", 8, 8, 16, 1) + bytes([1, 0x11, 0]))
+        + seg(0xC4, bytes([0x00]) + bytes(mm._DC_BITS) + bytes(mm._DC_VALS))
+        + seg(0xC4, bytes([0x10]) + bytes(mm._AC_BITS) + bytes(mm._AC_VALS))
+        + seg(0xDD, struct.pack(">H", 1))
+        + seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    )
+    body = b""
+    for _ in range(2):
+        bw = mm._JpegBitWriter()
+        co = (d @ (blk.astype(np.float64) - 128.0) @ d.T).reshape(64)[zz]
+        ints = (np.floor(np.abs(co) + 0.5) * np.sign(co)).astype(np.int64)
+        mm._encode_block(bw, ints, 0, dc_codes, ac_codes)  # predictor reset
+        body += bw.flush() + b"\xff\xd0"
+    stream = head + body[:-2] + b"\xff\xd9"  # last RST replaced by EOI
+    got = mm.decode_jpeg(stream)
+    assert (got == base).all() and (got[:, :, 0] == 200).all()
+
+    # honest refusals
+    good = mm.encode_jpeg_gray(blk)
+    with pytest.raises(ValueError):
+        mm.decode_jpeg(b"CORRUPT")
+    with pytest.raises(NotImplementedError, match="progressive"):
+        mm.decode_jpeg(good.replace(b"\xff\xc0", b"\xff\xc2", 1))
+    sub = bytearray(good)
+    sub[good.index(b"\xff\xc0") + 11] = 0x22
+    with pytest.raises(NotImplementedError, match="subsampled"):
+        mm.decode_jpeg(bytes(sub))
+    trunc = good[: len(good) // 2]
+    with pytest.raises((ValueError, NotImplementedError)):
+        mm.decode_jpeg(trunc)
+
+    # Spark kernel end-to-end: stats match the closed form, corrupt
+    # rows flagged
+    docs = spark.range(1, 30).select(F.col("id").alias("doc_id"))
+    media = mm.synthesize_jpeg_media(docs)
+    stats = {r.media_id: r for r in
+             mm.image_pixel_stats(media, decode="jpeg").collect()}
+    i = 7
+    h, w = 17 + i % 5, 19 + i % 8
+    by, bx = np.indices((h, w)) // 8
+    vals = (i * 5 + bx * 3 + by * 7) % 256
+    r = stats[i]
+    assert (r.width, r.height, r.channels) == (w, h, 1)
+    assert r.pixel_sum == int(vals.sum())
+    assert r.pixel_min == int(vals.min()) and r.pixel_max == int(vals.max())
+    assert r.decode_ok is True
+
+
 def test_dsir_importance_weights_hand_check(spark):
     """DSIR (round 9): target-looking documents must outscore
     corpus-average ones, the weights must match an independent pure-Python
