@@ -128,7 +128,7 @@ def _semantic_digest(blob: bytes) -> str:
     ).hexdigest()
 
 
-def _code_fingerprint() -> str | None:
+def _code_fingerprint(root: str | None = None) -> str | None:
     """Content hash of the MEASURED code paths as they sit in the
     WORKING TREE — identifies the code a bench run measured, so
     best-of-run merging (below) can never mix timings from two different
@@ -141,12 +141,16 @@ def _code_fingerprint() -> str | None:
     de-merged the artifact — a round-9 docstring commit made the
     driver's single run OVERWRITE the committed best-of-4 result
     (VERDICT r9 process defect). Comment/doc edits now keep the
-    fingerprint; any executable change still rotates it."""
+    fingerprint; any executable change still rotates it.
+
+    ``root`` (tests only) points the scan at a different git tree so the
+    protocol tests can mutate a THROWAWAY copy of a measured file — the
+    live working tree is never written by a fingerprint probe."""
     import hashlib
     import subprocess
 
     try:
-        here = os.path.dirname(os.path.abspath(__file__))
+        here = root or os.path.dirname(os.path.abspath(__file__))
         ls = subprocess.run(
             ["git", "ls-files", "--cached", "--others", "--exclude-standard",
              "--", *_MEASURED_PATHS],

@@ -1058,12 +1058,24 @@ def decode_jpeg(content: bytes):
     huff: dict[tuple[int, int], dict] = {}
     frame = None
     restart = 0
-    while pos + 4 <= len(content):
+    while pos + 2 <= len(content):
         if content[pos] != 0xFF:
             raise ValueError("corrupt JPEG marker stream")
+        # spec-valid streams may pad with runs of 0xFF fill bytes before
+        # a marker code (B.1.1.2) — skip to the last 0xFF of the run
+        while pos + 1 < len(content) and content[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 2 > len(content):
+            raise ValueError("truncated JPEG segment")
         marker = content[pos + 1]
         if marker == 0xD9:  # EOI before any scan
             break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            # TEM / stray RSTn: standalone markers with no length field
+            pos += 2
+            continue
+        if pos + 4 > len(content):
+            raise ValueError("truncated JPEG segment")
         (ln,) = struct.unpack(">H", content[pos + 2:pos + 4])
         body = content[pos + 4:pos + 2 + ln]
         if len(body) != ln - 2:

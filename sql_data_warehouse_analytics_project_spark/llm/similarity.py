@@ -18,6 +18,9 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from sql_data_warehouse_analytics_project_spark.llm.dedup import cosine
+from sql_data_warehouse_analytics_project_spark.llm.vocab import (
+    _release_checkpoint,
+)
 
 
 def cosine_topk(
@@ -1040,6 +1043,7 @@ def update_ivfpq_index(
         F.col(id_col).alias("neighbor_id")
     ).distinct().localCheckpoint(eager=True)
     if batch_ids.limit(1).count() == 0:
+        _release_checkpoint(batch_ids)
         return read_ivfpq_index(spark, root)
 
     new_rows = _assign_encode(
@@ -1071,12 +1075,20 @@ def update_ivfpq_index(
     write_dataset(
         batch_ids.withColumn("since_seq", F.lit(seq)), f"{gdir}/tombstones"
     )
+    # both checkpointed frames are fully consumed by the writes above —
+    # free their pinned blocks before publishing
+    _release_checkpoint(new_rows)
+    _release_checkpoint(batch_ids)
 
     batch_qerr = _mean_qerr(new_embeddings, extra["codebooks"], id_col, vec_col)
     base_qerr = extra.get("qerr")
+    # `is not None`, not truthiness: a build-time qerr of exactly 0.0
+    # (perfectly quantizable corpus) is a real baseline — any nonzero
+    # batch error on top of it IS drift, so floor the comparison at a
+    # small epsilon instead of disabling it
     drifted = bool(
-        base_qerr and batch_qerr is not None
-        and batch_qerr > retrain_factor * base_qerr
+        base_qerr is not None and batch_qerr is not None
+        and batch_qerr > retrain_factor * max(float(base_qerr), 1e-12)
     )
     cells_map = {
         c: g for c, g in extra["cells"].items() if int(c) not in set(cells_new)

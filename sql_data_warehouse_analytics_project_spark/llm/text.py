@@ -1055,7 +1055,13 @@ def train_quality_classifier(
         df, id_col, text_col, num_buckets, salt
     ).localCheckpoint(eager=True)
     labels = df.select(
-        F.col(id_col), is_positive.cast("boolean").alias("_y")
+        F.col(id_col),
+        # NULL labels coalesce to negative on BOTH sides (the DuckDB
+        # twin does COALESCE(yb, FALSE)) — otherwise a NULL-label doc's
+        # residual silently drops out of the gradient/bias sums here
+        # while the twin counts it as class 0, and the two independently
+        # trained models diverge.
+        F.coalesce(is_positive.cast("boolean"), F.lit(False)).alias("_y"),
     )
     docs_t = (
         feats.groupBy(id_col)

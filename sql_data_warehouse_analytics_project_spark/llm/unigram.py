@@ -32,6 +32,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from sql_data_warehouse_analytics_project_spark.llm.text import tokens
+from sql_data_warehouse_analytics_project_spark.llm.vocab import (
+    _release_checkpoint,
+)
 
 #: score for a character absent from the model during encoding (OOV
 #: escape hatch — unreachable during training, where seeding covers
@@ -221,6 +224,11 @@ def train_unigram(
         counts = _prune(
             counts, _model_logp(counts), int(vocab_size), max_piece_len
         )
+
+    # the model is driver-side from here on — free the word-type
+    # checkpoint's pinned blocks now (Dataset.unpersist is a no-op for
+    # checkpoint storage; see vocab._release_checkpoint)
+    _release_checkpoint(wc)
 
     final_logp = _model_logp(counts)
     rows = [

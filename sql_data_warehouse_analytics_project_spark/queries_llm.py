@@ -3014,7 +3014,8 @@ def _qd66_sql(num_buckets: int = 4096, iters: int = 3, lr: float = 5.0) -> str:
 
     head = f"""
     WITH toks AS (
-      SELECT doc_id, (lang = 'en') AS yb, {_TOKS} AS t FROM documents
+      SELECT doc_id, COALESCE(lang = 'en', FALSE) AS yb, {_TOKS} AS t
+      FROM documents
     ),
     uni AS (SELECT doc_id, unnest(t) AS w FROM toks),
     big AS (

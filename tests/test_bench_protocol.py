@@ -63,20 +63,35 @@ def test_semantic_digest_falls_back_on_syntax_error():
     assert bench._semantic_digest(bad) != bench._semantic_digest(bad + b"x")
 
 
-def test_code_fingerprint_stable_and_docstring_insensitive():
-    fp0 = bench._code_fingerprint()
+def test_code_fingerprint_stable_and_docstring_insensitive(tmp_path):
+    # probe a THROWAWAY git tree holding a copy of a measured engine
+    # file — the live working tree is never written (a hard kill
+    # mid-test used to leave it dirty and rotate the bench fingerprint)
+    import subprocess
+
+    pkg = tmp_path / "sql_data_warehouse_analytics_project_spark"
+    pkg.mkdir()
+    probe = pkg / "__init__.py"
+    original = ENGINE_INIT.read_bytes()
+    probe.write_bytes(original)
+    subprocess.run(
+        ["git", "init", "-q"], cwd=tmp_path, check=True, timeout=30
+    )
+    root = str(tmp_path)
+
+    fp0 = bench._code_fingerprint(root=root)
     assert fp0 is not None and len(fp0) == 24
-    assert bench._code_fingerprint() == fp0
+    assert bench._code_fingerprint(root=root) == fp0
 
     # a comment appended to a MEASURED engine file must not rotate the
-    # fingerprint (the round-9 overwrite trigger); restore unconditionally
-    original = ENGINE_INIT.read_bytes()
-    try:
-        ENGINE_INIT.write_bytes(original + b"\n# bench fingerprint probe\n")
-        assert bench._code_fingerprint() == fp0
-        # an executable change MUST rotate it
-        ENGINE_INIT.write_bytes(original + b"\n_BENCH_PROBE = 1\n")
-        assert bench._code_fingerprint() != fp0
-    finally:
-        ENGINE_INIT.write_bytes(original)
-    assert bench._code_fingerprint() == fp0
+    # fingerprint (the round-9 overwrite trigger)
+    probe.write_bytes(original + b"\n# bench fingerprint probe\n")
+    assert bench._code_fingerprint(root=root) == fp0
+    # an executable change MUST rotate it
+    probe.write_bytes(original + b"\n_BENCH_PROBE = 1\n")
+    assert bench._code_fingerprint(root=root) != fp0
+    probe.write_bytes(original)
+    assert bench._code_fingerprint(root=root) == fp0
+
+    # the live tree's fingerprint computes read-only
+    assert bench._code_fingerprint() is not None

@@ -2115,6 +2115,15 @@ def test_jpeg_codec_roundtrips_and_guards(spark):
     with pytest.raises((ValueError, NotImplementedError)):
         mm.decode_jpeg(trunc)
 
+    # spec-valid marker-stream variants third-party encoders emit:
+    # 0xFF fill-byte runs before a marker (B.1.1.2) and the standalone
+    # length-less TEM marker must not abort the parse
+    ref = mm.decode_jpeg(good)
+    padded = good[:2] + b"\xff\xff\xff" + good[2:]
+    assert (mm.decode_jpeg(padded) == ref).all()
+    tem = good[:2] + b"\xff\x01" + good[2:]
+    assert (mm.decode_jpeg(tem) == ref).all()
+
     # Spark kernel end-to-end: stats match the closed form, corrupt
     # rows flagged
     docs = spark.range(1, 30).select(F.col("id").alias("doc_id"))
