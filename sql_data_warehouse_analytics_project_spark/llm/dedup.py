@@ -1047,14 +1047,17 @@ def _dup_window_positions(
     shuffle moves fixed-width ints, never text), and keep only windows
     seen in MORE THAN ONE distinct document (two map-side-combined
     aggregations — no count_distinct Expand blowup). Returns
-    ``(base, dup_pos)`` where ``base`` is ``(id, n_tokens)`` for the
-    zero-fill join. Cost is Σ windows ≈ |widths| × Σ tokens, linear in
+    ``(base, dup_pos)`` where ``base`` is ``(id, n_tokens, _t)`` for
+    the zero-fill join. Cost is Σ windows ≈ |widths| × Σ tokens, linear in
     the corpus.
 
     ``width_in_salt`` prefixes the width into the hash salt (so a
     w-window can never collide with a 2w-window when several widths
     share one frequency pass); the single-width callers keep the
-    historical ``{salt}|`` format the qd61 oracle replays.
+    historical ``{salt}|`` format the qd61 oracle replays. ``base``
+    also carries the token array ``_t`` so the removal operator can
+    rebuild text without a second tokenize (the stats callers project
+    it away).
 
     The per-width window arrays are PLAIN ``array<long>`` hash columns,
     one explode branch per width unioned afterwards — NOT structs built
@@ -1107,7 +1110,7 @@ def _dup_window_positions(
         .filter(F.col("_docs") > 1)
         .select("_g")
     )
-    return base.select(id_col, "n_tokens"), pos.join(dup_grams, "_g")
+    return base.select(id_col, "n_tokens", "_t"), pos.join(dup_grams, "_g")
 
 
 def _interval_union(dup_pos: DataFrame, keys: "list[str]") -> DataFrame:
@@ -1187,6 +1190,104 @@ def duplicate_span_stats(
                 / F.greatest("n_tokens", F.lit(1)),
                 6,
             ).alias("dup_fraction"),
+        )
+    )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    *,
+    min_len: int = 8,
+    salt: str = "dupspan",
+) -> DataFrame:
+    """Span-level exact substring dedup REMOVAL — the ACTION step of
+    Lee et al. 2021 ("Deduplicating Training Data Makes Language Models
+    Better"): where :func:`duplicate_span_stats` measures which tokens
+    sit inside cross-document shared runs of ≥ ``min_len`` tokens, this
+    CUTS those tokens out of each document and returns
+    ``(id, text, n_tokens, n_removed_tokens)`` — every input row
+    preserved, a fully-covered document becoming the empty string (the
+    empty-doc convention), and ``n_removed_tokens`` equal to the
+    profile's ``dup_tokens`` at the same threshold by construction
+    (gate qd68 ties them independently).
+
+    The output ``text`` is the space-joined KEPT tokens — the engine's
+    canonical tokenized form (:func:`~...text.tokens` lowercases and
+    strips punctuation), the representation every downstream span/dedup
+    operator consumes; original whitespace/casing is not reconstructed.
+
+    Plan (100 TB story): one tokenize + one window-frequency shuffle
+    (:func:`_dup_window_positions` — the shuffle moves 60-bit ints,
+    never text); overlapping duplicated windows merge into disjoint
+    intervals with the running-max sweep (a new interval starts where
+    ``_pos`` clears the running max end; intervals are per-document and
+    few, so the window function is cheap and key-parallel); each
+    document then rebuilds its text IN-ROW from the gap slices between
+    its sorted intervals — ``flatten(zip_with(gap_starts, gap_ends,
+    slice))``, plain long arrays and field-free lambdas that stay
+    inside whole-stage codegen (the named-struct-in-transform cliff
+    documented on :func:`_dup_window_positions`). Because merged
+    intervals are disjoint, independently sorting starts and ends keeps
+    them aligned — no struct collection anywhere. Work is linear in
+    corpus tokens; nothing driver-side."""
+    w = int(min_len)
+    if w < 1:
+        raise ValueError(f"min_len must be a positive int, got {min_len!r}")
+    base, dup_pos = _dup_window_positions(
+        df, id_col, text_col, [w], salt, width_in_salt=False
+    )
+    sweep = (
+        Window.partitionBy(id_col)
+        .orderBy("_pos", "_end")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    run = (
+        Window.partitionBy(id_col)
+        .orderBy("_pos", "_end")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    merged = (
+        dup_pos.withColumn("_prev_end", F.max("_end").over(sweep))
+        .withColumn(
+            "_new",
+            F.when(
+                F.col("_prev_end").isNull()
+                | (F.col("_pos") > F.col("_prev_end")),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("_grp", F.sum("_new").over(run))
+        .groupBy(id_col, "_grp")
+        .agg(F.min("_pos").alias("_s"), F.max("_end").alias("_e"))
+        .groupBy(id_col)
+        .agg(
+            F.array_sort(F.collect_list("_s")).alias("_ss"),
+            F.array_sort(F.collect_list("_e")).alias("_es"),
+        )
+    )
+    ss = F.coalesce("_ss", F.array().cast("array<int>"))
+    es = F.coalesce("_es", F.array().cast("array<int>"))
+    gap_s = F.concat(F.array(F.lit(1).cast("int")), es)
+    gap_e = F.concat(ss, F.array((F.size("_t") + 1).cast("int")))
+    kept = F.flatten(
+        F.zip_with(
+            gap_s,
+            gap_e,
+            lambda s, e: F.slice(F.col("_t"), s, F.greatest(e - s, F.lit(0))),
+        )
+    )
+    return (
+        base.join(merged, id_col, "left")
+        .withColumn("_kept", kept)
+        .select(
+            F.col(id_col),
+            F.concat_ws(" ", "_kept").alias(text_col),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            (F.col("n_tokens") - F.size("_kept"))
+            .cast("long")
+            .alias("n_removed_tokens"),
         )
     )
 

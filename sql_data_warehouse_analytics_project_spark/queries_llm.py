@@ -3170,3 +3170,97 @@ def qd67_jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir).select("doc_id")
     media = multimodal.synthesize_jpeg_media(docs)
     return multimodal.image_pixel_stats(media, decode="jpeg")
+
+
+@register(
+    "qd68_remove_duplicate_spans",
+    f"""
+    WITH toks AS (SELECT doc_id, {{toks}} AS t FROM documents),
+    base AS (SELECT doc_id, len(t) AS n_tokens, t FROM toks),
+    pos AS (
+      SELECT doc_id, t, unnest(range(1, n_tokens - 8 + 2)) AS i
+      FROM base WHERE n_tokens >= 8
+    ),
+    grams AS (
+      SELECT doc_id, i AS p, i + 8 AS e,
+             CAST(CAST(concat('0x', substr(md5('dupspan|' ||
+                    array_to_string(t[i:i+7], ' ')), 1, 15)) AS UBIGINT)
+                  AS BIGINT) AS g
+      FROM pos
+    ),
+    gd AS (SELECT g, doc_id FROM grams GROUP BY 1, 2),
+    dup AS (SELECT g FROM gd GROUP BY g HAVING count(*) > 1),
+    dp AS (SELECT doc_id, p, e FROM grams JOIN dup USING (g)),
+    cov AS (
+      SELECT doc_id, p, e,
+             max(e) OVER (PARTITION BY doc_id ORDER BY p, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+      FROM dp
+    ),
+    dtok AS (
+      SELECT doc_id,
+             SUM(GREATEST(0, e - GREATEST(COALESCE(prev_end, p), p)))
+               AS dup_tokens
+      FROM cov GROUP BY 1
+    ),
+    grp AS (
+      SELECT doc_id, p, e,
+             SUM(CASE WHEN prev_end IS NULL OR p > prev_end
+                 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY p, e
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gi
+      FROM cov
+    ),
+    merged AS (
+      SELECT doc_id, gi, min(p) AS s, max(e) AS e2 FROM grp GROUP BY 1, 2
+    ),
+    ivs AS (
+      SELECT doc_id, list_sort(list(s)) AS ss, list_sort(list(e2)) AS es
+      FROM merged GROUP BY 1
+    ),
+    cut AS (
+      SELECT b.doc_id, b.n_tokens,
+             flatten(list_transform(
+               list_zip(
+                 list_prepend(1, COALESCE(i.es, CAST([] AS INTEGER[]))),
+                 list_append(COALESCE(i.ss, CAST([] AS INTEGER[])),
+                             CAST(b.n_tokens + 1 AS INTEGER))),
+               z -> b.t[z[1] : z[2] - 1])) AS kept
+      FROM base b LEFT JOIN ivs i USING (doc_id)
+    )
+    SELECT c.doc_id,
+           CAST(c.n_tokens AS BIGINT) AS n_tokens,
+           CAST(c.n_tokens - len(c.kept) AS BIGINT) AS n_removed_tokens,
+           md5(COALESCE(array_to_string(c.kept, ' '), '')) AS clean_md5,
+           (c.n_tokens - len(c.kept)) = COALESCE(d.dup_tokens, 0)
+             AS ties_to_profile
+    FROM cut c LEFT JOIN dtok d USING (doc_id)
+    """.replace("{toks}", _TOKS),
+)
+def qd68_remove_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level dedup REMOVAL (round-11 verdict #1, top_next —
+    `dedup.remove_duplicate_spans`): the ACTION step of Lee et al. 2021.
+    Every token inside a cross-document exact shared run of ≥ 8 tokens
+    is CUT from its document; rows are preserved (a fully-covered doc
+    becomes the empty string), the cleaned text is checksummed (md5 of
+    the canonical token join — the twin rebuilds the identical string
+    from its own gap slices), and ``ties_to_profile`` proves per
+    document that removal dropped EXACTLY the profile's ``dup_tokens``
+    at the same threshold — both sides computing the tie independently
+    (the twin's sweep vs its kept-list length). One tokenize + one
+    int-only window-frequency shuffle; text rebuilds in-row from gap
+    slices between merged intervals (codegen-safe plain arrays)."""
+    docs = _docs(spark, sf_dir)
+    removed = dedup.remove_duplicate_spans(docs, "doc_id", min_len=8)
+    prof = dedup.duplicate_span_stats(docs, "doc_id", span=8).select(
+        "doc_id", "dup_tokens"
+    )
+    return removed.join(prof, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        "n_removed_tokens",
+        F.md5("text").alias("clean_md5"),
+        (F.col("n_removed_tokens") == F.col("dup_tokens")).alias(
+            "ties_to_profile"
+        ),
+    )

@@ -2452,6 +2452,56 @@ def test_duplicate_span_profile_any_length_exact(spark):
         dd.duplicate_span_profile(df, "doc_id", min_lens=(0, 8))
 
 
+def test_remove_duplicate_spans_cuts_exact_intervals(spark):
+    """Round-11: `remove_duplicate_spans` must CUT exactly the covered
+    token intervals the profile measures — non-aligned run boundaries,
+    two disjoint runs in one document, a fully-covered document (kept
+    as an EMPTY row, never dropped), and an untouched short document."""
+    import pytest as _pytest
+
+    from sql_data_warehouse_analytics_project_spark.llm import dedup as dd
+
+    run20 = " ".join(f"s{i}" for i in range(20))
+    run9 = " ".join(f"t{i}" for i in range(9))
+    rows = [
+        (1, "a1 a2 a3 a4 a5 " + run20 + " a6 a7 a8 a9 a10"),
+        (2, run20 + " b1 b2 b3 b4 b5"),
+        (3, run9 + " c1 c2 c3 " + run9),
+        (4, "d1 d2 d3 d4 d5 d6 d7 d8 " + run9),
+        (5, "e1 e2"),
+        (6, run20),  # fully covered → empty text, row preserved
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in dd.remove_duplicate_spans(df, "doc_id", min_len=8).collect()
+    }
+    assert set(out) == {1, 2, 3, 4, 5, 6}  # every row preserved
+
+    # exact kept text: interval boundaries are NOT window-aligned
+    # (20 and 9 are multiples of neither 8 nor 16)
+    assert out[1].text == "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10"
+    assert out[2].text == "b1 b2 b3 b4 b5"
+    assert out[3].text == "c1 c2 c3"  # both disjoint 9-runs cut
+    assert out[4].text == "d1 d2 d3 d4 d5 d6 d7 d8"
+    assert out[5].text == "e1 e2"  # too short for any window: untouched
+    assert out[6].text == ""  # empty-doc convention
+
+    # n_removed_tokens ties to the profile's dup_tokens per doc
+    prof = {
+        r.doc_id: r.dup_tokens
+        for r in dd.duplicate_span_stats(df, "doc_id", span=8).collect()
+    }
+    for d in out:
+        assert out[d].n_removed_tokens == prof[d]
+        assert out[d].n_tokens - out[d].n_removed_tokens == len(
+            out[d].text.split()
+        ) if out[d].text else True
+
+    with _pytest.raises(ValueError):
+        dd.remove_duplicate_spans(df, "doc_id", min_len=0)
+
+
 def test_train_bpe_matches_reference_and_encode(spark):
     """BPE training (round 9): the Spark merge loop (JVM aggregate
     expressions) must reproduce an independent pure-Python Sennrich
