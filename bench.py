@@ -82,6 +82,12 @@ BENCH_EXCLUDE = {
     # write/job overhead, the qd50/qd52/qd54 rationale; the data-scaled
     # IVF-PQ costs are benched via qd56)
     "qd63_ivfpq_incremental_update",
+    # streaming-sink maintenance lifecycle replay for the ANN index
+    # (build + persist + 3 sink micro-batches incl. a replay + ledger
+    # fold + pinned-rebuild equality = fixed write/job overhead, the
+    # qd50/qd54/qd63 rationale; data-scaled IVF-PQ costs are benched
+    # via qd56)
+    "qd69_ivfpq_streaming_sink",
 }
 
 _RESULT_PATH = os.environ.get(

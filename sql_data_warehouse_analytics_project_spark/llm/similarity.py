@@ -1119,3 +1119,51 @@ def update_ivfpq_index(
         referenced=sorted({gid, *cells_map.values(), *tombs}),
     )
     return read_ivfpq_index(spark, root)
+
+
+def retrain_ivfpq_if_needed(
+    spark,
+    path: str,
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    force: bool = False,
+) -> dict:
+    """Drift-triggered IVF-PQ retrain orchestration (round-11 verdict
+    #5): CONSUME the ``retrain_recommended`` flag that
+    :func:`update_ivfpq_index` (and the streaming sink fold) raise when
+    incoming batches' quantization error drifts past the build-time
+    baseline. When the flag is down (and ``force`` is false) this is a
+    cheap manifest-read no-op — the index is untouched. When it is up:
+    retrain coarse centroids AND PQ codebooks on ``embeddings`` (the
+    LIVE corpus — the caller supplies it because a PQ index stores
+    8-byte codes, not recoverable vectors), re-encode, and publish as a
+    new generation through ``write_ivfpq_index``'s atomic manifest
+    replace — which also resets the drift baseline to the fresh model's
+    error, empties the tombstone list (retrain IS the compaction), and
+    lowers the flag. Readers holding the pre-retrain snapshot stay
+    pinned; a crash before publish leaves the old index fully live.
+
+    Index geometry (n_centroids / m / n_codes) carries over from the
+    manifest, so orchestration needs no caller-side config. Returns
+    ``{"retrained": bool, "index": <read_ivfpq_index dict>}``."""
+    from sql_data_warehouse_analytics_project_spark.sources import manifest
+
+    root = path.rstrip("/")
+    m = manifest.read_manifest(root)
+    if m is None:
+        raise FileNotFoundError(f"no IVF-PQ index manifest at {root}")
+    extra = m["extra"]
+    if not (force or extra.get("retrain_recommended")):
+        return {"retrained": False, "index": read_ivfpq_index(spark, root)}
+    idx = build_ivfpq_index(
+        embeddings,
+        n_centroids=len(extra["centroids"]),
+        m=int(extra["m"]),
+        n_codes=int(extra["n_codes"]),
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    write_ivfpq_index(idx, root)
+    return {"retrained": True, "index": read_ivfpq_index(spark, root)}

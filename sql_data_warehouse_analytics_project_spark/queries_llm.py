@@ -3264,3 +3264,94 @@ def qd68_remove_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ties_to_profile"
         ),
     )
+
+
+@register(
+    "qd69_ivfpq_streaming_sink",
+    "SELECT CAST(count(*) AS BIGINT) AS n_vectors,"
+    " TRUE AS sink_fold_equals_pinned_rebuild, TRUE AS replay_idempotent,"
+    " TRUE AS search_matches_pinned_rebuild FROM embeddings",
+)
+def qd69_ivfpq_streaming_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming IVF-PQ index maintenance (round-11 verdict #2 —
+    `streaming.ingest.ivfpq_index_sink` + `load_ivfpq_index_from_sink`:
+    the qd50-style CDC sink lifecycle applied to the ANN stack, so a
+    recurring-crawl pipeline's micro-batches maintain the persisted
+    index without hand-orchestrated `update_ivfpq_index` calls). The
+    qd63 batch scenario, STREAMED: fresh ids, re-ingested ids whose
+    vectors moved cells, and null-vector deletes arrive as foreachBatch
+    micro-batches writing replay-idempotent per-(checkpoint, batch)
+    ledger slices; the fold is gated against (a) the pinned-model
+    re-encode of the union corpus value-for-value, (b) a crash-replayed
+    batch (byte-identical fold), and (c) search parity through the
+    folded snapshot. Models stay pinned; fold work is ledger-sized."""
+    import shutil
+    import tempfile
+
+    from sql_data_warehouse_analytics_project_spark.streaming.ingest import (
+        ivfpq_index_sink,
+        load_ivfpq_index_from_sink,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 5 != 0)
+    fresh = emb.filter(F.col("vec_id") % 25 == 0).select("vec_id", "embedding")
+    moved = base.filter(F.col("vec_id") % 35 == 7).select(
+        "vec_id",
+        F.expr("transform(embedding, x -> float(-x))").alias("embedding"),
+    )
+    deleted = base.filter(F.col("vec_id") % 35 == 11).select(
+        "vec_id", F.lit(None).cast("array<float>").alias("embedding")
+    )
+
+    index = similarity.build_ivfpq_index(base, n_centroids=16, m=8, n_codes=16)
+    tmp = tempfile.mkdtemp(prefix="qd69_ivfpq_sink_")
+    try:
+        similarity.write_ivfpq_index(index, tmp)
+        sink = ivfpq_index_sink(tmp)
+        sink(fresh, 0)
+        sink(moved.unionByName(deleted), 1)
+        first = sorted(map(tuple, load_ivfpq_index_from_sink(
+            spark, tmp
+        )["assignments"].collect()))
+        sink(moved.unionByName(deleted), 1)  # crash replay
+        loaded = load_ivfpq_index_from_sink(spark, tmp)
+        got = sorted(map(tuple, loaded["assignments"].collect()))
+        replay_ok = got == first
+
+        batch = fresh.unionByName(moved).unionByName(deleted)
+        union = (
+            base.join(batch.select("vec_id"), "vec_id", "anti")
+            .select("vec_id", "embedding")
+            .unionByName(batch)
+        )
+        ref = sorted(map(tuple, similarity._assign_encode(
+            union, index["centroids"], index["codebooks"],
+            "vec_id", "embedding", index["id_type"],
+        ).collect()))
+        fold_ok = got == ref and len(got) > 0
+
+        refidx = dict(index)
+        refidx["assignments"] = spark.createDataFrame(
+            ref,
+            f"neighbor_id {index['id_type']}, centroid_id int,"
+            " pq_code binary",
+        )
+        queries = emb.filter(F.col("vec_id") < 8)
+        s_got = sorted(map(tuple, similarity.search_ivfpq_index(
+            loaded, queries, k=5
+        ).collect()))
+        s_ref = sorted(map(tuple, similarity.search_ivfpq_index(
+            refidx, queries, k=5
+        ).collect()))
+        search_ok = s_got == s_ref and len(s_got) > 0
+
+        n_vectors = emb.count()
+        return spark.createDataFrame(
+            [(n_vectors, fold_ok, replay_ok, search_ok)],
+            "n_vectors bigint, sink_fold_equals_pinned_rebuild boolean,"
+            " replay_idempotent boolean, search_matches_pinned_rebuild"
+            " boolean",
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -811,3 +811,152 @@ def load_bm25_index_from_sink(spark, index_dir: str) -> dict:
         "total_dl": int(row["t"] or 0),
         "id_type": id_type,
     }
+
+
+def ivfpq_index_sink(
+    index_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    checkpoint_id: "str | None" = None,
+):
+    """foreachBatch sink maintaining a PERSISTED IVF-PQ ANN index from an
+    embedding stream — the streaming twin of
+    ``llm.similarity.update_ivfpq_index`` (round-11 verdict #2: BM25 got
+    its streaming CDC sink in round 7; this closes the same lifecycle
+    for the ANN stack, so a recurring-crawl pipeline no longer
+    orchestrates micro-batch index updates by hand).
+
+    Requires a ``write_ivfpq_index`` BASE at ``index_dir``: the coarse
+    quantizer and PQ codebooks are PINNED from its manifest (resolved
+    once, lazily) — streaming maintenance never retrains models, exactly
+    the batch updater's contract. Per micro-batch it writes ledger
+    slices under per-(checkpoint, batch) partition directories:
+
+    - ``codes/cp=<id>/batch_id=N`` — (neighbor_id, centroid_id,
+      pq_code): the batch's non-null vectors encoded under the pinned
+      models (batch-sized work; history never rewritten);
+    - ``retired/cp=<id>/batch_id=N`` — every id the batch CARRIED,
+      null-vector deletes included (the CDC tombstone rule: any earlier
+      version of the id is dead; the id's own batch survives);
+    - ``qstats/cp=<id>/batch_id=N`` — one row (n_rows, batch_qerr): the
+      batch's quantization error under the pinned codebooks, the same
+      drift probe ``update_ivfpq_index`` records.
+
+    Replay-idempotent by the sink layout contract (partition overwrite
+    per (cp, batch); ``checkpoint_id`` keys lineages by the stream's
+    stable query uuid, exactly :func:`corpus_dedup_sink`).
+    :func:`load_ivfpq_index_from_sink` folds the ledger into a
+    search-ready pinned snapshot proven equal to applying
+    ``update_ivfpq_index`` batch-by-batch; folding the slices INTO the
+    manifest layout (compaction) is ``write_ivfpq_index`` over the
+    loaded snapshot, after which fresh batches keep appending slices."""
+    from sql_data_warehouse_analytics_project_spark.llm import similarity
+
+    resolved: dict = {}
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if "models" not in resolved:
+            m = sources_manifest.read_manifest(index_dir.rstrip("/"))
+            if m is None or "cells" not in (m.get("extra") or {}):
+                raise FileNotFoundError(
+                    "ivfpq_index_sink needs a write_ivfpq_index base "
+                    f"(cell-mapped manifest) at {index_dir}"
+                )
+            resolved["models"] = m["extra"]
+        if checkpoint_id is not None and "id" not in resolved:
+            resolved["id"] = _checkpoint_identity(spark, checkpoint_id)
+        cp = resolved.get("id") or "default"
+        part = f"cp={cp}/batch_id={batch_id}"
+        ex = resolved["models"]
+        codes = similarity._assign_encode(
+            batch_df, ex["centroids"], ex["codebooks"],
+            id_col, vec_col, ex["id_type"],
+        )
+        writers.write_partitioned_slice(codes, f"{index_dir}/codes/{part}")
+        writers.write_partitioned_slice(
+            batch_df.select(F.col(id_col).alias("neighbor_id")).distinct(),
+            f"{index_dir}/retired/{part}",
+        )
+        n_rows = batch_df.count()
+        bq = similarity._mean_qerr(batch_df, ex["codebooks"], id_col, vec_col)
+        spark.createDataFrame(
+            [(int(n_rows), float(bq) if bq is not None else None)],
+            "n_rows long, batch_qerr double",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{sources_manifest.resolve(f'{index_dir}/qstats')}/{part}"
+        )
+
+    return sink
+
+
+def load_ivfpq_index_from_sink(
+    spark, index_dir: str, *, retrain_factor: float = 2.0
+) -> dict:
+    """Fold an :func:`ivfpq_index_sink` ledger over its base index into a
+    search-ready snapshot (the ``similarity.search_ivfpq_index``
+    contract) — value-equal to applying
+    ``similarity.update_ivfpq_index`` batch-by-batch in ledger order
+    (gate qd69; per-id latest-batch-wins IS sequential replace/delete):
+
+    - a CODES row is live unless a LATER batch of its checkpoint lineage
+      retired its id (the id's own batch survives — its retire marker
+      and replacement codes land together, the BM25 CDC fold rule);
+    - a BASE row is live unless ANY ledger batch carried its id (every
+      stream batch supersedes the base build, whatever the lineage);
+    - models stay pinned from the base manifest; the fold is ledger +
+      tombstone sized, never a corpus re-encode.
+
+    The folded ``retrain_recommended`` flips when any batch's recorded
+    quantization error (``qstats``) exceeds ``retrain_factor`` × the
+    build-time baseline — the same drift rule as the batch updater, so
+    ``similarity.retrain_ivfpq_if_needed`` consumes stream drift too.
+    With no ledger on disk this is exactly ``read_ivfpq_index``.
+    Folding stays correct after ``compact_dataset`` on the ledger
+    datasets (cp/batch_id survive as data columns)."""
+    from pyspark.sql.utils import AnalysisException
+
+    from sql_data_warehouse_analytics_project_spark.llm import similarity
+
+    base = similarity.read_ivfpq_index(spark, index_dir)
+    try:
+        codes = spark.read.parquet(
+            sources_manifest.resolve(f"{index_dir}/codes")
+        )
+        retired = spark.read.parquet(
+            sources_manifest.resolve(f"{index_dir}/retired")
+        )
+    except AnalysisException:  # no stream slices yet
+        return base
+    last = retired.groupBy("cp", "neighbor_id").agg(
+        F.max("batch_id").alias("_last_retire")
+    )
+    ledger_live = (
+        codes.join(last, ["cp", "neighbor_id"], "left")
+        .filter(
+            F.col("_last_retire").isNull()
+            | (F.col("batch_id") >= F.col("_last_retire"))
+        )
+        .select("neighbor_id", "centroid_id", "pq_code")
+    )
+    base_live = base["assignments"].join(
+        retired.select("neighbor_id").distinct(), "neighbor_id", "anti"
+    )
+    out = dict(base)
+    out["assignments"] = base_live.unionByName(ledger_live)
+    try:
+        q = spark.read.parquet(
+            sources_manifest.resolve(f"{index_dir}/qstats")
+        )
+        mx = q.agg(F.max("batch_qerr")).collect()[0][0]
+        bq = base.get("qerr")
+        if (
+            mx is not None
+            and bq is not None
+            and float(mx) > retrain_factor * max(float(bq), 1e-12)
+        ):
+            out["retrain_recommended"] = True
+    except AnalysisException:
+        pass
+    return out

@@ -1929,6 +1929,89 @@ def test_ivfpq_update_drift_flags_retrain(spark, tmp_path):
     assert m["extra"]["retrain_recommended"] is False
 
 
+def test_retrain_ivfpq_if_needed_consumes_drift_flag(spark, tmp_path):
+    """Round-11 verdict #5: `retrain_ivfpq_if_needed` consumes the drift
+    flag — a no-op while it is down, and when an OOD update raises it:
+    rebuild models on the live corpus, atomically swap generations,
+    reset the baseline/tombstones/flag, and recover quantization quality
+    for the drifted distribution; pre-retrain readers stay pinned."""
+    from pyspark.sql import functions as F
+
+    from sql_data_warehouse_analytics_project_spark.llm import similarity
+    from sql_data_warehouse_analytics_project_spark.sources import manifest
+
+    rows = []
+    for i in range(64):
+        eps = (i % 7) * 1e-3
+        if i % 2 == 0:
+            v = [1.0, eps, 0.0, eps, 0.0, 0.0, eps, 0.0]
+        else:
+            v = [0.0, eps, 1.0, 0.0, eps, 0.0, 0.0, eps]
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    index = similarity.build_ivfpq_index(emb, n_centroids=4, m=4, n_codes=4)
+    path = str(tmp_path / "ivfpq_retrain")
+    similarity.write_ivfpq_index(index, path)
+
+    # flag down → cheap no-op: no new generation published
+    cur0 = manifest.read_manifest(path)["current"]
+    out = similarity.retrain_ivfpq_if_needed(spark, path, emb)
+    assert out["retrained"] is False
+    assert manifest.read_manifest(path)["current"] == cur0
+
+    # OOD update raises the flag
+    odd = spark.createDataFrame(
+        [(200 + i, [0.0, 1.0, 0.0, -1.0, 1.0, 0.0, -1.0, 1.0])
+         for i in range(8)],
+        "vec_id long, embedding array<float>",
+    )
+    upd = similarity.update_ivfpq_index(spark, path, odd)
+    assert upd["retrain_recommended"] is True
+    drifted_qerr = manifest.read_manifest(path)["extra"]["qerr_history"][-1][
+        "batch_qerr"
+    ]
+    pre_reader = similarity.read_ivfpq_index(spark, path)
+    queries = emb.filter(F.col("vec_id") < 4)
+    pre_results = sorted(map(tuple, similarity.search_ivfpq_index(
+        pre_reader, queries, k=3
+    ).collect()))
+
+    # retrain on the LIVE union corpus: flag consumed, models refreshed
+    union = emb.unionByName(odd)
+    out2 = similarity.retrain_ivfpq_if_needed(spark, path, union)
+    assert out2["retrained"] is True
+    m2 = manifest.read_manifest(path)["extra"]
+    assert m2["retrain_recommended"] is False
+    assert m2["tombstones"] == [] and m2["qerr_history"] == []
+    # geometry carried over from the manifest
+    assert (len(m2["centroids"]), m2["m"], m2["n_codes"]) == (4, 4, 4)
+
+    # quality recovered: the fresh codebooks fit the drifted rows far
+    # better than the stale ones did
+    new_qerr = similarity._mean_qerr(
+        odd, m2["codebooks"], "vec_id", "embedding"
+    )
+    assert new_qerr is not None and new_qerr < drifted_qerr / 2
+    # and the retrained index holds every live vector
+    assert out2["index"]["assignments"].count() == union.count()
+
+    # pre-retrain reader keeps its pinned snapshot
+    assert sorted(map(tuple, similarity.search_ivfpq_index(
+        pre_reader, queries, k=3
+    ).collect())) == pre_results
+
+    # force=True retrains even with the flag down
+    out3 = similarity.retrain_ivfpq_if_needed(spark, path, union, force=True)
+    assert out3["retrained"] is True
+
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        similarity.retrain_ivfpq_if_needed(
+            spark, str(tmp_path / "missing"), emb
+        )
+
+
 def test_wav_codec_roundtrip_features_and_decimation(spark):
     """Round-9: the dependency-free WAV codec. Round-trips PCM16 mono
     (incl. an extra LIST chunk and odd-length word alignment), honestly
