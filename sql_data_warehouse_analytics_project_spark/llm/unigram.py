@@ -247,7 +247,7 @@ def unigram_encode(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    pieces: DataFrame,
+    pieces,
 ) -> DataFrame:
     """Encode documents with a trained unigram model: tokenize, Viterbi-
     segment each token under the broadcast ``(piece, logp)`` table, and
@@ -258,10 +258,25 @@ def unigram_encode(
     document round-trips (``concat(pieces) == concat(tokens)``).
     Empty-tokenizing documents are preserved with zero counts (the
     :func:`vocab.bpe_encode` convention). One Arrow-batched kernel over
-    the exploded tokens; the model is a broadcast dict (vocab-sized)."""
+    the exploded tokens; the model is a broadcast dict (vocab-sized).
+    ``pieces`` may be the DataFrame, the full ``train_unigram`` dict, or
+    a ``vocab.write_tokenizer`` path."""
     import pandas as pd
 
+    from sql_data_warehouse_analytics_project_spark.llm.vocab import (
+        read_tokenizer,
+    )
+
     spark = df.sparkSession
+    if isinstance(pieces, str):
+        model_doc = read_tokenizer(spark, pieces)
+        if model_doc["kind"] != "unigram":
+            raise ValueError(
+                f"tokenizer at {pieces} is {model_doc['kind']!r}, not unigram"
+            )
+        pieces = model_doc["pieces"]
+    elif isinstance(pieces, dict):
+        pieces = pieces["pieces"]
     model = {
         r["piece"]: float(r["logp"]) for r in pieces.select("piece", "logp").collect()
     }

@@ -224,11 +224,106 @@ def train_bpe(
     return {"merges": merges_df, "word_pieces": wc, "n_merges": len(merges)}
 
 
+def write_tokenizer(model: dict, path: str) -> None:
+    """Persist a trained tokenizer as a MANIFEST-COMMITTED on-disk
+    artifact (``sources/manifest`` — the atomic-publish discipline of
+    ``write_bm25_index``/``write_ivfpq_index``, round-11 verdict #4):
+    until now ``train_bpe``/``train_unigram`` returned in-memory models
+    that could not be shared across sessions/jobs without caller-side
+    serialization. Accepts EITHER trainer's output dict by shape:
+
+    - BPE (``train_bpe``): ``merges`` (rank, s1, s2, freq) and
+      ``word_pieces`` (w, wn, pieces) land as parquet datasets under the
+      new generation; ``n_merges`` rides the manifest.
+    - Unigram (``train_unigram``): ``pieces`` (piece, count, logp) lands
+      as parquet; ``n_single``/``n_iters`` ride the manifest.
+
+    Publish is one atomic manifest replace: re-training republishes a
+    NEW generation, readers that resolved earlier keep their pinned
+    snapshot (generation dirs are immutable until ``manifest.vacuum``),
+    and a crash before publish leaves the old artifact fully live.
+    Round-trip is bit-exact — encode through the read-back artifact
+    equals encode through the in-memory model (tested)."""
+    from sql_data_warehouse_analytics_project_spark.sources import manifest
+    from sql_data_warehouse_analytics_project_spark.sources.writers import (
+        write_dataset,
+    )
+
+    root = path.rstrip("/")
+    if "word_pieces" in model:
+        gid, gdir = manifest.new_generation(root)
+        write_dataset(model["merges"], f"{gdir}/merges", sort_by=["rank"])
+        write_dataset(
+            model["word_pieces"], f"{gdir}/word_pieces", sort_by=["w"]
+        )
+        extra = {"kind": "bpe", "n_merges": int(model["n_merges"])}
+    elif "pieces" in model:
+        gid, gdir = manifest.new_generation(root)
+        write_dataset(model["pieces"], f"{gdir}/pieces", sort_by=["piece"])
+        extra = {
+            "kind": "unigram",
+            "n_single": int(model["n_single"]),
+            "n_iters": int(model["n_iters"]),
+        }
+    else:
+        raise ValueError(
+            "not a tokenizer model: expected train_bpe output "
+            "(word_pieces) or train_unigram output (pieces)"
+        )
+    manifest.publish(root, gid, extra=extra)
+
+
+def read_tokenizer(spark, path: str) -> dict:
+    """Load a :func:`write_tokenizer` artifact back into the trainer's
+    output contract (plus ``"kind"``), resolving the manifest ONCE — a
+    pinned consistent snapshot whose DataFrames stay lazy scans. The
+    handle feeds :func:`bpe_encode` / ``unigram.unigram_encode``
+    directly; both also accept the PATH itself and resolve here."""
+    from sql_data_warehouse_analytics_project_spark.sources import manifest
+
+    root = path.rstrip("/")
+    m = manifest.read_manifest(root)
+    if m is None:
+        raise FileNotFoundError(f"no tokenizer manifest at {root}")
+    gdir = manifest.generation_dir(root, m["current"])
+    extra = m["extra"]
+    if extra.get("kind") == "bpe":
+        return {
+            "kind": "bpe",
+            "merges": spark.read.parquet(f"{gdir}/merges"),
+            "word_pieces": spark.read.parquet(f"{gdir}/word_pieces"),
+            "n_merges": int(extra["n_merges"]),
+        }
+    if extra.get("kind") == "unigram":
+        return {
+            "kind": "unigram",
+            "pieces": spark.read.parquet(f"{gdir}/pieces"),
+            "n_single": int(extra["n_single"]),
+            "n_iters": int(extra["n_iters"]),
+        }
+    raise ValueError(f"not a tokenizer manifest at {root}: {extra!r}")
+
+
+def _resolve_word_pieces(df: DataFrame, word_pieces) -> DataFrame:
+    """``bpe_encode`` model arg: a ``word_pieces`` DataFrame, a
+    ``train_bpe`` output dict, or a :func:`write_tokenizer` path."""
+    if isinstance(word_pieces, str):
+        model = read_tokenizer(df.sparkSession, word_pieces)
+        if model["kind"] != "bpe":
+            raise ValueError(
+                f"tokenizer at {word_pieces} is {model['kind']!r}, not bpe"
+            )
+        return model["word_pieces"]
+    if isinstance(word_pieces, dict):
+        return word_pieces["word_pieces"]
+    return word_pieces
+
+
 def bpe_encode(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    word_pieces: DataFrame,
+    word_pieces,
 ) -> DataFrame:
     """Encode documents with a trained segmentation: tokenize, join the
     ``word_pieces`` table (vocabulary-sized — broadcastable), flatten to
@@ -239,7 +334,9 @@ def bpe_encode(
     with ``n_tokens = 0`` and empty pieces (the ``duplicate_span_stats``
     empty-doc convention), via a left join of the encoded rows back to
     the input ids — not ``posexplode_outer``, whose null token row would
-    miscount ``n_tokens`` as 1."""
+    miscount ``n_tokens`` as 1. ``word_pieces`` may be the DataFrame,
+    the full ``train_bpe`` dict, or a :func:`write_tokenizer` path."""
+    word_pieces = _resolve_word_pieces(df, word_pieces)
     chars = F.expr(
         "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
     )
