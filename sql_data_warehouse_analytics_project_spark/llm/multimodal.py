@@ -952,21 +952,30 @@ def _decode_block(r: _JpegBitReader, prev_dc: int, dc_tbl, ac_tbl):
     return out, dc
 
 
-def encode_jpeg(pixels, quant=None) -> bytes:
-    """Minimal REAL baseline-JPEG encoder: 8-bit, 4:4:4, standard
-    Annex-K Huffman tables, one interleaved scan. Input is a 2-d
-    grayscale array (one component) or an (h, w, 3) RGB array (encoded
-    as JFIF YCbCr, three components). ``quant`` defaults to the
-    all-ones table, under which grayscale images whose 8×8 blocks are
-    constant round-trip EXACTLY (their DCT is a lone integer DC
-    coefficient) — the property the qd67 oracle rides. Arbitrary images
-    encode fine too (quantization then rounds coefficients, ordinary
-    lossy JPEG)."""
+def encode_jpeg(pixels, quant=None, subsampling: str = "444") -> bytes:
+    """Minimal REAL baseline-JPEG encoder: 8-bit, standard Annex-K
+    Huffman tables, one interleaved scan. Input is a 2-d grayscale
+    array (one component) or an (h, w, 3) RGB array (encoded as JFIF
+    YCbCr, three components). ``subsampling`` selects ``"444"``
+    (default — every component full resolution) or ``"420"`` (RGB only:
+    Y at 2×2 sampling, chroma averaged over 2×2 pixel tiles — the
+    layout the overwhelming majority of real-world JPEGs use, 16×16
+    interleaved MCUs). ``quant`` defaults to the all-ones table, under
+    which images whose blocks are constant round-trip EXACTLY (their
+    DCT is a lone integer DC coefficient) — the property the qd67/qd70
+    oracles ride: per-8×8-constant grayscale for 4:4:4, and
+    per-16×16-constant ACHROMATIC (r=g=b) RGB for 4:2:0, where the
+    color transform is also exact (y = v, cb = cr = 128). Arbitrary
+    images encode fine too (quantization then rounds coefficients,
+    ordinary lossy JPEG)."""
     import numpy as np
 
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"subsampling must be '444' or '420': {subsampling}")
     pix = np.asarray(pixels, dtype=np.uint8)
     if pix.ndim == 2:
         comps = [pix.astype(np.float64)]
+        subsampling = "444"  # one component: nothing to subsample
     elif pix.ndim == 3 and pix.shape[2] == 3:
         r = pix[:, :, 0].astype(np.float64)
         g = pix[:, :, 1].astype(np.float64)
@@ -983,11 +992,19 @@ def encode_jpeg(pixels, quant=None) -> bytes:
     )
     if q.shape != (8, 8) or (q < 1).any() or (q > 255).any():
         raise ValueError("quant must be 8x8 with entries in [1, 255]")
-    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    sub420 = subsampling == "420"
+    mcu = 16 if sub420 else 8
+    ph, pw = -(-h // mcu) * mcu, -(-w // mcu) * mcu
     padded = [
-        np.pad(c, ((0, ph - h), (0, pw - w)), mode="edge") - 128.0
-        for c in comps
+        np.pad(c, ((0, ph - h), (0, pw - w)), mode="edge") for c in comps
     ]
+    if sub420:
+        # chroma averaged over 2x2 pixel tiles, then rounded — exact
+        # for tiles the chroma is constant over (the qd70 fixture)
+        for ci in (1, 2):
+            sub = padded[ci].reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+            padded[ci] = np.floor(sub + 0.5)
+    padded = [p - 128.0 for p in padded]
     d = _dct_matrix()
     dc_codes = _huff_codes(_DC_BITS, _DC_VALS)
     ac_codes = _huff_codes(_AC_BITS, _AC_VALS)
@@ -998,13 +1015,14 @@ def encode_jpeg(pixels, quant=None) -> bytes:
     zz = np.array(_ZIGZAG)
     qz = q.reshape(64)[zz]
     nc = len(comps)
+    samp = [0x22, 0x11, 0x11] if sub420 else [0x11] * nc
     head = (
         b"\xff\xd8"
         + seg(0xDB, bytes([0x00]) + bytes(int(v) for v in qz))
         + seg(
             0xC0,
             struct.pack(">BHHB", 8, h, w, nc)
-            + b"".join(bytes([cid + 1, 0x11, 0]) for cid in range(nc)),
+            + b"".join(bytes([cid + 1, samp[cid], 0]) for cid in range(nc)),
         )
         + seg(0xC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS))
         + seg(0xC4, bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS))
@@ -1017,16 +1035,29 @@ def encode_jpeg(pixels, quant=None) -> bytes:
     )
     bw = _JpegBitWriter()
     prev = [0] * nc
-    for by in range(0, ph, 8):
-        for bx in range(0, pw, 8):
-            for ci, plane in enumerate(padded):
-                block = plane[by:by + 8, bx:bx + 8]
-                coefs = d @ block @ d.T
-                zq = coefs.reshape(64)[zz] / qz
-                ints = np.floor(np.abs(zq) + 0.5) * np.sign(zq)
-                prev[ci] = _encode_block(
-                    bw, ints.astype(np.int64), prev[ci], dc_codes, ac_codes
-                )
+
+    def put(ci: int, plane, by: int, bx: int) -> None:
+        block = plane[by:by + 8, bx:bx + 8]
+        coefs = d @ block @ d.T
+        zq = coefs.reshape(64)[zz] / qz
+        ints = np.floor(np.abs(zq) + 0.5) * np.sign(zq)
+        prev[ci] = _encode_block(
+            bw, ints.astype(np.int64), prev[ci], dc_codes, ac_codes
+        )
+
+    if sub420:
+        for my in range(0, ph, 16):
+            for mx in range(0, pw, 16):
+                # 4 Y data units in raster order, then Cb, Cr (A.2.3)
+                for by, bx in ((0, 0), (0, 8), (8, 0), (8, 8)):
+                    put(0, padded[0], my + by, mx + bx)
+                put(1, padded[1], my // 2, mx // 2)
+                put(2, padded[2], my // 2, mx // 2)
+    else:
+        for by in range(0, ph, 8):
+            for bx in range(0, pw, 8):
+                for ci, plane in enumerate(padded):
+                    put(ci, plane, by, bx)
     return head + bw.flush() + b"\xff\xd9"
 
 
@@ -1044,11 +1075,16 @@ def decode_jpeg(content: bytes):
     """Full dependency-free BASELINE JPEG decode → (h, w, ch) uint8.
 
     Supports baseline sequential DCT (SOF0), 8-bit, grayscale or
-    3-component 4:4:4 (YCbCr → RGB per JFIF), restart intervals, and
-    multiple DQT/DHT segments. Progressive (SOF2), the extended/
-    lossless/hierarchical SOF variants, arithmetic coding (DAC), 12-bit
-    precision, and subsampled chroma raise NotImplementedError honestly
-    — they are different entropy/scan structures, not containers."""
+    3-component YCbCr → RGB per JFIF — 4:4:4 AND chroma-subsampled
+    frames with sampling factors up to 2×2 (4:2:0 / 4:2:2 / 4:4:0,
+    interleaved MCU layout, chroma upsampled by pixel replication) —
+    restart intervals, 0xFF fill-byte runs and standalone TEM/RST
+    markers, and multiple DQT/DHT segments. Progressive (SOF2), the
+    extended/lossless/hierarchical SOF variants, arithmetic coding
+    (DAC), 12-bit precision, sampling factors beyond 2×2, and
+    multi-scan (non-interleaved) baseline files raise
+    NotImplementedError honestly — they are different entropy/scan
+    structures, not containers."""
     import numpy as np
 
     if content is None or content[:2] != b"\xff\xd8":
@@ -1113,13 +1149,20 @@ def decode_jpeg(content: bytes):
             comps = []
             for c in range(nc):
                 cid, hv, tq = body[6 + 3 * c:9 + 3 * c]
-                if hv != 0x11:
+                hs, vs = hv >> 4, hv & 0xF
+                if hs not in (1, 2) or vs not in (1, 2):
                     raise NotImplementedError(
-                        "subsampled JPEG (only 4:4:4 supported)"
+                        "JPEG sampling factors beyond 2x2"
                     )
-                comps.append((cid, tq))
+                comps.append((cid, hs, vs, tq))
             if nc not in (1, 3):
                 raise NotImplementedError(f"{nc}-component JPEG")
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            if any(hmax % hs or vmax % vs for _, hs, vs, _ in comps):
+                raise NotImplementedError(
+                    "non-integer JPEG subsampling ratios"
+                )
             frame = (fh, fw, comps)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
@@ -1138,35 +1181,62 @@ def decode_jpeg(content: bytes):
             for s in range(ns):
                 cs, tdta = body[1 + 2 * s], body[2 + 2 * s]
                 tables[cs] = (tdta >> 4, tdta & 0xF)
+            if ns != len(comps):
+                raise NotImplementedError(
+                    "multi-scan (non-interleaved) baseline JPEG"
+                )
+            if len(comps) == 1:
+                # a single-component scan's MCU is ONE data unit and
+                # sampling factors are irrelevant (A.2.2) — normalize
+                comps = [(comps[0][0], 1, 1, comps[0][3])]
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
             r = _JpegBitReader(content, pos)
             d = _dct_matrix()
             zz = np.array(_ZIGZAG)
-            mx, my = -(-fw // 8), -(-fh // 8)
+            mcux = -(-fw // (8 * hmax))
+            mcuy = -(-fh // (8 * vmax))
             planes = [
-                np.empty((my * 8, mx * 8), dtype=np.uint8) for _ in comps
+                np.empty((mcuy * vs * 8, mcux * hs * 8), dtype=np.uint8)
+                for _, hs, vs, _ in comps
             ]
             prev = [0] * len(comps)
             n_mcu = 0
-            for yy in range(my):
-                for xx in range(mx):
+            for my_ in range(mcuy):
+                for mx_ in range(mcux):
                     if restart and n_mcu and n_mcu % restart == 0:
                         r.restart()
                         prev = [0] * len(comps)
                     n_mcu += 1
-                    for ci, (cid, tq) in enumerate(comps):
+                    for ci, (cid, hs, vs, tq) in enumerate(comps):
                         td, ta = tables[cid]
-                        coefs, prev[ci] = _decode_block(
-                            r, prev[ci], huff[(0, td)], huff[(1, ta)]
-                        )
-                        deq = coefs * quant[tq]
-                        block = np.zeros(64, dtype=np.float64)
-                        block[zz] = deq
-                        f = d.T @ block.reshape(8, 8) @ d
-                        pix = np.clip(
-                            np.floor(f + 128.0 + 0.5), 0, 255
-                        ).astype(np.uint8)
-                        planes[ci][yy * 8:yy * 8 + 8, xx * 8:xx * 8 + 8] = pix
-            arr = np.stack([p[:fh, :fw] for p in planes], axis=2)
+                        # hs*vs data units per MCU, raster order (A.2.3)
+                        for byy in range(vs):
+                            for bxx in range(hs):
+                                coefs, prev[ci] = _decode_block(
+                                    r, prev[ci], huff[(0, td)], huff[(1, ta)]
+                                )
+                                deq = coefs * quant[tq]
+                                block = np.zeros(64, dtype=np.float64)
+                                block[zz] = deq
+                                f = d.T @ block.reshape(8, 8) @ d
+                                pix = np.clip(
+                                    np.floor(f + 128.0 + 0.5), 0, 255
+                                ).astype(np.uint8)
+                                yb = (my_ * vs + byy) * 8
+                                xb = (mx_ * hs + bxx) * 8
+                                planes[ci][yb:yb + 8, xb:xb + 8] = pix
+            full = []
+            for ci, (cid, hs, vs, tq) in enumerate(comps):
+                p = planes[ci]
+                if hs != hmax or vs != vmax:
+                    # chroma upsampling by pixel replication (nearest):
+                    # exact on the per-tile-constant oracle fixtures
+                    p = np.repeat(
+                        np.repeat(p, vmax // vs, axis=0), hmax // hs, axis=1
+                    )
+                full.append(p[:fh, :fw])
+            arr = np.stack(full, axis=2)
             if len(comps) == 3:  # JFIF YCbCr → RGB
                 y = arr[:, :, 0].astype(np.float64)
                 cb = arr[:, :, 1].astype(np.float64) - 128.0
@@ -1181,6 +1251,49 @@ def decode_jpeg(content: bytes):
             return arr
         # APPn/COM/unknown: skipped
     raise ValueError("JPEG has no scan data")
+
+
+def synthesize_jpeg420_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic REAL 4:2:0-JPEG media table: each row is an actual
+    chroma-subsampled baseline-JPEG bitstream (3-component YCbCr, Y at
+    2×2 sampling, 16×16 interleaved MCUs, unit quant) whose 16×16 tiles
+    are constant ACHROMATIC gray ``v = (id*5 + tx*3 + ty*7) % 256`` for
+    tile column ``tx``/row ``ty``. Achromatic per-tile-constant images
+    are a LOSSLESS fixed point of 4:2:0 JPEG under unit quantization:
+    the color transform is exact (y = v, cb = cr = 128), every Y block
+    and every averaged chroma block is constant, and replication
+    upsampling restores the constants — so each decoded pixel equals
+    the closed form of its tile and an SQL oracle replays the
+    statistics (qd70). Dimensions are deliberately NOT multiples of 16
+    (h = 21 + id%11, w = 25 + id%13), so encoder MCU padding and
+    decoder cropping of partial MCUs is exercised. Every 97th row is
+    corrupt bytes, like the other media generators."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def pack(ids: pd.Series) -> pd.Series:
+        def one(i: int) -> bytes:
+            if i % 97 == 0:
+                return b"CORRUPT"
+            h, w = 21 + int(i) % 11, 25 + int(i) % 13
+            ty, tx = np.indices((h, w)) // 16
+            v = ((int(i) * 5 + tx * 3 + ty * 7) % 256).astype(np.uint8)
+            return encode_jpeg(np.stack([v, v, v], axis=2), subsampling="420")
+
+        return ids.map(one)
+
+    return df.select(F.col(id_col).alias("media_id")).select(
+        "media_id",
+        F.lit("image").alias("media_type"),
+        pack(F.col("media_id")).alias("content"),
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("duration_ms"),
+            F.lit("jpeg").alias("format"),
+        ).alias("meta"),
+    )
 
 
 def synthesize_jpeg_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:

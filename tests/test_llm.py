@@ -2279,10 +2279,16 @@ def test_jpeg_codec_roundtrips_and_guards(spark):
         mm.decode_jpeg(b"CORRUPT")
     with pytest.raises(NotImplementedError, match="progressive"):
         mm.decode_jpeg(good.replace(b"\xff\xc0", b"\xff\xc2", 1))
+    # sampling factors are irrelevant in a single-component scan
+    # (A.2.2) — a gray file whose SOF claims 2x2 decodes identically
     sub = bytearray(good)
     sub[good.index(b"\xff\xc0") + 11] = 0x22
-    with pytest.raises(NotImplementedError, match="subsampled"):
-        mm.decode_jpeg(bytes(sub))
+    assert (mm.decode_jpeg(bytes(sub)) == mm.decode_jpeg(good)).all()
+    # factors beyond 2x2 refuse honestly
+    sub3 = bytearray(good)
+    sub3[good.index(b"\xff\xc0") + 11] = 0x33
+    with pytest.raises(NotImplementedError, match="beyond 2x2"):
+        mm.decode_jpeg(bytes(sub3))
     trunc = good[: len(good) // 2]
     with pytest.raises((ValueError, NotImplementedError)):
         mm.decode_jpeg(trunc)
@@ -2295,6 +2301,27 @@ def test_jpeg_codec_roundtrips_and_guards(spark):
     assert (mm.decode_jpeg(padded) == ref).all()
     tem = good[:2] + b"\xff\x01" + good[2:]
     assert (mm.decode_jpeg(tem) == ref).all()
+
+    # 4:2:0 (round 11): achromatic per-16x16-constant RGB is a LOSSLESS
+    # fixed point under unit quant — partial MCUs included (37x51)
+    ty, tx = np.indices((37, 51)) // 16
+    v420 = ((ty * 7 + tx * 3) * 29 + 40) % 256
+    rgb420 = np.stack([v420, v420, v420], axis=2).astype(np.uint8)
+    d420 = mm.decode_jpeg(mm.encode_jpeg(rgb420, subsampling="420"))
+    assert d420.shape == (37, 51, 3) and (d420 == rgb420).all()
+    # arbitrary smooth color content survives 4:2:0 within chroma-
+    # averaging tolerance
+    yy, xx = np.indices((40, 56))
+    img = np.stack(
+        [(yy * 2 + 10) % 256, (xx * 2 + 30) % 256, (yy + xx) % 256], axis=2
+    ).astype(np.uint8)
+    err420 = np.abs(
+        mm.decode_jpeg(mm.encode_jpeg(img, subsampling="420")).astype(int)
+        - img.astype(int)
+    ).max()
+    assert err420 <= 16
+    with pytest.raises(ValueError, match="subsampling"):
+        mm.encode_jpeg(img, subsampling="422")
 
     # Spark kernel end-to-end: stats match the closed form, corrupt
     # rows flagged
