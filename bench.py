@@ -90,6 +90,18 @@ BENCH_EXCLUDE = {
     "qd69_ivfpq_streaming_sink",
 }
 
+# Keys whose Arrow-GEMM kernels measured up to 8x swings on IDENTICAL
+# code from box/thread-scheduling noise (round-9/10 notes: qd07 ran
+# 1.1 s → 8.4 s with no code change on its path, muddying every
+# round-over-round read). These keys are measured VOLATILE_REPEATS
+# times per pass and record the MEDIAN, so one slow scheduling window
+# cannot define the key in any single run — the cross-run best-of merge
+# stops being the only defense.
+BENCH_VOLATILE = {"qd07_embedding_dupes"}
+_VOLATILE_REPEATS = int(
+    os.environ.get("SPARK_GRAFT_BENCH_VOLATILE_REPEATS", "3")
+)
+
 _RESULT_PATH = os.environ.get(
     "SPARK_GRAFT_BENCH_OUT",
     os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_result.json"),
@@ -361,11 +373,16 @@ def main() -> None:
         pass_calibs.append(_cpu_calibration())
         timings: dict[str, float] = {}
         for name, fn in qs.items():
-            _purge_context()
-            t0 = time.time()
-            df = fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.time() - t0, 3)
+            reps = _VOLATILE_REPEATS if name in BENCH_VOLATILE else 1
+            ts = []
+            for _r in range(max(reps, 1)):
+                _purge_context()
+                t0 = time.time()
+                df = fn(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                ts.append(time.time() - t0)
+            ts.sort()
+            timings[name] = round(ts[len(ts) // 2], 3)
             _record(passes + [timings])
             if not passes:
                 out["cold_total"] = round(sum(timings.values()), 2)
