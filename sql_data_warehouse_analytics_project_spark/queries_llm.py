@@ -2780,19 +2780,113 @@ def qd61_duplicate_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.duplicate_span_stats(docs, "doc_id", span=8)
 
 
-@register("qd62_bpe_train_merges")  # merge loop is not ANSI-SQL-expressible:
-# the DRIVER records a rows-only check; the LOCAL gate value-checks it via
-# an independent pure-Python reference BPE registered on the DuckDB
-# connection (tools/local_oracles.py, the qd09/qd16 twin pattern)
+def _qd62_sql(num_merges: int = 16, min_freq: int = 2) -> str:
+    """Driver-facing pure-SQL twin of `vocab.train_bpe` (round-11
+    stretch — qd66 proved iterative TRAINING can replay in unrolled
+    DuckDB CTEs; this does it for the BPE merge loop, upgrading qd62
+    from a rows-only driver check to a full value check).
+
+    The blocker was greedy merge APPLICATION — a left-to-right fold
+    with one-symbol lookbehind, seemingly needing recursion (and plain
+    string ``replace`` is WRONG: its non-overlapping scan orphans the
+    middle symbol of odd runs, " a a a " → [aa, a] but " a a a a a a "
+    → [aa, a, aa, a] where greedy gives [aa, aa, aa]). The non-recursive
+    insight: two matches of pair (s1, s2) can only OVERLAP when
+    s1 == s2 (match at p and p+1 forces pieces[p+1] = s2 = s1), so
+    greedy ≡ "within each maximal run of consecutive match positions,
+    take the 1st, 3rd, 5th…" — plain gaps-and-islands window SQL: flag
+    matches, island-id them (p − row_number), keep odd ranks, drop the
+    following (consumed) position, re-list. Each of the ``num_merges``
+    unrolled blocks is: pair count → (freq desc, s1, s2) argmax with
+    the ``min_freq`` floor (an empty argmax passes the segmentation
+    through, matching the Spark loop's break) → island-greedy apply.
+    CTEs are MATERIALIZED — each level is referenced twice, and
+    inlining would expand the scan 2^16 times. Integer counts
+    throughout ⇒ no float-comparison drift; validated bit-exact against
+    the Spark trainer at sf0.01 AND sf0.1."""
+    head = f"""
+    WITH wc AS MATERIALIZED (
+      SELECT w, CAST(count(*) AS BIGINT) AS wn
+      FROM (SELECT unnest({_TOKS}) AS w FROM documents) GROUP BY 1
+    ),
+    p0 AS MATERIALIZED (
+      SELECT w, wn,
+             list_transform(range(1, length(w) + 1),
+                            i -> substr(w, i, 1)) AS t
+      FROM wc
+    )"""
+    blocks = []
+    for i in range(1, num_merges + 1):
+        p = i - 1
+        blocks.append(f""",
+    pr{i} AS MATERIALIZED (
+      SELECT wn, unnest(t[1:len(t)-1]) AS s1, unnest(t[2:len(t)]) AS s2
+      FROM p{p} WHERE len(t) >= 2
+    ),
+    m{i} AS MATERIALIZED (
+      SELECT s1, s2, CAST(SUM(wn) AS BIGINT) AS freq
+      FROM pr{i} GROUP BY 1, 2 HAVING SUM(wn) >= {min_freq}
+      ORDER BY freq DESC, s1, s2 LIMIT 1
+    ),
+    e{i} AS MATERIALIZED (
+      SELECT x.w, x.wn, generate_subscripts(x.t, 1) AS p, unnest(x.t) AS pc,
+             m.s1 AS ms1, m.s2 AS ms2
+      FROM p{p} x LEFT JOIN m{i} m ON TRUE
+    ),
+    f{i} AS MATERIALIZED (
+      SELECT w, wn, p, pc, ms1, ms2,
+             COALESCE(ms1 IS NOT NULL AND pc = ms1
+                      AND lead(pc) OVER (PARTITION BY w ORDER BY p) = ms2,
+                      FALSE) AS mt
+      FROM e{i}
+    ),
+    g{i} AS MATERIALIZED (
+      SELECT *, CASE WHEN mt THEN p - ROW_NUMBER() OVER
+                     (PARTITION BY w, mt ORDER BY p) END AS isl
+      FROM f{i}
+    ),
+    h{i} AS MATERIALIZED (
+      SELECT *, mt AND (ROW_NUMBER() OVER
+                        (PARTITION BY w, isl ORDER BY p) % 2 = 1) AS sel
+      FROM g{i}
+    ),
+    s{i} AS MATERIALIZED (
+      SELECT *, COALESCE(lag(sel) OVER (PARTITION BY w ORDER BY p),
+                         FALSE) AS consumed
+      FROM h{i}
+    ),
+    p{i} AS MATERIALIZED (
+      SELECT w, wn,
+             list(CASE WHEN sel THEN ms1 || ms2 ELSE pc END ORDER BY p)
+               FILTER (WHERE NOT consumed) AS t
+      FROM s{i} GROUP BY w, wn
+    )""")
+    ranks = "\n      UNION ALL ".join(
+        f"SELECT {i} AS rank, s1, s2, freq FROM m{i}"
+        for i in range(1, num_merges + 1)
+    )
+    return head + "".join(blocks) + f"""
+    SELECT CAST(rank AS INTEGER) AS rank, s1, s2, freq FROM (
+      {ranks}
+    )"""
+
+
+@register("qd62_bpe_train_merges", _qd62_sql())
+# the LOCAL gate additionally overrides this with an independent
+# pure-Python reference BPE (tools/local_oracles.py), so the training is
+# value-checked TWO independent ways: generated SQL (driver) + Python
+# reference (local gate)
 def qd62_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full BPE tokenizer training (`vocab.train_bpe`, Sennrich et al.
     2016): 16 iterations of corpus-wide best-pair argmax + greedy JVM-side
     re-segmentation over the (word, count) vocabulary. Returns the
     ordered merge table ``(rank, s1, s2, freq)`` — a pure function of the
-    corpus thanks to (freq desc, s1, s2) tie-breaks, so the local gate's
-    reference implementation replays it exactly. Everything after the
-    one corpus pass is vocabulary-sized (the classic word-type trick) —
-    at 100 TB each merge costs one vocab-sized shuffle + one collected
+    corpus thanks to (freq desc, s1, s2) tie-breaks, so BOTH the
+    driver's generated-SQL twin (:func:`_qd62_sql` — the full merge
+    loop unrolled into island-greedy window CTEs) and the local gate's
+    pure-Python reference replay it exactly. Everything after the one
+    corpus pass is vocabulary-sized (the classic word-type trick) — at
+    100 TB each merge costs one vocab-sized shuffle + one collected
     pair, never a corpus re-read."""
     docs = _docs(spark, sf_dir)
     return vocab.train_bpe(docs, num_merges=16, min_freq=2)["merges"]

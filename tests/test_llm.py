@@ -1929,6 +1929,45 @@ def test_ivfpq_update_drift_flags_retrain(spark, tmp_path):
     assert m["extra"]["retrain_recommended"] is False
 
 
+def test_qd62_generated_sql_twin_matches_spark_bpe(spark, tmp_path):
+    """Round-11 stretch: the driver-facing unrolled-CTE BPE twin. Its
+    island-greedy window formulation must equal the Spark trainer's
+    greedy fold on the hard cases — odd/even same-symbol runs ("aaa"
+    under (a,a), where naive string replace provably diverges),
+    frequency ties, early stop below min_freq — for several merge
+    budgets."""
+    import duckdb
+
+    from sql_data_warehouse_analytics_project_spark import queries_llm
+    from sql_data_warehouse_analytics_project_spark.llm import vocab
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aaa aaaa aaaaaa banana bandana"),
+            (2, "aaa aaaa aaaaaa banana bandana"),
+            (3, "abab ababab cdcdcd cdcd"),
+            (4, "zz zz yy yy"),  # tie: (z,z) vs (y,y) breaks on s1
+            (5, "rare"),
+        ],
+        "doc_id long, text string",
+    )
+    pq = str(tmp_path / "docs.parquet")
+    docs.coalesce(1).write.mode("overwrite").parquet(pq)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{pq}/*.parquet')"
+    )
+    for num_merges, min_freq in ((4, 1), (8, 2), (16, 2)):
+        duck = sorted(con.execute(
+            queries_llm._qd62_sql(num_merges, min_freq)
+        ).fetchall())
+        sp = sorted(map(tuple, vocab.train_bpe(
+            docs, num_merges=num_merges, min_freq=min_freq
+        )["merges"].collect()))
+        assert duck == sp, (num_merges, min_freq, duck, sp)
+    assert len(sp) > 0
+
+
 def test_tokenizer_persistence_roundtrip_and_republish(spark, tmp_path):
     """Round-11 verdict #4: trained tokenizers persist through the
     generation manifest like BM25/IVF-PQ indexes. Read-back encode must
