@@ -872,6 +872,59 @@ class _JpegBitReader:
         raise ValueError("missing JPEG restart marker")
 
 
+def _finish_planes(planes, comps, hmax, vmax, fh, fw):
+    """Upsample subsampled planes by replication, crop to frame dims,
+    stack, and convert 3-component YCbCr → RGB (shared by the baseline
+    and progressive reconstruction paths)."""
+    import numpy as np
+
+    full = []
+    for ci, (cid, hs, vs, tq) in enumerate(comps):
+        p = planes[ci]
+        if hs != hmax or vs != vmax:
+            p = np.repeat(
+                np.repeat(p, vmax // vs, axis=0), hmax // hs, axis=1
+            )
+        full.append(p[:fh, :fw])
+    arr = np.stack(full, axis=2)
+    if len(comps) == 3:  # JFIF YCbCr → RGB
+        y = arr[:, :, 0].astype(np.float64)
+        cb = arr[:, :, 1].astype(np.float64) - 128.0
+        cr = arr[:, :, 2].astype(np.float64) - 128.0
+        rgb = np.stack(
+            [y + 1.402 * cr,
+             y - 0.344136 * cb - 0.714136 * cr,
+             y + 1.772 * cb],
+            axis=2,
+        )
+        arr = np.clip(np.floor(rgb + 0.5), 0, 255).astype(np.uint8)
+    return arr
+
+
+def _comp_block_grid(frame, hs: int, vs: int):
+    """Non-interleaved block grid of one component: ``ceil`` of its OWN
+    sampled dimensions over 8 (T.81 A.2.2) — NOT padded to MCU
+    multiples the way the interleaved store is."""
+    fh, fw, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    cw = -(-fw * hs // hmax)
+    ch = -(-fh * vs // vmax)
+    return -(-ch // 8), -(-cw // 8)
+
+
+def _skip_to_marker(data: bytes, pos: int) -> int:
+    """Advance past entropy data to the next real marker (skipping
+    stuffed 0x00 and RSTn)."""
+    while pos + 1 < len(data):
+        if data[pos] == 0xFF and data[pos + 1] != 0x00 and not (
+            0xD0 <= data[pos + 1] <= 0xD7
+        ):
+            return pos
+        pos += 1
+    raise ValueError("JPEG entropy data ran off the end of the stream")
+
+
 def _category(v: int) -> int:
     return int(v).bit_length() if v > 0 else int(-v).bit_length()
 
@@ -952,11 +1005,416 @@ def _decode_block(r: _JpegBitReader, prev_dc: int, dc_tbl, ac_tbl):
     return out, dc
 
 
-def encode_jpeg(pixels, quant=None, subsampling: str = "444") -> bytes:
+def _read_ac_symbol(r: _JpegBitReader, tbl):
+    code, ln = 0, 0
+    while True:
+        code = (code << 1) | r.bit()
+        ln += 1
+        if ln > 16:
+            raise ValueError("invalid JPEG Huffman code")
+        sym = tbl.get((code, ln))
+        if sym is not None:
+            return sym
+
+
+def _decode_progressive_scan(
+    content, pos, frame, scan, huff, restart, store, prog_state
+):
+    """Decode ONE progressive (SOF2) scan into the per-component
+    coefficient store (T.81 Annex G.2 / the libjpeg
+    ``decode_mcu_DC_first/refine`` + ``decode_mcu_AC_first/refine``
+    quartet): DC scans are interleaved over the MCU grid and build the
+    DC coefficient ``ah → al`` bit by bit; AC scans are single-component
+    over that component's OWN block grid, carrying an EOB-run across
+    blocks, and refinement scans weave correction bits for
+    already-nonzero coefficients between the newly-significant ones.
+    Returns the stream position of the next marker."""
+    fh, fw, comps = frame
+    ss, se, ah, al = scan["ss"], scan["se"], scan["ah"], scan["al"]
+    members = scan["comps"]  # list of (ci, td, ta) in scan order
+    r = _JpegBitReader(content, pos)
+
+    def refine_nonzero(block, k):
+        if r.bit():
+            cur = int(block[k])
+            if cur > 0 and not (cur & (1 << al)):
+                block[k] = cur + (1 << al)
+            elif cur < 0 and not (-cur & (1 << al)):
+                block[k] = cur - (1 << al)
+
+    def extend(v: int, cat: int) -> int:
+        return v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
+
+    if ss == 0:  # DC scan (se must be 0)
+        if se != 0:
+            raise ValueError("invalid progressive scan (DC with se != 0)")
+        hmax = max(c[1] for c in comps)
+        vmax = max(c[2] for c in comps)
+        if len(members) == 1:
+            ci = members[0][0]
+            _, hs, vs, _ = comps[ci]
+            nby, nbx = _comp_block_grid(frame, hs, vs)
+            units = [(ci, by, bx) for by in range(nby) for bx in range(nbx)]
+            per_mcu = [units[i:i + 1] for i in range(len(units))]
+        else:
+            mcux = -(-fw // (8 * hmax))
+            mcuy = -(-fh // (8 * vmax))
+            per_mcu = []
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    mcu = []
+                    for ci, td, ta in members:
+                        _, hs, vs, _ = comps[ci]
+                        for byy in range(vs):
+                            for bxx in range(hs):
+                                mcu.append(
+                                    (ci, my * vs + byy, mx * hs + bxx)
+                                )
+                    per_mcu.append(mcu)
+        tds = {ci: td for ci, td, ta in members}
+        prev = {ci: 0 for ci, _, _ in members}
+        n_mcu = 0
+        for mcu in per_mcu:
+            if restart and n_mcu and n_mcu % restart == 0:
+                r.restart()
+                prev = {ci: 0 for ci in prev}
+            n_mcu += 1
+            for ci, by, bx in mcu:
+                block = store[ci][by, bx]
+                if ah == 0:  # first DC scan
+                    cat = _read_ac_symbol(r, huff[(0, tds[ci])])
+                    diff = extend(r.bits(cat), cat) if cat else 0
+                    prev[ci] += diff
+                    block[0] = prev[ci] << al
+                else:  # DC refinement: one bit per block
+                    if r.bit():
+                        block[0] = int(block[0]) | (1 << al)
+        return _skip_to_marker(content, r.pos)
+
+    # AC scan: exactly one component (T.81 G.1.1.1.1)
+    if len(members) != 1:
+        raise ValueError("invalid progressive scan (interleaved AC)")
+    ci, td, ta = members[0]
+    _, hs, vs, _ = comps[ci]
+    nby, nbx = _comp_block_grid(frame, hs, vs)
+    ac_tbl = huff[(1, ta)]
+    eobrun = 0
+    n_blk = 0
+    for by in range(nby):
+        for bx in range(nbx):
+            if restart and n_blk and n_blk % restart == 0:
+                r.restart()
+                eobrun = 0
+            n_blk += 1
+            block = store[ci][by, bx]
+            if ah == 0:  # first scan for these coefficients
+                if eobrun:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    sym = _read_ac_symbol(r, ac_tbl)
+                    run, s = sym >> 4, sym & 0xF
+                    if s == 0:
+                        if run != 15:
+                            eobrun = (1 << run) - 1
+                            if run:
+                                eobrun += r.bits(run)
+                            break
+                        k += 16  # ZRL
+                        continue
+                    k += run
+                    if k > se:
+                        raise ValueError("JPEG AC run overflows band")
+                    block[k] = extend(r.bits(s), s) << al
+                    k += 1
+            else:  # AC refinement
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        sym = _read_ac_symbol(r, ac_tbl)
+                        run, s = sym >> 4, sym & 0xF
+                        newval = 0
+                        if s == 0:
+                            if run != 15:
+                                eobrun = 1 << run
+                                if run:
+                                    eobrun += r.bits(run)
+                                break
+                            # ZRL: pass 16 zero-history coefficients
+                        else:
+                            if s != 1:
+                                raise ValueError(
+                                    "invalid JPEG AC refinement symbol"
+                                )
+                            newval = (1 << al) if r.bit() else -(1 << al)
+                        while k <= se:
+                            if block[k] != 0:
+                                refine_nonzero(block, k)
+                            else:
+                                if run == 0:
+                                    break
+                                run -= 1
+                            k += 1
+                        if s:
+                            if k > se:
+                                raise ValueError(
+                                    "JPEG AC refinement overflows band"
+                                )
+                            block[k] = newval
+                        k += 1
+                if eobrun > 0:
+                    while k <= se:
+                        if block[k] != 0:
+                            refine_nonzero(block, k)
+                        k += 1
+                    eobrun -= 1
+    return _skip_to_marker(content, r.pos)
+
+
+def _encode_jpeg_progressive(
+    padded, h, w, nc, samp, qz, sub420, ph, pw, d, zz, dc_codes, ac_codes
+) -> bytes:
+    """Progressive (SOF2) emission for :func:`encode_jpeg` — the test
+    oracle for the progressive decoder (same quantized coefficients as
+    a baseline encode, so progressive-decode must equal baseline-decode
+    pixel-for-pixel). Scan script: DC first at al=1 + DC refinement,
+    then per component AC bands (1–5, 6–63) at al=1 followed by their
+    al=0 refinements — exercising spectral selection, successive
+    approximation, EOB-runs across blocks, ZRL-in-refinement, and the
+    correction-bit (BE) buffering of T.81 Annex G (the libjpeg
+    ``encode_mcu_AC_refine`` algorithm, ported faithfully — including
+    the subtle invariant that a ZRL must be emitted at the FIRST
+    nonzero magnitude once 15 zeros are pending inside the EOB range,
+    or buffered correction bits would desynchronize the decoder's
+    skip-advance)."""
+    import numpy as np
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return (
+            bytes([0xFF, marker])
+            + struct.pack(">H", len(payload) + 2)
+            + payload
+        )
+
+    # Progressive AC scans need EOBn symbols (rr << 4, rr = 1..14) that
+    # the baseline Annex-K AC table does not define — emit a custom DHT:
+    # every symbol we can produce at a flat 8-bit code (176 codes < 255,
+    # a legal canonical table; compression is irrelevant here)
+    prog_ac_vals = (
+        [rr << 4 for rr in range(15)]
+        + [0xF0]
+        + [(run << 4) | s for run in range(16) for s in range(1, 11)]
+    )
+    prog_ac_bits = [0] * 16
+    prog_ac_bits[7] = len(prog_ac_vals)
+    ac_codes = _huff_codes(prog_ac_bits, prog_ac_vals)
+
+    arrays = []
+    for plane in padded:
+        vcells, hcells = plane.shape[0] // 8, plane.shape[1] // 8
+        a = np.zeros((vcells, hcells, 64), dtype=np.int64)
+        for by in range(vcells):
+            for bx in range(hcells):
+                co = d @ plane[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] @ d.T
+                zq = co.reshape(64)[zz] / qz
+                a[by, bx] = (
+                    np.floor(np.abs(zq) + 0.5) * np.sign(zq)
+                ).astype(np.int64)
+        arrays.append(a)
+
+    head = (
+        b"\xff\xd8"
+        + seg(0xDB, bytes([0x00]) + bytes(int(v) for v in qz))
+        + seg(
+            0xC2,
+            struct.pack(">BHHB", 8, h, w, nc)
+            + b"".join(bytes([cid + 1, samp[cid], 0]) for cid in range(nc)),
+        )
+        + seg(0xC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS))
+        + seg(
+            0xC4,
+            bytes([0x10]) + bytes(prog_ac_bits) + bytes(prog_ac_vals),
+        )
+    )
+
+    def sos_seg(members, ss, se, ah, al):
+        return seg(
+            0xDA,
+            bytes([len(members)])
+            + b"".join(bytes([ci + 1, 0x00]) for ci in members)
+            + bytes([ss, se, (ah << 4) | al]),
+        )
+
+    if sub420:
+        mcu_blocks = []
+        for my in range(0, ph, 16):
+            for mx in range(0, pw, 16):
+                units = [
+                    (0, (my + by) // 8, (mx + bx) // 8)
+                    for by, bx in ((0, 0), (0, 8), (8, 0), (8, 8))
+                ]
+                units += [(1, my // 16, mx // 16), (2, my // 16, mx // 16)]
+                mcu_blocks.append(units)
+    else:
+        mcu_blocks = [
+            [(ci, by // 8, bx // 8) for ci in range(nc)]
+            for by in range(0, ph, 8)
+            for bx in range(0, pw, 8)
+        ]
+
+    def emit_dc_first(al):
+        bw = _JpegBitWriter()
+        prev = [0] * nc
+        for units in mcu_blocks:
+            for ci, by, bx in units:
+                v = int(arrays[ci][by, bx, 0]) >> al
+                diff = v - prev[ci]
+                prev[ci] = v
+                cat = _category(diff)
+                code, ln = dc_codes[cat]
+                bw.write(code, ln)
+                if cat:
+                    bw.write(
+                        diff if diff >= 0 else diff + (1 << cat) - 1, cat
+                    )
+        return sos_seg(range(nc), 0, 0, 0, al) + bw.flush()
+
+    def emit_dc_refine(ah, al):
+        bw = _JpegBitWriter()
+        for units in mcu_blocks:
+            for ci, by, bx in units:
+                bw.write((int(arrays[ci][by, bx, 0]) >> al) & 1, 1)
+        return sos_seg(range(nc), 0, 0, ah, al) + bw.flush()
+
+    def comp_blocks(ci):
+        if sub420 and ci > 0:
+            ch, cw = -(-h // 2), -(-w // 2)
+        else:
+            ch, cw = h, w
+        nby, nbx = -(-ch // 8), -(-cw // 8)
+        return [arrays[ci][by, bx] for by in range(nby) for bx in range(nbx)]
+
+    def emit_ac_first(ci, lo, hi, al):
+        bw = _JpegBitWriter()
+        eobrun = 0
+
+        def flush_eob():
+            nonlocal eobrun
+            if eobrun:
+                rr = eobrun.bit_length() - 1
+                code, ln = ac_codes[rr << 4]
+                bw.write(code, ln)
+                if rr:
+                    bw.write(eobrun - (1 << rr), rr)
+                eobrun = 0
+
+        for block in comp_blocks(ci):
+            run = 0
+            for k in range(lo, hi + 1):
+                v = int(block[k])
+                t = abs(v) >> al
+                if t == 0:
+                    run += 1
+                    continue
+                flush_eob()
+                while run > 15:
+                    code, ln = ac_codes[0xF0]
+                    bw.write(code, ln)
+                    run -= 16
+                cat = t.bit_length()
+                code, ln = ac_codes[(run << 4) | cat]
+                bw.write(code, ln)
+                sv = t if v >= 0 else -t
+                bw.write(sv if sv >= 0 else sv + (1 << cat) - 1, cat)
+                run = 0
+            if run > 0:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush_eob()
+        flush_eob()
+        return sos_seg([ci], lo, hi, 0, al) + bw.flush()
+
+    def emit_ac_refine(ci, lo, hi, ah, al):
+        bw = _JpegBitWriter()
+        eobrun = 0
+        be_bits: list[int] = []
+
+        def flush_eob():
+            nonlocal eobrun, be_bits
+            if eobrun:
+                rr = eobrun.bit_length() - 1
+                code, ln = ac_codes[rr << 4]
+                bw.write(code, ln)
+                if rr:
+                    bw.write(eobrun - (1 << rr), rr)
+                eobrun = 0
+                for b in be_bits:
+                    bw.write(b, 1)
+                be_bits = []
+
+        for block in comp_blocks(ci):
+            absvals = [abs(int(block[k])) >> al for k in range(lo, hi + 1)]
+            eob_idx = -1
+            for idx, t in enumerate(absvals):
+                if t == 1:
+                    eob_idx = idx
+            run = 0
+            br: list[int] = []
+            for idx, t in enumerate(absvals):
+                if t == 0:
+                    run += 1
+                    continue
+                while run > 15 and idx <= eob_idx:
+                    flush_eob()
+                    code, ln = ac_codes[0xF0]
+                    bw.write(code, ln)
+                    run -= 16
+                    for b in br:
+                        bw.write(b, 1)
+                    br = []
+                if t > 1:
+                    br.append(t & 1)
+                    continue
+                flush_eob()
+                code, ln = ac_codes[(run << 4) | 1]
+                bw.write(code, ln)
+                bw.write(1 if int(block[lo + idx]) >= 0 else 0, 1)
+                for b in br:
+                    bw.write(b, 1)
+                br = []
+                run = 0
+            if run > 0 or br:
+                eobrun += 1
+                be_bits.extend(br)
+                if eobrun == 0x7FFF or len(be_bits) > 900:
+                    flush_eob()
+        flush_eob()
+        return sos_seg([ci], lo, hi, ah, al) + bw.flush()
+
+    out = [head, emit_dc_first(1), emit_dc_refine(1, 0)]
+    bands = ((1, 5), (6, 63))
+    for ci in range(nc):
+        for lo, hi in bands:
+            out.append(emit_ac_first(ci, lo, hi, 1))
+    for ci in range(nc):
+        for lo, hi in bands:
+            out.append(emit_ac_refine(ci, lo, hi, 1, 0))
+    return b"".join(out) + b"\xff\xd9"
+
+
+def encode_jpeg(
+    pixels, quant=None, subsampling: str = "444", progressive: bool = False
+) -> bytes:
     """Minimal REAL baseline-JPEG encoder: 8-bit, standard Annex-K
-    Huffman tables, one interleaved scan. Input is a 2-d grayscale
-    array (one component) or an (h, w, 3) RGB array (encoded as JFIF
-    YCbCr, three components). ``subsampling`` selects ``"444"``
+    Huffman tables, one interleaved scan — or, with
+    ``progressive=True``, a REAL progressive (SOF2) bitstream with a
+    spectral-selection + successive-approximation scan script
+    (:func:`_encode_jpeg_progressive`); the quantized coefficients are
+    identical either way, so the two decodes agree pixel-for-pixel.
+    Input is a 2-d grayscale array (one component) or an (h, w, 3) RGB
+    array (encoded as JFIF YCbCr, three components). ``subsampling``
+    selects ``"444"``
     (default — every component full resolution) or ``"420"`` (RGB only:
     Y at 2×2 sampling, chroma averaged over 2×2 pixel tiles — the
     layout the overwhelming majority of real-world JPEGs use, 16×16
@@ -1016,6 +1474,11 @@ def encode_jpeg(pixels, quant=None, subsampling: str = "444") -> bytes:
     qz = q.reshape(64)[zz]
     nc = len(comps)
     samp = [0x22, 0x11, 0x11] if sub420 else [0x11] * nc
+    if progressive:
+        return _encode_jpeg_progressive(
+            padded, h, w, nc, samp, qz, sub420, ph, pw, d, zz,
+            dc_codes, ac_codes,
+        )
     head = (
         b"\xff\xd8"
         + seg(0xDB, bytes([0x00]) + bytes(int(v) for v in qz))
@@ -1072,19 +1535,23 @@ def encode_jpeg_gray(pixels, quant=None) -> bytes:
 
 
 def decode_jpeg(content: bytes):
-    """Full dependency-free BASELINE JPEG decode → (h, w, ch) uint8.
+    """Full dependency-free JPEG decode → (h, w, ch) uint8: baseline
+    sequential DCT (SOF0) AND progressive DCT (SOF2).
 
-    Supports baseline sequential DCT (SOF0), 8-bit, grayscale or
-    3-component YCbCr → RGB per JFIF — 4:4:4 AND chroma-subsampled
-    frames with sampling factors up to 2×2 (4:2:0 / 4:2:2 / 4:4:0,
-    interleaved MCU layout, chroma upsampled by pixel replication) —
-    restart intervals, 0xFF fill-byte runs and standalone TEM/RST
-    markers, and multiple DQT/DHT segments. Progressive (SOF2), the
-    extended/lossless/hierarchical SOF variants, arithmetic coding
-    (DAC), 12-bit precision, sampling factors beyond 2×2, and
-    multi-scan (non-interleaved) baseline files raise
-    NotImplementedError honestly — they are different entropy/scan
-    structures, not containers."""
+    Supports 8-bit grayscale or 3-component YCbCr → RGB per JFIF —
+    4:4:4 AND chroma-subsampled frames with sampling factors up to 2×2
+    (4:2:0 / 4:2:2 / 4:4:0, interleaved MCU layout, chroma upsampled by
+    pixel replication) — restart intervals, 0xFF fill-byte runs and
+    standalone TEM/RST markers, and multiple DQT/DHT segments.
+    Progressive files decode through the full T.81 Annex G scan
+    machinery (:func:`_decode_progressive_scan`): spectral selection,
+    successive approximation for DC and AC, EOB-runs, and refinement
+    correction bits, accumulated into a coefficient store and
+    reconstructed once at EOI. The extended/lossless/hierarchical SOF
+    variants, arithmetic coding (DAC), 12-bit precision, sampling
+    factors beyond 2×2, and non-interleaved multi-scan BASELINE files
+    raise NotImplementedError honestly — they are different entropy/
+    scan structures, not containers."""
     import numpy as np
 
     if content is None or content[:2] != b"\xff\xd8":
@@ -1094,6 +1561,8 @@ def decode_jpeg(content: bytes):
     huff: dict[tuple[int, int], dict] = {}
     frame = None
     restart = 0
+    progressive = False
+    store = None  # per-component coefficient arrays (progressive)
     while pos + 2 <= len(content):
         if content[pos] != 0xFF:
             raise ValueError("corrupt JPEG marker stream")
@@ -1142,7 +1611,7 @@ def decode_jpeg(content: bytes):
                     (c, l): s for s, (c, l) in _huff_codes(bits, vals).items()
                 }
                 b += 17 + nv
-        elif marker == 0xC0:
+        elif marker in (0xC0, 0xC2):
             prec, fh, fw, nc = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit JPEG precision")
@@ -1164,10 +1633,12 @@ def decode_jpeg(content: bytes):
                     "non-integer JPEG subsampling ratios"
                 )
             frame = (fh, fw, comps)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            progressive = marker == 0xC2
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            kind = "progressive" if marker == 0xC2 else f"SOF{marker - 0xC0}"
-            raise NotImplementedError(f"non-baseline JPEG ({kind})")
+            raise NotImplementedError(
+                f"non-baseline JPEG (SOF{marker - 0xC0})"
+            )
         elif marker == 0xCC:
             raise NotImplementedError("arithmetic-coded JPEG")
         elif marker == 0xDD:
@@ -1181,6 +1652,36 @@ def decode_jpeg(content: bytes):
             for s in range(ns):
                 cs, tdta = body[1 + 2 * s], body[2 + 2 * s]
                 tables[cs] = (tdta >> 4, tdta & 0xF)
+            if progressive:
+                if len(body) < 1 + 2 * ns + 3:
+                    raise ValueError("malformed JPEG scan header")
+                ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+                ahal = body[3 + 2 * ns]
+                cid_to_ci = {c[0]: i for i, c in enumerate(comps)}
+                members = []
+                for s in range(ns):
+                    cs = body[1 + 2 * s]
+                    if cs not in cid_to_ci:
+                        raise ValueError("JPEG scan names unknown component")
+                    members.append(
+                        (cid_to_ci[cs], tables[cs][0], tables[cs][1])
+                    )
+                if store is None:
+                    hmax = max(c[1] for c in comps)
+                    vmax = max(c[2] for c in comps)
+                    mcux = -(-fw // (8 * hmax))
+                    mcuy = -(-fh // (8 * vmax))
+                    store = [
+                        np.zeros((mcuy * vs, mcux * hs, 64), dtype=np.int32)
+                        for _, hs, vs, _ in comps
+                    ]
+                pos = _decode_progressive_scan(
+                    content, pos, frame,
+                    {"ss": ss, "se": se, "ah": ahal >> 4, "al": ahal & 0xF,
+                     "comps": members},
+                    huff, restart, store, None,
+                )
+                continue
             if ns != len(comps):
                 raise NotImplementedError(
                     "multi-scan (non-interleaved) baseline JPEG"
@@ -1226,31 +1727,39 @@ def decode_jpeg(content: bytes):
                                 yb = (my_ * vs + byy) * 8
                                 xb = (mx_ * hs + bxx) * 8
                                 planes[ci][yb:yb + 8, xb:xb + 8] = pix
-            full = []
-            for ci, (cid, hs, vs, tq) in enumerate(comps):
-                p = planes[ci]
-                if hs != hmax or vs != vmax:
-                    # chroma upsampling by pixel replication (nearest):
-                    # exact on the per-tile-constant oracle fixtures
-                    p = np.repeat(
-                        np.repeat(p, vmax // vs, axis=0), hmax // hs, axis=1
-                    )
-                full.append(p[:fh, :fw])
-            arr = np.stack(full, axis=2)
-            if len(comps) == 3:  # JFIF YCbCr → RGB
-                y = arr[:, :, 0].astype(np.float64)
-                cb = arr[:, :, 1].astype(np.float64) - 128.0
-                cr = arr[:, :, 2].astype(np.float64) - 128.0
-                rgb = np.stack(
-                    [y + 1.402 * cr,
-                     y - 0.344136 * cb - 0.714136 * cr,
-                     y + 1.772 * cb],
-                    axis=2,
-                )
-                arr = np.clip(np.floor(rgb + 0.5), 0, 255).astype(np.uint8)
-            return arr
+            # chroma upsampling by pixel replication (nearest): exact on
+            # the per-tile-constant oracle fixtures
+            return _finish_planes(planes, comps, hmax, vmax, fh, fw)
         # APPn/COM/unknown: skipped
+    if progressive and store is not None:
+        return _reconstruct_progressive(frame, store, quant)
     raise ValueError("JPEG has no scan data")
+
+
+def _reconstruct_progressive(frame, store, quant):
+    """Dequantize + de-zigzag + IDCT the accumulated progressive
+    coefficient store (vectorized over every block of each component),
+    then upsample/crop/color-convert exactly like the baseline path."""
+    import numpy as np
+
+    fh, fw, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    d = _dct_matrix()
+    zz = np.array(_ZIGZAG)
+    planes = []
+    for ci, (cid, hs, vs, tq) in enumerate(comps):
+        if tq not in quant:
+            raise ValueError("JPEG scan references missing quant table")
+        co = store[ci].astype(np.float64) * quant[tq][None, None, :]
+        nat = np.zeros_like(co)
+        nat[..., zz] = co
+        nby, nbx = nat.shape[0], nat.shape[1]
+        blocks = nat.reshape(nby, nbx, 8, 8)
+        f = np.einsum("ij,abjk,kl->abil", d.T, blocks, d)
+        pix = np.clip(np.floor(f + 128.0 + 0.5), 0, 255).astype(np.uint8)
+        planes.append(pix.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8))
+    return _finish_planes(planes, comps, hmax, vmax, fh, fw)
 
 
 def synthesize_jpeg420_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -1280,6 +1789,46 @@ def synthesize_jpeg420_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame
             ty, tx = np.indices((h, w)) // 16
             v = ((int(i) * 5 + tx * 3 + ty * 7) % 256).astype(np.uint8)
             return encode_jpeg(np.stack([v, v, v], axis=2), subsampling="420")
+
+        return ids.map(one)
+
+    return df.select(F.col(id_col).alias("media_id")).select(
+        "media_id",
+        F.lit("image").alias("media_type"),
+        pack(F.col("media_id")).alias("content"),
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("duration_ms"),
+            F.lit("jpeg").alias("format"),
+        ).alias("meta"),
+    )
+
+
+def synthesize_jpeg_progressive_media(
+    df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic REAL progressive-JPEG media table: the
+    :func:`synthesize_jpeg_media` fixture (per-8×8-block-constant
+    grayscale, unit quant, closed form ``(id*5 + bx*3 + by*7) % 256``)
+    emitted as SOF2 bitstreams — DC successive approximation + per-band
+    AC scans with EOB-runs and refinement correction bits. Block-
+    constant images under unit quantization are a lossless fixed point
+    regardless of scan structure (the quantized coefficients are
+    identical to baseline), so the SAME closed-form SQL oracle replays
+    every decoded pixel (qd71). Every 97th row is corrupt bytes."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def pack(ids: pd.Series) -> pd.Series:
+        def one(i: int) -> bytes:
+            if i % 97 == 0:
+                return b"CORRUPT"
+            h, w = 17 + int(i) % 5, 19 + int(i) % 8
+            by, bx = np.indices((h, w)) // 8
+            pix = ((int(i) * 5 + bx * 3 + by * 7) % 256).astype(np.uint8)
+            return encode_jpeg(pix, progressive=True)
 
         return ids.map(one)
 

@@ -3410,10 +3410,67 @@ def qd70_jpeg420_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the constants). `multimodal.decode_jpeg` Huffman-decodes the
     interleaved MCU stream bit-exactly — partial MCUs included (dims
     not multiples of 16) — and the DuckDB twin replays the closed form
-    per pixel. Corrupt rows flagged, not failed; progressive and
-    sampling factors beyond 2×2 keep honest guards."""
+    per pixel. Corrupt rows flagged, not failed; sampling factors
+    beyond 2×2 keep honest guards."""
     docs = _docs(spark, sf_dir).select("doc_id")
     media = multimodal.synthesize_jpeg420_media(docs)
+    return multimodal.image_pixel_stats(media, decode="jpeg")
+
+
+@register(
+    "qd71_jpeg_progressive_pixel_stats",
+    """
+    WITH ids AS (SELECT doc_id AS media_id FROM documents),
+    ok AS (
+      SELECT media_id, CAST(17 + media_id % 5 AS BIGINT) AS h,
+             CAST(19 + media_id % 8 AS BIGINT) AS w
+      FROM ids WHERE media_id % 97 <> 0
+    ),
+    ys AS (SELECT media_id, h, w, unnest(range(h)) AS y FROM ok),
+    xs AS (SELECT media_id, h, w, y, unnest(range(w)) AS x FROM ys),
+    px AS (
+      SELECT media_id, h, w,
+             (media_id * 5 + (x // 8) * 3 + (y // 8) * 7) % 256 AS v
+      FROM xs
+    ),
+    stats AS (
+      SELECT media_id, CAST(MIN(w) AS INT) AS width,
+             CAST(MIN(h) AS INT) AS height, CAST(1 AS INT) AS channels,
+             CAST(SUM(v) AS BIGINT) AS pixel_sum,
+             round(CAST(SUM(v) AS DOUBLE) / count(*), 6) AS pixel_mean,
+             CAST(MIN(v) AS INT) AS pixel_min,
+             CAST(MAX(v) AS INT) AS pixel_max,
+             TRUE AS decode_ok
+      FROM px GROUP BY media_id
+    ),
+    bad AS (
+      SELECT media_id, CAST(NULL AS INT) AS width, CAST(NULL AS INT) AS height,
+             CAST(NULL AS INT) AS channels, CAST(NULL AS BIGINT) AS pixel_sum,
+             CAST(NULL AS DOUBLE) AS pixel_mean, CAST(NULL AS INT) AS pixel_min,
+             CAST(NULL AS INT) AS pixel_max, FALSE AS decode_ok
+      FROM ids WHERE media_id % 97 = 0
+    )
+    SELECT * FROM stats UNION ALL SELECT * FROM bad
+    """,
+)
+def qd71_jpeg_progressive_pixel_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """REAL progressive (SOF2) JPEG decode, oracle-checked (round-11 —
+    closing the last common real-world JPEG layout the engine refused):
+    each document id becomes an actual progressive bitstream (DC
+    successive approximation + per-band AC first/refinement scans with
+    EOB-runs and correction bits) of the qd67 block-constant fixture;
+    `multimodal.decode_jpeg` runs the full T.81 Annex G scan machinery
+    — coefficient store across scans, spectral selection, successive-
+    approximation bit assembly — and must reproduce every pixel's
+    closed form bit-exactly, because block-constant images under unit
+    quantization yield identical quantized coefficients regardless of
+    scan structure. Same DuckDB twin as qd67 (the scan structure is
+    invisible to a correct decoder — that is the point). Corrupt rows
+    flagged, not failed."""
+    docs = _docs(spark, sf_dir).select("doc_id")
+    media = multimodal.synthesize_jpeg_progressive_media(docs)
     return multimodal.image_pixel_stats(media, decode="jpeg")
 
 

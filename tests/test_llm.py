@@ -2316,7 +2316,9 @@ def test_jpeg_codec_roundtrips_and_guards(spark):
     good = mm.encode_jpeg_gray(blk)
     with pytest.raises(ValueError):
         mm.decode_jpeg(b"CORRUPT")
-    with pytest.raises(NotImplementedError, match="progressive"):
+    # C0→C2 byte-patching a BASELINE stream yields an INVALID progressive
+    # scan (DC band with se=63) — rejected as corrupt, not decoded
+    with pytest.raises(ValueError, match="progressive scan"):
         mm.decode_jpeg(good.replace(b"\xff\xc0", b"\xff\xc2", 1))
     # sampling factors are irrelevant in a single-component scan
     # (A.2.2) — a gray file whose SOF claims 2x2 decodes identically
@@ -2361,6 +2363,28 @@ def test_jpeg_codec_roundtrips_and_guards(spark):
     assert err420 <= 16
     with pytest.raises(ValueError, match="subsampling"):
         mm.encode_jpeg(img, subsampling="422")
+
+    # progressive (round 11): identical quantized coefficients ⇒ the
+    # SOF2 decode must equal the baseline decode pixel-for-pixel, for
+    # gray/RGB/4:2:0 and under a nonuniform quant table (exercising DC
+    # successive approximation, AC band scans, EOB-runs, refinement
+    # correction bits)
+    rng = np.random.default_rng(11)
+    g = rng.integers(0, 256, (29, 37), dtype=np.uint8)
+    assert (mm.decode_jpeg(mm.encode_jpeg(g, progressive=True))
+            == mm.decode_jpeg(mm.encode_jpeg(g))).all()
+    c = rng.integers(0, 256, (37, 51, 3), dtype=np.uint8)
+    for subm in ("444", "420"):
+        assert (mm.decode_jpeg(
+            mm.encode_jpeg(c, subsampling=subm, progressive=True)
+        ) == mm.decode_jpeg(mm.encode_jpeg(c, subsampling=subm))).all()
+    qt = np.clip(np.arange(64).reshape(8, 8) + 2, 2, 40)
+    sm = np.outer(np.linspace(0, 255, 40), np.ones(48)).astype(np.uint8)
+    assert (mm.decode_jpeg(mm.encode_jpeg(sm, quant=qt, progressive=True))
+            == mm.decode_jpeg(mm.encode_jpeg(sm, quant=qt))).all()
+    # block-constant + unit quant: progressive is ALSO lossless
+    prog = mm.decode_jpeg(mm.encode_jpeg(blk, progressive=True))
+    assert (prog[:, :, 0] == blk).all()
 
     # Spark kernel end-to-end: stats match the closed form, corrupt
     # rows flagged
