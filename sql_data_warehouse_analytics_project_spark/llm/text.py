@@ -1180,3 +1180,113 @@ def quality_classifier_scores(
         F.round("p", 6).alias("score"),
         (F.round("p", 6) >= 0.5).alias("predicted"),
     )
+
+
+# -- count-min sketch heavy hitters (round 11) --------------------------------
+
+def cms_table(
+    df: DataFrame,
+    term_col: str,
+    *,
+    depth: int = 3,
+    width: int = 64,
+    salt: str = "cms",
+) -> DataFrame:
+    """Build a count-min sketch (Cormode & Muthukrishnan 2005) over a
+    term column: a FIXED ``depth × width`` grid of exact bucket sums,
+    ``bucket_j(t) = md5_60bit('{salt}{j}|' || t) % width``.
+
+    This is the mergeable corpus summary for frequency questions at
+    100 TB: the table is a few KB regardless of corpus size, two
+    snapshots' tables merge by cell-wise addition (same reduction this
+    groupBy performs), and point estimates never need the corpus again.
+    One pass, one fixed-size shuffle (``depth × width`` cells); the
+    per-row work is ``depth`` JVM md5 calls — no Python anywhere."""
+    if depth < 1 or width < 1:
+        raise ValueError("depth and width must be positive")
+    term = F.col(term_col)
+    pairs = F.array(*[
+        F.struct(
+            F.lit(j).alias("depth"),
+            (md5_60bit(F.concat(F.lit(f"{salt}{j}|"), term)) % width)
+            .cast("int").alias("bucket"),
+        )
+        for j in range(depth)
+    ])
+    return (
+        df.select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.depth").alias("depth"),
+                 F.col("p.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cell_count"))
+    )
+
+
+def cms_estimate(
+    cms: DataFrame,
+    terms: DataFrame,
+    term_col: str,
+    *,
+    depth: int = 3,
+    width: int = 64,
+    salt: str = "cms",
+) -> DataFrame:
+    """Point-estimate term frequencies from a CMS table: the minimum
+    over the ``depth`` hashed cells (never underestimates; overshoot
+    bounded by collisions). The CMS side is ``depth × width`` rows —
+    broadcast it; the join never shuffles the term side."""
+    from pyspark.sql.functions import broadcast
+
+    term = F.col(term_col)
+    exploded = terms.select(
+        term.alias("term"),
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(j).alias("depth"),
+                (md5_60bit(F.concat(F.lit(f"{salt}{j}|"), term)) % width)
+                .cast("int").alias("bucket"),
+            )
+            for j in range(depth)
+        ])).alias("p"),
+    )
+    return (
+        exploded.join(
+            broadcast(cms),
+            (F.col("p.depth") == cms["depth"])
+            & (F.col("p.bucket") == cms["bucket"]),
+            "left",
+        )
+        .groupBy("term")
+        .agg(F.min(F.coalesce(F.col("cell_count"), F.lit(0)))
+             .alias("est_count"))
+    )
+
+
+def cms_heavy_hitters(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    k: int = 20,
+    depth: int = 3,
+    width: int = 64,
+    salt: str = "cms",
+) -> DataFrame:
+    """Top-k most frequent tokens by CMS estimate, with the exact count
+    alongside (so the ``est >= exact`` sketch guarantee is visible and
+    oracle-checkable). Tie-break (est desc, term asc) is total — the
+    result is a pure function of the corpus. The exact count here is
+    per-TERM (vocabulary-sized shuffle); the sketch is what survives
+    when even the vocabulary is too large to keep — estimates come from
+    the fixed grid alone."""
+    toks = df.select(F.explode(tokens(text_col)).alias("term"))
+    cms = cms_table(toks, "term", depth=depth, width=width, salt=salt)
+    exact = toks.groupBy("term").agg(F.count(F.lit(1)).alias("exact_count"))
+    est = cms_estimate(cms, exact.select("term"), "term",
+                       depth=depth, width=width, salt=salt)
+    joined = exact.join(est, "term")
+    return (
+        joined.orderBy(F.col("est_count").desc(), F.col("term"))
+        .limit(k)
+        .select("term", "est_count", "exact_count",
+                (F.col("est_count") >= F.col("exact_count"))
+                .alias("never_underestimates"))
+    )
