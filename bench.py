@@ -368,6 +368,17 @@ def main() -> None:
                 rdd.unpersist()
         except Exception:  # noqa: BLE001 — purge is best-effort
             pass
+        # ALSO collect the JVM: Spark's ContextCleaner reclaims shuffle
+        # files and broadcast blocks only when a JVM GC notices the dead
+        # references, and spark.cleaner.periodicGC.interval defaults to
+        # 30 min — longer than a whole pass, so ~140 queries of shuffle/
+        # broadcast state pile up and late Python-kernel queries measured
+        # 10-20x their standalone cost (round 11). Purge time is outside
+        # every query's timed window.
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:  # noqa: BLE001
+            pass
 
     for _ in range(max(n_passes, 1)):
         pass_calibs.append(_cpu_calibration())

@@ -31,6 +31,7 @@ from sql_data_warehouse_analytics_project_spark.llm import (
     dedup,
     multimodal,
     similarity,
+    sketches,
     text,
     vocab,
 )
@@ -3563,3 +3564,551 @@ def qd69_ivfpq_streaming_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@register(
+    "qd72_warc_html_ingest",
+    r"""
+    WITH norm AS (
+      SELECT doc_id, trim(regexp_replace(text, '\s+', ' ', 'g')) AS t
+      FROM documents
+    ),
+    ok AS (
+      SELECT doc_id, CAST(3 AS BIGINT) AS n_records, TRUE AS parse_ok,
+             CAST(CASE WHEN doc_id % 7 = 0 THEN 404 ELSE 200 END AS INT)
+               AS http_status,
+             CASE WHEN doc_id % 7 = 0 THEN 'Not Found'
+                  ELSE 'Doc ' || CAST(doc_id AS VARCHAR) END AS title,
+             CASE WHEN doc_id % 7 = 0 THEN 'not found'
+                  ELSE 'Title ' || CAST(doc_id AS VARCHAR) || chr(10) || t
+             END AS xt,
+             CAST(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 2 END AS INT)
+               AS n_blocks_kept,
+             CAST(CASE WHEN doc_id % 7 = 0 THEN 0 ELSE 2 END AS INT)
+               AS n_blocks_dropped
+      FROM norm WHERE doc_id % 97 <> 0
+    ),
+    bad AS (
+      SELECT doc_id, CAST(0 AS BIGINT) AS n_records, FALSE AS parse_ok,
+             CAST(NULL AS INT) AS http_status, CAST(NULL AS VARCHAR) AS title,
+             CAST(NULL AS VARCHAR) AS xt, CAST(NULL AS INT) AS n_blocks_kept,
+             CAST(NULL AS INT) AS n_blocks_dropped
+      FROM norm WHERE doc_id % 97 = 0
+    ),
+    uni AS (SELECT * FROM ok UNION ALL SELECT * FROM bad)
+    SELECT doc_id, n_records, parse_ok, http_status, title,
+           md5(xt) AS text_md5, CAST(length(xt) AS BIGINT) AS text_chars,
+           n_blocks_kept, n_blocks_dropped
+    FROM uni
+    """,
+)
+def qd72_warc_html_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC crawl ingestion + HTML text extraction, oracle-checked end to
+    end (round 11 — the CommonCrawl front door of a 100 TB training-data
+    pipeline, one step upstream of everything the `documents` table
+    feeds). Each document becomes a REAL 3-record WARC stream (warcinfo +
+    request + response; every third stream gzipped one member per record,
+    the `.warc.gz` layout; every 97th truncated mid-record): the stdlib
+    parser splits records and HTTP payloads (`sources/warc.py`), and the
+    jusText-style extractor (`llm/html.py`) drops script/style/head,
+    segments block-level text, collapses whitespace, and sheds the
+    nav/footer link boilerplate via link density — so the surviving text
+    is exactly `Title {id}\\n{normalized doc text}`, which the DuckDB twin
+    replays closed-form (md5 + length + block counts). Corrupt streams
+    flag, never fail. Scale: file-level parallelism is the CommonCrawl
+    grain (~72k files/crawl), parse+extract pipeline per-row with no
+    shuffle until the per-file aggregate."""
+    from sql_data_warehouse_analytics_project_spark.llm import html as html_ext
+    from sql_data_warehouse_analytics_project_spark.sources import warc
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    crawl = warc.synthesize_warc_crawl(docs)
+    recs = warc.warc_records(crawl, source_col="media_id")
+    per_file = (
+        recs.groupBy("source_file")
+        .agg(
+            F.sum(F.when(F.col("record_index") >= 0, 1).otherwise(0))
+            .cast("bigint").alias("n_records"),
+            F.min(F.col("parse_ok").cast("int")).cast("boolean")
+            .alias("parse_ok"),
+        )
+        .select(F.col("source_file").cast("bigint").alias("doc_id"),
+                "n_records", "parse_ok")
+    )
+    pages = warc.response_documents(recs)
+    ext = html_ext.html_to_text(
+        pages, id_cols=("target_uri", "http_status"), drop_boilerplate=True
+    ).select(
+        F.regexp_extract("target_uri", r"/doc/(\d+)$", 1).cast("bigint")
+        .alias("doc_id"),
+        F.col("http_status").cast("int").alias("http_status"),
+        "title",
+        F.md5(F.col("text").cast("binary")).alias("text_md5"),
+        F.length("text").cast("bigint").alias("text_chars"),
+        "n_blocks_kept", "n_blocks_dropped",
+    )
+    return per_file.join(ext, "doc_id", "left").select(
+        "doc_id", "n_records", "parse_ok", "http_status", "title",
+        "text_md5", "text_chars", "n_blocks_kept", "n_blocks_dropped",
+    )
+
+
+@register(
+    "qd73_gif_frame_stats",
+    """
+    WITH ids AS (SELECT doc_id AS media_id FROM documents),
+    ok AS (
+      SELECT media_id, CAST(9 + media_id % 5 AS BIGINT) AS h,
+             CAST(11 + media_id % 6 AS BIGINT) AS w,
+             CAST(2 + media_id % 3 AS BIGINT) AS nf
+      FROM ids WHERE media_id % 97 <> 0
+    ),
+    fs AS (SELECT media_id, h, w, unnest(range(nf)) AS f FROM ok),
+    ys AS (SELECT media_id, h, w, f, unnest(range(h)) AS y FROM fs),
+    xs AS (SELECT media_id, h, w, f, y, unnest(range(w)) AS x FROM ys),
+    px AS (
+      SELECT media_id, h, w, f,
+             (media_id + 3 * f + 2 * x + 5 * y) % 8 AS c
+      FROM xs
+    ),
+    stats AS (
+      SELECT media_id, CAST(f AS INT) AS frame_index,
+             CAST(MIN(w) AS INT) AS width, CAST(MIN(h) AS INT) AS height,
+             CAST(4 AS INT) AS delay_cs,
+             CAST(SUM((c * 37 + 11) % 256) AS BIGINT) AS r_sum,
+             CAST(SUM((c * 53 + 7) % 256) AS BIGINT) AS g_sum,
+             CAST(SUM((c * 29 + 3) % 256) AS BIGINT) AS b_sum,
+             TRUE AS decode_ok
+      FROM px GROUP BY media_id, f
+    ),
+    bad AS (
+      SELECT media_id, CAST(NULL AS INT) AS frame_index,
+             CAST(NULL AS INT) AS width, CAST(NULL AS INT) AS height,
+             CAST(NULL AS INT) AS delay_cs, CAST(NULL AS BIGINT) AS r_sum,
+             CAST(NULL AS BIGINT) AS g_sum, CAST(NULL AS BIGINT) AS b_sum,
+             FALSE AS decode_ok
+      FROM ids WHERE media_id % 97 = 0
+    )
+    SELECT * FROM stats UNION ALL SELECT * FROM bad
+    """,
+)
+def qd73_gif_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL animated-GIF decode + frame sampling, oracle-checked (round
+    11 — the first VIDEO-ish format the engine decodes for real, closing
+    the frame-sampling stub the multimodal surface carried since round
+    1): each document id becomes an actual GIF89a animation (variable-
+    width LSB-first LZW with dictionary resets, NETSCAPE loop block,
+    graphic-control extensions) whose every frame's palette indices
+    follow ``(id + 3f + 2x + 5y) % 8`` over a formula palette;
+    `multimodal.decode_gif` runs real LZW decompression + animation
+    compositing and `gif_frame_stats` reduces exact per-channel integer
+    sums per composited frame. GIF is lossless, so the DuckDB twin
+    replays every pixel closed-form — the qd57/qd59/qd67 methodology
+    extended from image/audio to video. Corrupt rows flagged, not
+    failed. LZW conformance is pinned by a hand-computed spec bitstream
+    (tests/test_gif_codec.py) plus width-boundary/4096-reset round
+    trips; interlacing, frame rects, transparency, and disposal 1/2/3
+    are covered by the compositing tests."""
+    docs = _docs(spark, sf_dir).select("doc_id")
+    media = multimodal.synthesize_gif_media(docs)
+    return multimodal.gif_frame_stats(media)
+
+
+@register(
+    "qd74_url_canonicalization",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0 THEN 'https'
+                  WHEN doc_id % 2 = 0 THEN 'http' ELSE 'https' END AS scheme,
+             CASE WHEN doc_id % 11 = 0
+                  THEN 'sub.example' || CAST(doc_id % 7 AS VARCHAR) || '.co.uk'
+                  ELSE 'www.example' || CAST(doc_id % 7 AS VARCHAR) || '.com'
+             END AS host,
+             CASE WHEN doc_id % 11 = 0
+                  THEN 'example' || CAST(doc_id % 7 AS VARCHAR) || '.co.uk'
+                  ELSE 'example' || CAST(doc_id % 7 AS VARCHAR) || '.com'
+             END AS apex
+      FROM documents
+    ),
+    n AS (
+      SELECT doc_id, scheme, host, apex,
+             scheme || '://' || host
+             || CASE WHEN doc_id % 13 = 0 AND scheme = 'http' THEN ':443'
+                     WHEN doc_id % 13 <> 0 AND doc_id % 17 = 0 THEN ':8080'
+                     ELSE '' END
+             || '/p/' || CAST(doc_id AS VARCHAR)
+             || CASE WHEN doc_id % 4 IN (0, 1) THEN '?a=1&b=2' ELSE '' END
+               AS norm_url
+      FROM d
+    )
+    SELECT doc_id, norm_url, CAST(2 AS BIGINT) AS n_variants, scheme, host,
+           apex AS apex_domain, (apex <> 'example3.com') AS kept
+    FROM n
+    """,
+)
+def qd74_url_canonicalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + registrable-domain filtering + dedup-key
+    merge (round 11 — the crawl-side curation stage every web-corpus
+    pipeline runs before text is parsed; CCNet/RefinedWeb/FineWeb all
+    begin here). Each document id yields TWO messy variants of the same
+    logical URL (case-shuffled scheme/host, tracker params in shuffled
+    order, fragments, default ports, trailing slashes); `urls.
+    url_profile` — pure JVM-side regexp/array expressions, no Python —
+    canonicalizes both to ONE key (proven by n_variants = 2 after the
+    groupBy), extracts host + apex domain (two-level public-suffix
+    aware: .co.uk hosts keep three labels), and applies a domain
+    blocklist. The DuckDB twin replays the expected canonical form
+    closed-form from the id arithmetic — every branch of the
+    normalization contract (port drop vs keep, tracker strip, key sort,
+    slash strip, case fold) is exercised by some id class."""
+    from sql_data_warehouse_analytics_project_spark.llm import urls
+
+    i = F.col("doc_id")
+    scheme1 = (
+        F.when(i % 5 == 0, "HTTPS").when(i % 2 == 0, "http")
+        .otherwise("https")
+    )
+    scheme2 = (
+        F.when(i % 5 == 0, "https").when(i % 2 == 0, "HTTP")
+        .otherwise("HTTPS")
+    )
+    host1 = F.when(
+        i % 11 == 0,
+        F.concat(F.lit("Sub.Example"), (i % 7).cast("string"),
+                 F.lit(".CO.UK")),
+    ).otherwise(
+        F.concat(F.lit("WWW.Example"), (i % 7).cast("string"), F.lit(".Com"))
+    )
+    port = (
+        F.when(i % 13 == 0, ":443").when(i % 17 == 0, ":8080").otherwise("")
+    )
+    path1 = F.concat(
+        F.lit("/p/"), i.cast("string"),
+        F.when(i % 3 == 0, "/").otherwise(""),
+    )
+    path2 = F.concat(F.lit("/p/"), i.cast("string"))
+    q1 = (
+        F.when(i % 4 == 0, "?utm_source=x&b=2&a=1")
+        .when(i % 4 == 1, "?b=2&a=1")
+        .when(i % 4 == 2, "?fbclid=zz").otherwise("")
+    )
+    q2 = (
+        F.when(i % 4 == 0, "?a=1&utm_medium=y&b=2")
+        .when(i % 4 == 1, "?a=1&b=2&utm_campaign=z")
+        .when(i % 4 == 2, "?gclid=q").otherwise("?utm_term=k")
+    )
+    frag1 = F.when(i % 23 == 0, "#sec").otherwise("")
+    docs = _docs(spark, sf_dir).select("doc_id")
+    v1 = docs.select(
+        "doc_id",
+        F.concat(scheme1, F.lit("://"), host1, port, path1, q1, frag1)
+        .alias("url"),
+    )
+    v2 = docs.select(
+        "doc_id",
+        F.concat(scheme2, F.lit("://"), F.upper(host1), port, path2, q2,
+                 F.lit("#x")).alias("url"),
+    )
+    prof = urls.url_profile(
+        v1.unionByName(v2), blocked_domains=("example3.com",)
+    )
+    return (
+        prof.groupBy("norm_url")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count("*").alias("n_variants"),
+            F.min("scheme").alias("scheme"),
+            F.min("host").alias("host"),
+            F.min("apex_domain").alias("apex_domain"),
+            F.min("kept").alias("kept"),
+        )
+        .select("doc_id", "norm_url", "n_variants", "scheme", "host",
+                "apex_domain", "kept")
+    )
+
+
+@register(
+    "qd75_wav_flavor_features",
+    """
+    WITH ids AS (SELECT doc_id AS media_id FROM documents),
+    ok AS (
+      SELECT media_id, CAST(64 + media_id % 32 AS BIGINT) AS n
+      FROM ids WHERE media_id % 97 <> 0
+    ),
+    ks AS (SELECT media_id, n, unnest(range(n)) AS k FROM ok),
+    smp AS (
+      SELECT media_id, n, k,
+             CASE media_id % 4
+               WHEN 0 THEN (media_id * 7 + k * 13) % 256 - 128
+               WHEN 1 THEN (media_id * 11 + k * 17) % 16777216 - 8388608
+               WHEN 2 THEN (media_id * 7 + k * 13) % 4096 - 2048 + 1
+               ELSE media_id * 13 % 4096 - 2048
+             END AS s
+      FROM ks
+    ),
+    lagged AS (
+      SELECT media_id, n, k, s,
+             lag(s) OVER (PARTITION BY media_id ORDER BY k) AS sp
+      FROM smp
+    ),
+    stats AS (
+      SELECT media_id, CAST(8000 AS INT) AS sample_rate,
+             CAST(MIN(n) AS BIGINT) AS n_frames,
+             CAST(CASE WHEN MIN(media_id) % 4 = 2 THEN 2 ELSE 1 END AS INT)
+               AS channels,
+             CAST(CASE MIN(media_id) % 4 WHEN 0 THEN 8 WHEN 1 THEN 24
+                  ELSE 16 END AS INT) AS bits,
+             CASE WHEN MIN(media_id) % 4 = 3 THEN 'ima_adpcm'
+                  ELSE 'pcm' END AS codec,
+             CAST((MIN(n) * 1000) // 8000 AS INT) AS duration_ms,
+             CAST(SUM(s) AS BIGINT) AS amp_sum,
+             CAST(SUM(s * s) AS BIGINT) AS energy,
+             CAST(MIN(s) AS INT) AS amp_min,
+             CAST(MAX(s) AS INT) AS amp_max,
+             CAST(SUM(CASE WHEN sp * s < 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS zero_crossings,
+             TRUE AS decode_ok
+      FROM lagged GROUP BY media_id
+    ),
+    bad AS (
+      SELECT media_id, CAST(NULL AS INT) AS sample_rate,
+             CAST(NULL AS BIGINT) AS n_frames, CAST(NULL AS INT) AS channels,
+             CAST(NULL AS INT) AS bits, CAST(NULL AS VARCHAR) AS codec,
+             CAST(NULL AS INT) AS duration_ms, CAST(NULL AS BIGINT) AS amp_sum,
+             CAST(NULL AS BIGINT) AS energy, CAST(NULL AS INT) AS amp_min,
+             CAST(NULL AS INT) AS amp_max,
+             CAST(NULL AS BIGINT) AS zero_crossings, FALSE AS decode_ok
+      FROM ids WHERE media_id % 97 = 0
+    )
+    SELECT * FROM stats UNION ALL SELECT * FROM bad
+    """,
+)
+def qd75_wav_flavor_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAV decoder matrix, oracle-checked (round 11 — real corpora are
+    not all 16-bit mono: telephony is 8-bit, masters are 24-bit, field
+    recordings stereo, and IMA/DVI ADPCM (tag 0x11) is the classic
+    4-bit COMPRESSED WAV — an adaptive-step codec, not a container
+    layout). Each id's flavor follows ``id % 4``: 8-bit PCM / 24-bit
+    PCM / stereo-16 (R = L + 2 so the integer downmix is exactly
+    L + 1) / IMA ADPCM of a constant signal — constants are an exact
+    fixed point of the IMA coder at initial step index 0 (nibble 0
+    decodes to ``step>>3 = 0`` and the index stays clamped), which is
+    what gives a COMPRESSED codec a closed-form SQL twin. ADPCM
+    dynamics (step adaptation, clamping, partial blocks via the fact
+    chunk) are pinned by round-trip SNR + hand-stepped state tests in
+    tests/test_wav_flavors.py. Corrupt rows flagged, not failed."""
+    docs = _docs(spark, sf_dir).select("doc_id")
+    media = multimodal.synthesize_wav_flavors_media(docs)
+    return multimodal.audio_features_ex(media)
+
+
+@register(
+    "qd76_cms_heavy_hitters",
+    f"""
+    WITH toks AS (SELECT unnest({{toks}}) AS term FROM documents),
+    pairs AS (
+      SELECT term, d.j AS depth,
+             CAST(CAST(concat('0x', substr(md5('cms' || CAST(d.j AS VARCHAR)
+                 || '|' || term), 1, 15)) AS UBIGINT) % 64 AS BIGINT)
+               AS bucket
+      FROM toks, (SELECT unnest(range(3)) AS j) d
+    ),
+    cms AS (
+      SELECT depth, bucket, count(*) AS cell FROM pairs GROUP BY 1, 2
+    ),
+    exact AS (SELECT term, count(*) AS exact_count FROM toks GROUP BY 1),
+    tb AS (SELECT DISTINCT term, depth, bucket FROM pairs),
+    est AS (
+      SELECT tb.term, MIN(c.cell) AS est_count
+      FROM tb JOIN cms c USING (depth, bucket) GROUP BY 1
+    )
+    SELECT e.term, est.est_count, e.exact_count,
+           (est.est_count >= e.exact_count) AS never_underestimates
+    FROM exact e JOIN est USING (term)
+    ORDER BY est.est_count DESC, e.term LIMIT 20
+    """.replace("{toks}", _TOKS),
+)
+def qd76_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters, oracle-checked cell-for-cell
+    (round 11 — the mergeable fixed-size frequency summary a 100 TB
+    corpus keeps instead of a vocabulary-sized table: the d×w grid is
+    KBs forever, snapshots merge by cellwise addition, and point
+    estimates never rescan the corpus; Cormode & Muthukrishnan 2005).
+    `text.cms_table` builds the grid in ONE pass with a fixed-size
+    shuffle (d·w cells); `cms_estimate` broadcasts the grid so the term
+    side never shuffles; `cms_heavy_hitters` surfaces top-k by estimate
+    WITH exact counts alongside, making the never-underestimates sketch
+    guarantee a checked output column. Width 64 is deliberately small
+    so real collisions (est > exact) occur in the gate corpus and the
+    twin must reproduce the overshoot exactly — the portable md5-60bit
+    bucket hash is the qd13/qd17 idiom."""
+    docs = _docs(spark, sf_dir)
+    return text.cms_heavy_hitters(docs, "text", k=20, depth=3, width=64)
+
+
+@register(
+    "qd77_hll_distinct_tokens",
+    f"""
+    WITH toks AS (SELECT unnest({{toks}}) AS term FROM documents),
+    h AS (
+      SELECT CAST(CAST(concat('0x', substr(md5('hll|' || term), 1, 15))
+                  AS UBIGINT) AS BIGINT) AS h
+      FROM toks
+    ),
+    rho AS (
+      SELECT CAST(h % 256 AS INT) AS register,
+             CASE WHEN (h >> 8) = 0 THEN 53
+                  ELSE 52 - length(bin(h >> 8)) + 1 END AS rho
+      FROM h
+    ),
+    regs AS (SELECT register, MAX(rho) AS rho FROM rho GROUP BY 1),
+    aggd AS (
+      SELECT count(*) AS n_present,
+             COALESCE(MAX(rho), 0) AS k_max,
+             COALESCE(SUM(register * rho), 0) AS reg_checksum
+      FROM regs
+    ),
+    sp AS (
+      SELECT COALESCE(SUM(CAST(pow(2.0, a.k_max - r.rho) AS BIGINT)), 0)
+               AS s_present
+      FROM regs r, aggd a
+    ),
+    fin AS (
+      SELECT 256 AS m, n_present, 256 - n_present AS zeros, k_max,
+             s_present + (256 - n_present) * CAST(pow(2.0, k_max) AS BIGINT)
+               AS s_sum,
+             reg_checksum
+      FROM aggd, sp
+    ),
+    est AS (
+      SELECT *,
+             round(CASE WHEN (0.7213 / (1.0 + 1.079 / 256.0)) * 256 * 256
+                             * pow(2.0, k_max) / s_sum <= 2.5 * 256
+                             AND zeros > 0
+                        THEN 256.0 * ln(256.0 / zeros)
+                        ELSE (0.7213 / (1.0 + 1.079 / 256.0)) * 256 * 256
+                             * pow(2.0, k_max) / s_sum END, 6) AS est
+      FROM fin
+    ),
+    ex AS (SELECT count(DISTINCT term) AS exact_distinct FROM toks)
+    SELECT CAST(m AS BIGINT) AS m,
+           CAST(n_present AS BIGINT) AS n_present,
+           CAST(zeros AS BIGINT) AS zeros,
+           CAST(k_max AS BIGINT) AS k_max,
+           CAST(s_sum AS BIGINT) AS s_sum,
+           CAST(reg_checksum AS BIGINT) AS reg_checksum,
+           est,
+           CAST(exact_distinct AS BIGINT) AS exact_distinct,
+           (abs(est - exact_distinct) <= 0.2 * exact_distinct)
+             AS within_20pct
+    FROM est, ex
+    """.replace("{toks}", _TOKS),
+)
+def qd77_hll_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-token cardinality, oracle-checked to the
+    BIT (round 11 — the mergeable cardinality summary next to qd76's
+    frequency sketch: 256 registers forever, register-wise-max merge
+    across corpus slices). `sketches.hll_registers` is one pass + one
+    ≤256-group map-side-combined shuffle; `hll_estimate` derives the
+    estimate from an INTEGER-exact fold (K = max rho, S = Σ 2^(K−rho)
+    as bigints — no float sum whose rounding could depend on partition
+    order), so the one float expression at the end is bit-portable and
+    the integer digest columns (k_max, s_sum, reg_checksum) pin the
+    whole register table. The exact distinct count rides along so the
+    sketch's ±1.04/√m guarantee is a CHECKED output column."""
+    docs = _docs(spark, sf_dir)
+    terms = docs.select(F.explode(text.tokens("text")).alias("term"))
+    est = sketches.hll_distinct(terms, "term", p=8)
+    exact = terms.agg(F.countDistinct("term").alias("exact_distinct"))
+    return est.crossJoin(F.broadcast(exact)).select(
+        "*",
+        (F.abs(F.col("est") - F.col("exact_distinct"))
+         <= 0.2 * F.col("exact_distinct")).alias("within_20pct"),
+    )
+
+
+@register(
+    "qd78_bloom_decontamination_prefilter",
+    f"""
+    WITH toks AS (SELECT doc_id, {{toks}} AS t FROM documents),
+    sh AS (
+      SELECT doc_id, i AS occ, array_to_string(t[i:i+4], ' ') AS shingle
+      FROM toks, unnest(range(1, len(t) - 3)) AS u(i)
+      WHERE len(t) >= 5
+    ),
+    ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 17 = 0),
+    bloom AS (
+      SELECT DISTINCT
+             CAST(CAST(concat('0x', substr(md5('bloom'
+                 || CAST(j AS VARCHAR) || '|' || shingle), 1, 15))
+                 AS UBIGINT) % 4096 AS INT) AS pos
+      FROM ev, unnest(range(4)) AS r(j)
+    ),
+    train_sh AS (SELECT * FROM sh WHERE doc_id % 17 <> 0),
+    probe AS (
+      SELECT doc_id, occ,
+             CAST(CAST(concat('0x', substr(md5('bloom'
+                 || CAST(j AS VARCHAR) || '|' || shingle), 1, 15))
+                 AS UBIGINT) % 4096 AS INT) AS pos
+      FROM train_sh, unnest(range(4)) AS r(j)
+    ),
+    occ_hit AS (
+      SELECT p.doc_id, p.occ,
+             (count(b.pos) = 4) AS hit
+      FROM probe p LEFT JOIN bloom b ON p.pos = b.pos
+      GROUP BY 1, 2
+    ),
+    per_doc AS (
+      SELECT doc_id, count(*) AS n_shingles,
+             SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS n_bloom_hits
+      FROM occ_hit GROUP BY 1
+    ),
+    exact_hit AS (
+      SELECT DISTINCT t.doc_id
+      FROM train_sh t JOIN ev e ON t.shingle = e.shingle
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(p.n_shingles, 0) AS BIGINT) AS n_shingles,
+           CAST(COALESCE(p.n_bloom_hits, 0) AS BIGINT) AS n_bloom_hits,
+           COALESCE(p.n_bloom_hits > 0, FALSE) AS possibly_contaminated,
+           (x.doc_id IS NOT NULL) AS exactly_contaminated,
+           (COALESCE(p.n_bloom_hits > 0, FALSE)
+            OR x.doc_id IS NULL) AS sound
+    FROM documents d
+    LEFT JOIN per_doc p USING (doc_id)
+    LEFT JOIN exact_hit x USING (doc_id)
+    WHERE d.doc_id % 17 <> 0
+    """.replace("{toks}", _TOKS),
+)
+def qd78_bloom_decontamination_prefilter(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Bloom-filter decontamination prefilter, oracle-checked position-
+    for-position (round 11): flag training docs whose 5-gram shingles
+    MAY appear in the eval slice (doc_id % 17 = 0) using a FIXED
+    4096-bit filter of the eval shingles instead of the exact shingle
+    set. The design point at 100 TB: the eval-shingle set can be 10^8+
+    strings, the bitmap is mbits regardless — always broadcastable —
+    and zero false negatives means every doc the filter clears is
+    PROVABLY clean (`sound` is a checked output column: possibly ⊇
+    exactly); only the tunably-small possibly-hit remainder needs the
+    exact join (qd22/qd39). mbits=4096 is deliberately small for the
+    gate corpus so real false positives occur and the twin must
+    reproduce each one bit-for-bit."""
+    docs = _docs(spark, sf_dir)
+    train = docs.filter(F.col("doc_id") % 17 != 0)
+    evals = docs.filter(F.col("doc_id") % 17 == 0)
+    pre = sketches.bloom_contamination_prefilter(
+        train, evals, "doc_id", "text", n=5, k=4, mbits=4096)
+    exact = dedup.contaminated_ids(
+        train, evals, "doc_id", "text", n=5
+    ).select("doc_id", F.lit(True).alias("exactly_contaminated"))
+    return pre.join(exact, "doc_id", "left").select(
+        "doc_id", "n_shingles", "n_bloom_hits", "possibly_contaminated",
+        F.coalesce("exactly_contaminated", F.lit(False))
+        .alias("exactly_contaminated"),
+        (F.col("possibly_contaminated")
+         | F.coalesce(~F.col("exactly_contaminated"), F.lit(True)))
+        .alias("sound"),
+    )
