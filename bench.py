@@ -88,6 +88,10 @@ BENCH_EXCLUDE = {
     # qd50/qd54/qd63 rationale; data-scaled IVF-PQ costs are benched
     # via qd56)
     "qd69_ivfpq_streaming_sink",
+    # streaming-sketch maintenance lifecycle replay (3 sink micro-batch
+    # slice writes + fold = fixed write/job overhead, the qd50/qd69
+    # rationale; the data-scaled sketch costs are benched via qd76/qd77)
+    "qd80_streaming_sketch_maintenance",
 }
 
 # Keys whose Arrow-GEMM kernels measured up to 8x swings on IDENTICAL

@@ -4112,3 +4112,212 @@ def qd78_bloom_decontamination_prefilter(
          | F.coalesce(~F.col("exactly_contaminated"), F.lit(True)))
         .alias("sound"),
     )
+
+
+@register(
+    "qd79_crawl_curation_funnel",
+    r"""
+    WITH norm AS (
+      SELECT doc_id, lang, source,
+             trim(regexp_replace(text, '\s+', ' ', 'g')) AS t,
+             len(list_filter(regexp_split_to_array(lower(text),
+                 '[^a-z0-9]+'), x -> x <> '')) AS ntok
+      FROM documents
+    ),
+    s1 AS (
+      SELECT *, (doc_id % 97 <> 0 AND doc_id % 7 <> 0) AS crawl_ok
+      FROM norm
+    ),
+    s2 AS (
+      SELECT *,
+             crawl_ok AND doc_id = min(CASE WHEN crawl_ok THEN doc_id END)
+               OVER (PARTITION BY doc_id // 2) AS url_unique
+      FROM s1
+    ),
+    s3 AS (
+      SELECT *, url_unique AND COALESCE(lang = 'en', FALSE) AS lang_ok
+      FROM s2
+    ),
+    s4 AS (SELECT *, lang_ok AND ntok >= 40 AS len_ok FROM s3),
+    s5 AS (
+      SELECT *,
+             len_ok AND row_number() OVER (
+               PARTITION BY source, len_ok ORDER BY doc_id) <= 5
+               AS final_kept
+      FROM s4
+    )
+    SELECT doc_id, crawl_ok, url_unique, lang_ok, len_ok, final_kept,
+           CASE WHEN final_kept
+                THEN md5('Title ' || CAST(doc_id AS VARCHAR) || chr(10) || t)
+           END AS final_text_md5
+    FROM s5
+    """,
+)
+def qd79_crawl_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end crawl curation funnel, oracle-checked stage by stage
+    (round 11 — the integration query for the crawl front door: every
+    stage is the REAL operator, chained the way a RefinedWeb/FineWeb-
+    style pipeline runs them, and each doc carries its cumulative
+    survival lineage so the twin checks the FUNNEL, not just the parts):
+
+    1. WARC parse + HTML extraction (`sources/warc.py`, `llm/html.py`)
+       — the qd72 fixture: truncated streams and 404s drop;
+    2. canonical-URL dedup (`llm/urls.normalize_url`) — synthesized
+       messy URLs (case/port/tracker/fragment junk) collide in pairs,
+       min doc_id survives;
+    3. language filter (metadata lang = 'en', the tagging-pass output);
+    4. length filter (`text.token_count` of the extracted body >= 40);
+    5. per-source cap (first 5 by doc_id per source — the per-site cap
+       every crawl pipeline applies).
+
+    Scale: stages 1-4 are narrow per-row work; the only exchanges are
+    the norm_url dedup (keyed by norm_url), and the per-source cap
+    (keyed by source) — exactly the shuffles the semantics require."""
+    from sql_data_warehouse_analytics_project_spark.llm import (
+        html as html_ext,
+        urls,
+    )
+    from sql_data_warehouse_analytics_project_spark.sources import warc
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text", "lang", "source")
+    crawl = warc.synthesize_warc_crawl(docs.select("doc_id", "text"))
+    recs = warc.warc_records(crawl, source_col="media_id")
+    pages = warc.response_documents(recs)
+    ext = html_ext.html_to_text(
+        pages, id_cols=("target_uri", "http_status"), drop_boilerplate=True
+    ).select(
+        F.regexp_extract("target_uri", r"/doc/(\d+)$", 1).cast("bigint")
+        .alias("doc_id"),
+        F.col("http_status").cast("int").alias("http_status"),
+        F.col("text").alias("xt"),
+    )
+    s1 = docs.join(ext, "doc_id", "left").select(
+        "doc_id", "lang", "source",
+        F.coalesce(F.col("http_status") == 200, F.lit(False))
+        .alias("crawl_ok"),
+        "xt",
+    )
+    messy = F.concat(
+        F.lit("HTTPS://Example.org:443/doc/"),
+        F.shiftright(F.col("doc_id"), 1).cast("string"),
+        F.lit("?utm_source=s"), F.col("doc_id").cast("string"),
+        F.lit("&a=1#frag"),
+    )
+    s2 = s1.select("*", urls.normalize_url(messy).alias("norm_url"))
+    w_url = Window.partitionBy("norm_url")
+    s2 = s2.select(
+        "*",
+        (F.col("crawl_ok")
+         & (F.col("doc_id")
+            == F.min(F.when(F.col("crawl_ok"), F.col("doc_id"))).over(w_url)))
+        .alias("url_unique"),
+    )
+    s3 = s2.withColumn(
+        "lang_ok",
+        F.col("url_unique") & F.coalesce(F.col("lang") == "en",
+                                         F.lit(False)),
+    )
+    body = F.substring_index(F.col("xt"), "\n", -1)
+    s4 = s3.withColumn(
+        "len_ok",
+        F.col("lang_ok")
+        & (F.coalesce(text.token_count(body), F.lit(0)) >= 40),
+    )
+    w_cap = Window.partitionBy("source", "len_ok").orderBy("doc_id")
+    s5 = s4.withColumn(
+        "final_kept",
+        F.col("len_ok") & (F.row_number().over(w_cap) <= 5),
+    )
+    return s5.select(
+        "doc_id", "crawl_ok", "url_unique", "lang_ok", "len_ok",
+        "final_kept",
+        F.when(F.col("final_kept"),
+               F.md5(F.col("xt").cast("binary"))).alias("final_text_md5"),
+    )
+
+
+@register(
+    "qd80_streaming_sketch_maintenance",
+    f"""
+    WITH toks AS (SELECT unnest({{toks}}) AS term FROM documents),
+    cms_pairs AS (
+      SELECT term, d.j AS depth,
+             CAST(CAST(concat('0x', substr(md5('cms' || CAST(d.j AS VARCHAR)
+                 || '|' || term), 1, 15)) AS UBIGINT) % 64 AS BIGINT)
+               AS bucket
+      FROM toks, (SELECT unnest(range(3)) AS j) d
+    ),
+    cms AS (
+      SELECT 'cms' AS kind, depth AS a, bucket AS b,
+             count(*) AS v
+      FROM cms_pairs GROUP BY 2, 3
+    ),
+    h AS (
+      SELECT CAST(CAST(concat('0x', substr(md5('hll|' || term), 1, 15))
+                  AS UBIGINT) AS BIGINT) AS h
+      FROM toks
+    ),
+    rho AS (
+      SELECT CAST(h % 256 AS BIGINT) AS register,
+             CASE WHEN (h >> 8) = 0 THEN 53
+                  ELSE 52 - length(bin(h >> 8)) + 1 END AS rho
+      FROM h
+    ),
+    hll AS (
+      SELECT 'hll' AS kind, register AS a, CAST(0 AS BIGINT) AS b,
+             CAST(MAX(rho) AS BIGINT) AS v
+      FROM rho GROUP BY 2
+    )
+    SELECT kind, CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+           CAST(v AS BIGINT) AS v
+    FROM (SELECT * FROM cms UNION ALL SELECT * FROM hll)
+    """.replace("{toks}", _TOKS),
+)
+def qd80_streaming_sketch_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming sketch maintenance, gate-checked as a streamed-vs-
+    batch equivalence (round 11 — the qd55 pattern applied to the
+    sketch stack): the documents corpus arrives as THREE micro-batches
+    through `streaming.ingest.sketch_sink` (one batch crash-replayed to
+    prove ledger idempotence), the per-batch CMS/HLL slices fold via
+    `sketches_from_sink`, and the output must equal the ONE-SHOT
+    sketches of the whole corpus — which is exactly what the DuckDB
+    twin computes closed-form, knowing nothing about the streaming.
+    This is the mergeability property (CMS cellwise sum, HLL register
+    max) doing production work: a recurring crawl keeps per-batch
+    sketch slices and answers whole-corpus frequency/cardinality
+    questions without ever re-reading text."""
+    import shutil
+    import tempfile
+
+    from sql_data_warehouse_analytics_project_spark.streaming.ingest import (
+        sketch_sink,
+        sketches_from_sink,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    ledger = tempfile.mkdtemp(prefix="sketch_sink_")
+    try:
+        sink = sketch_sink(ledger, "text", depth=3, width=64, p=8)
+        for b in range(3):
+            sink(docs.filter(F.col("doc_id") % 3 == b), b)
+        sink(docs.filter(F.col("doc_id") % 3 == 1), 1)  # crash replay
+        folded = sketches_from_sink(spark, ledger)
+        cms = folded["cms"].select(
+            F.lit("cms").alias("kind"),
+            F.col("depth").cast("long").alias("a"),
+            F.col("bucket").cast("long").alias("b"),
+            F.col("cell_count").cast("long").alias("v"),
+        )
+        hll = folded["hll"].select(
+            F.lit("hll").alias("kind"),
+            F.col("register").cast("long").alias("a"),
+            F.lit(0).cast("long").alias("b"),
+            F.col("rho").cast("long").alias("v"),
+        )
+        # materialize BEFORE the ledger dir is removed — the driver
+        # collects the returned frame lazily
+        return cms.unionByName(hll).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(ledger, ignore_errors=True)

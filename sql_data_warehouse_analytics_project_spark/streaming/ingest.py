@@ -960,3 +960,76 @@ def load_ivfpq_index_from_sink(
     except AnalysisException:
         pass
     return out
+
+
+def sketch_sink(
+    ledger_dir: str,
+    text_col: str = "text",
+    *,
+    depth: int = 3,
+    width: int = 64,
+    p: int = 8,
+    checkpoint_id: "str | None" = None,
+):
+    """foreachBatch sink maintaining STREAMING corpus sketches — the
+    count-min frequency grid (``llm.text.cms_table``) and the
+    HyperLogLog register table (``llm.sketches.hll_registers``) — as
+    per-(checkpoint, batch) ledger slices. Sketches are the natural
+    streaming summaries: both merge by a plain keyed reduction (CMS:
+    cellwise sum; HLL: register-wise max), so every micro-batch
+    sketches ONLY itself and the accumulated ledger folds to the
+    exact whole-stream sketch in one fixed-size aggregation
+    (:func:`sketches_from_sink`) — the corpus text is never re-read,
+    and the fold is provably identical to the one-shot sketch of the
+    concatenated batches (gate key qd80). Replay-idempotent by the
+    sink layout contract (partition overwrite per (cp, batch), the
+    :func:`token_count_sink` protocol); slices compact with
+    ``sources.writers.compact_dataset`` without changing the fold."""
+    from sql_data_warehouse_analytics_project_spark.llm.sketches import (
+        hll_registers,
+    )
+    from sql_data_warehouse_analytics_project_spark.llm.text import (
+        cms_table,
+        tokens,
+    )
+
+    resolved: dict = {}
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if checkpoint_id is not None and "id" not in resolved:
+            resolved["id"] = _checkpoint_identity(spark, checkpoint_id)
+        cp = resolved.get("id") or "default"
+        toks = batch_df.select(F.explode(tokens(text_col)).alias("term"))
+        writers.write_partitioned_slice(
+            cms_table(toks, "term", depth=depth, width=width),
+            f"{ledger_dir}/cms/cp={cp}/batch_id={batch_id}",
+        )
+        writers.write_partitioned_slice(
+            hll_registers(toks, "term", p=p),
+            f"{ledger_dir}/hll/cp={cp}/batch_id={batch_id}",
+        )
+
+    return sink
+
+
+def sketches_from_sink(spark, ledger_dir: str) -> dict:
+    """Fold the :func:`sketch_sink` ledgers to the whole-stream
+    sketches: CMS cells sum, HLL registers max — each a fixed-size
+    keyed aggregation over already-reduced slices. Returns
+    ``{"cms": DataFrame(depth, bucket, cell_count),
+    "hll": DataFrame(register, rho)}`` with the exact schemas of the
+    one-shot builders, so everything downstream (``cms_estimate``,
+    ``hll_estimate``, merges with other corpora) is oblivious to the
+    streaming provenance."""
+    cms = (
+        spark.read.parquet(sources_manifest.resolve(f"{ledger_dir}/cms"))
+        .groupBy("depth", "bucket")
+        .agg(F.sum("cell_count").cast("long").alias("cell_count"))
+    )
+    hll = (
+        spark.read.parquet(sources_manifest.resolve(f"{ledger_dir}/hll"))
+        .groupBy("register")
+        .agg(F.max("rho").alias("rho"))
+    )
+    return {"cms": cms, "hll": hll}

@@ -1146,3 +1146,51 @@ def test_ivfpq_index_sink_equals_batch_updates_and_replays(spark, tmp_path):
     bad = ivfpq_index_sink(str(tmp_path / "nope"))
     with _pytest.raises(FileNotFoundError):
         bad(b1, 0)
+
+
+def test_sketch_sink_fold_equals_one_shot_and_replays(spark, tmp_path):
+    """Round 11: streaming CMS/HLL sketch maintenance. The folded
+    ledger must equal the one-shot sketches of the concatenated
+    batches (mergeability doing production work), a re-delivered
+    batch must overwrite its own slices, and compaction must not
+    change the fold."""
+    from pyspark.sql import functions as F
+
+    from sql_data_warehouse_analytics_project_spark.llm import (
+        sketches as SK,
+        text as T,
+    )
+    from sql_data_warehouse_analytics_project_spark.sources.writers import (
+        compact_dataset,
+    )
+    from sql_data_warehouse_analytics_project_spark.streaming.ingest import (
+        sketch_sink,
+        sketches_from_sink,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i % 11} w{i % 7} shared token stream") for i in range(40)],
+        "doc_id long, text string",
+    )
+    ledger = str(tmp_path / "sk_ledger")
+    sink = sketch_sink(ledger, "text", depth=2, width=16, p=6)
+    sink(docs.filter(F.col("doc_id") < 20), 0)
+    sink(docs.filter(F.col("doc_id") >= 20), 1)
+    sink(docs.filter(F.col("doc_id") >= 20), 1)  # crash replay
+
+    toks = docs.select(F.explode(T.tokens("text")).alias("term"))
+    want_cms = sorted(map(tuple, T.cms_table(
+        toks, "term", depth=2, width=16).collect()))
+    want_hll = sorted(map(tuple, SK.hll_registers(
+        toks, "term", p=6).collect()))
+
+    folded = sketches_from_sink(spark, ledger)
+    assert sorted(map(tuple, folded["cms"].collect())) == want_cms
+    assert sorted(map(tuple, folded["hll"].collect())) == want_hll
+
+    # compaction folds slices without changing either sketch
+    compact_dataset(spark, f"{ledger}/cms")
+    compact_dataset(spark, f"{ledger}/hll")
+    folded2 = sketches_from_sink(spark, ledger)
+    assert sorted(map(tuple, folded2["cms"].collect())) == want_cms
+    assert sorted(map(tuple, folded2["hll"].collect())) == want_hll
