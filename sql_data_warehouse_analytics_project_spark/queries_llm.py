@@ -3623,7 +3623,12 @@ def qd72_warc_html_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir).select("doc_id", "text")
     crawl = warc.synthesize_warc_crawl(docs)
-    recs = warc.warc_records(crawl, source_col="media_id")
+    # materialized ONCE: the parse chain feeds BOTH the per-file
+    # aggregate and the extraction branch — without the checkpoint the
+    # Python synthesis+parse kernels execute twice
+    recs = warc.warc_records(crawl, source_col="media_id").localCheckpoint(
+        eager=True
+    )
     per_file = (
         recs.groupBy("source_file")
         .agg(
