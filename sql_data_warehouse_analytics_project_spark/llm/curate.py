@@ -179,16 +179,33 @@ def curate_corpus(
 
 def curation_report(stages: Mapping[str, DataFrame], id_col: str = "doc_id") -> DataFrame:
     """One-row-per-stage funnel: how many documents each curation stage
-    kept. Evaluates the stage plans (four counts + a split breakdown) —
-    call on a sampled corpus or budget a real run."""
-    spark = stages["exact"].sparkSession
-    rows = [
-        ("exact_dedup", stages["exact"].count()),
-        ("near_dedup", stages["near"].count()),
-        ("quality_filter", stages["decisions"].filter(F.col("keep")).count()),
-        ("curated", stages["curated"].count()),
-    ]
-    funnel = spark.createDataFrame(rows, "stage string, n_docs long")
+    kept (four stage counts + a split breakdown) — call on a sampled
+    corpus or budget a real run.
+
+    The counts are LAZY single-row aggregates unioned into one plan, not
+    eager ``count()`` actions: the caller's one action then runs every
+    count in a single Spark job (the four stage subtrees are checkpointed
+    by ``curate_corpus(materialize=True)``/``write_through``, so each is
+    one cheap scan), where four sequential driver actions previously paid
+    four rounds of fixed job latency — pure scheduling overhead at any
+    scale, and the stage counts are independent so nothing orders them."""
+
+    def _stage_count(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+        )
+
+    funnel = (
+        _stage_count(stages["exact"], "exact_dedup")
+        .unionByName(_stage_count(stages["near"], "near_dedup"))
+        .unionByName(
+            _stage_count(
+                stages["decisions"].filter(F.col("keep")), "quality_filter"
+            )
+        )
+        .unionByName(_stage_count(stages["curated"], "curated"))
+    )
     by_split = (
         stages["curated"]
         .groupBy(F.concat(F.lit("curated_"), F.col("split")).alias("stage"))

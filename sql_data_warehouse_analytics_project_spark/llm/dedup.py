@@ -940,9 +940,18 @@ def embedding_dup_pairs(
             "similarity.lsh_ann (the scale path), or raise "
             "max_broadcast_bytes if the driver really has the memory"
         )
-    corpus = base.collect()
-    ids_b = np.array([r["id"] for r in corpus], dtype=np.int64)
-    mat_b = np.array([r["v"] for r in corpus], dtype=np.float64)
+    # Arrow transfer, not row collect: ``collect()`` pickles every row's
+    # array<double> element-by-element through Py4J (measured as the
+    # dominant driver cost of this pull at a few thousand vectors), while
+    # ``toPandas()`` rides the session's Arrow path and lands columnar
+    # buffers that vstack straight into the GEMM operand.
+    corpus = base.toPandas()
+    ids_b = corpus["id"].to_numpy(dtype=np.int64)
+    mat_b = (
+        np.vstack(corpus["v"].to_numpy())
+        if len(corpus)
+        else np.empty((0, 0), dtype=np.float64)
+    ).astype(np.float64)
     norms_b = np.sqrt((mat_b * mat_b).sum(axis=1))
     bc = embeddings.sparkSession.sparkContext.broadcast((ids_b, mat_b, norms_b))
 
@@ -1071,9 +1080,14 @@ def _dup_window_positions(
     distinct windows per expected collision — and the SQL twins replay
     the same hash, so the gate check is exact either way."""
     t = tokens(text_col)
+    # PIN the tokenized base: it feeds one explode branch PER WIDTH plus
+    # the caller's zero-fill grid (and, for removal, the text rebuild) —
+    # as a lazy plan each consumer re-ran the tokenizer regex over the
+    # corpus, so a 3-width profile tokenized 4×. One materialized pass
+    # is the "tokenize ONCE" the operator always claimed.
     base = df.select(F.col(id_col), t.alias("_t")).select(
         F.col(id_col), F.size("_t").alias("n_tokens"), "_t"
-    )
+    ).localCheckpoint(eager=True)
 
     def width_branch(w: int) -> DataFrame:
         gram_salt = f"{salt}|{w}|" if width_in_salt else f"{salt}|"

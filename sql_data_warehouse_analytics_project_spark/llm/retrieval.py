@@ -91,8 +91,20 @@ def build_bm25_index(
     ``b`` are query-time scoring knobs, so one persisted index serves
     every tuning. Callers persist the two DataFrames however they like —
     ``localCheckpoint`` for a session, ``write_dataset`` for reuse
-    across jobs."""
-    tf, dl = _tokenize(corpus, id_col, text_col)
+    across jobs.
+
+    The (doc, term, tf) reduction is localCheckpointed here (the
+    ``update_bm25_index`` discipline): it feeds THREE consumers — the
+    n_docs/total_dl scalars collected below, ``term_stats``, and
+    ``postings`` — and without the pin each consumer re-executes the
+    corpus tokenize + explode (Spark shares no common subtrees across one
+    plan), so a build-then-search ran the corpus-sized pass three times
+    (measured in qd45's plan: three parquet scans of the corpus feeding
+    three separate explode pipelines). One pass is the floor and this is
+    it."""
+    tf, _ = _tokenize(corpus, id_col, text_col)
+    tf = tf.localCheckpoint()
+    dl = tf.groupBy("doc").agg(F.sum("tf").cast("long").alias("dl"))
     row = dl.agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_dl")
     ).collect()[0]

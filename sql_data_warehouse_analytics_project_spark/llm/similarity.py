@@ -35,16 +35,127 @@ def cosine_topk(
     Output: (query_id, neighbor_id, cosine, rank), rank 1..k, self excluded,
     ties broken by neighbor id. ``queries`` is usually small → broadcast it
     so the corpus never shuffles; the per-query ranking is a window over
-    query_id (uniform key distribution)."""
-    q = F.broadcast(
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    query_id (uniform key distribution).
+
+    Scoring is the Arrow-batched GEMM of ``dedup.embedding_dup_pairs``
+    (query matrix collected once — queries are the broadcast-small side
+    by contract — each corpus partition scored with one BLAS matmul), not
+    the ``zip_with``+``aggregate`` fold per pair: the fold evaluates an
+    interpreted lambda per vector ELEMENT, ~20× slower per pair at any
+    scale (the ``lsh_signatures`` measurement). NULL semantics match the
+    fold exactly — NULL or zero-norm on either side yields a NULL cosine
+    (NaN rows masked to None); scores round to 6dp BEFORE ranking as
+    before, which also absorbs summation-order ulps. Integral ids ride
+    the int64 kernel; other id types fall back to the expression plan."""
+    from pyspark.sql import types as T
+
+    id_type = embeddings.schema[id_col].dataType
+    integral = isinstance(
+        id_type, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
     )
-    c = embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"))
-    scored = (
-        c.crossJoin(q)
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos", cosine(F.col("qv"), F.col("nv")))
-    )
+    if not integral:
+        q = F.broadcast(
+            queries.select(
+                F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+            )
+        )
+        c = embeddings.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv")
+        )
+        scored = (
+            c.crossJoin(q)
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .withColumn("cos", cosine(F.col("qv"), F.col("nv")))
+        )
+    else:
+        qpd = queries.select(
+            F.col(id_col).cast("long").alias("qid"),
+            F.col(vec_col).cast("array<double>").alias("qv"),
+        ).toPandas()
+        q_ids = qpd["qid"].to_numpy(dtype=np.int64)
+        q_valid = qpd["qv"].notna().to_numpy()
+        dim = int(next((len(v) for v in qpd["qv"] if v is not None), 0))
+        q_mat = (
+            np.vstack(qpd["qv"][q_valid].to_numpy()).astype(np.float64)
+            if q_valid.any()
+            else np.empty((0, dim), dtype=np.float64)
+        )
+        q_norm = np.sqrt((q_mat * q_mat).sum(axis=1))
+        bc = embeddings.sparkSession.sparkContext.broadcast(
+            (q_ids, q_valid, q_mat, q_norm)
+        )
+
+        def block(batches):
+            jids, jvalid, jmat, jnorm = bc.value
+            vids = jids[jvalid]
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                n_ids = pdf["nid"].to_numpy(dtype=np.int64)
+                n_valid = pdf["nv"].notna().to_numpy()
+                qs = [np.empty(0, dtype=np.int64)]
+                ns = [np.empty(0, dtype=np.int64)]
+                cs: list[np.ndarray] = [np.empty(0, dtype=object)]
+
+                def emit(qarr, narr, carr):
+                    qs.append(qarr)
+                    ns.append(narr)
+                    cs.append(carr)
+
+                if n_valid.any() and len(vids):
+                    n_mat = np.vstack(
+                        pdf["nv"][n_valid].to_numpy()
+                    ).astype(np.float64)
+                    n_norm = np.sqrt((n_mat * n_mat).sum(axis=1))
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        sims = (n_mat @ jmat.T) / (
+                            n_norm[:, None] * jnorm[None, :]
+                        )
+                    nv_ids = n_ids[n_valid]
+                    keep = nv_ids[:, None] != vids[None, :]  # self excluded
+                    r, c = np.nonzero(keep)
+                    vals = sims[r, c]
+                    # NaN (zero-norm side) must surface as NULL, not NaN
+                    # — Spark ranks NaN above every real double in desc
+                    # order while the fold path yields NULL (ranked last)
+                    cobj = vals.astype(object)
+                    cobj[np.isnan(vals)] = None
+                    emit(vids[c], nv_ids[r], cobj)
+                # pairs whose cosine is NULL because a side's vector is
+                # NULL still reach the ranking — the fold path's behavior
+                null_n = n_ids[~n_valid]
+                if len(null_n) and len(jids):
+                    keep = null_n[:, None] != jids[None, :]
+                    r, c = np.nonzero(keep)
+                    emit(jids[c], null_n[r],
+                         np.full(len(r), None, dtype=object))
+                null_q = jids[~jvalid]
+                valid_n = n_ids[n_valid]
+                if len(null_q) and len(valid_n):
+                    keep = valid_n[:, None] != null_q[None, :]
+                    r, c = np.nonzero(keep)
+                    emit(null_q[c], valid_n[r],
+                         np.full(len(r), None, dtype=object))
+                yield pd.DataFrame(
+                    {
+                        "query_id": pd.Series(np.concatenate(qs), dtype=np.int64),
+                        "neighbor_id": pd.Series(np.concatenate(ns), dtype=np.int64),
+                        "cos": pd.Series(np.concatenate(cs), dtype=object),
+                    }
+                )
+
+        scored = (
+            embeddings.select(
+                F.col(id_col).cast("long").alias("nid"),
+                F.col(vec_col).cast("array<double>").alias("nv"),
+            )
+            .mapInPandas(block, schema="query_id long, neighbor_id long, cos double")
+            .select(
+                F.col("query_id").cast(id_type),
+                F.col("neighbor_id").cast(id_type),
+                "cos",
+            )
+        )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

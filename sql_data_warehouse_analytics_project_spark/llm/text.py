@@ -951,38 +951,37 @@ def _clf_buckets(df: DataFrame, id_col: str, text_col: str,
     regardless of vocabulary, broadcastable at any corpus scale). One
     tokenize feeds both n-gram orders; the groupBy is map-side combined
     so raw occurrences never funnel through one reducer."""
+    # ONE tokenize, ONE explode: the previous union of a unigram branch
+    # and a bigram branch re-ran the tokenizer regex per branch (Spark
+    # shares no common subtrees across a union), and the bigram branch
+    # built struct rows through arrays_zip — the same named-struct
+    # codegen cliff qd64's span profile hit. Both n-gram orders now
+    # materialize as plain salted STRINGS inside one array (identical
+    # md5 inputs, so buckets — and the trained model — are bit-equal),
+    # and a single explode feeds the map-side-combined count.
     t = tokens(text_col)
     base = df.select(F.col(id_col), t.alias("_t"))
-    uni = base.select(F.col(id_col), F.explode("_t").alias("_w")).select(
-        F.col(id_col),
-        (
-            md5_60bit(F.concat(F.lit(f"{salt}|1|"), F.col("_w")))
-            % num_buckets
-        ).alias("bucket"),
+    uni = F.transform(
+        F.col("_t"), lambda w: F.concat(F.lit(f"{salt}|1|"), w)
     )
-    big = base.filter(F.size("_t") >= 2).select(
-        F.col(id_col),
-        F.explode(
-            F.arrays_zip(
-                F.slice("_t", 1, F.size("_t") - 1).alias("w1"),
-                F.slice("_t", 2, F.size("_t") - 1).alias("w2"),
-            )
-        ).alias("_bg"),
-    ).select(
-        F.col(id_col),
-        (
-            md5_60bit(
-                F.concat(
-                    F.lit(f"{salt}|2|"),
-                    F.col("_bg.w1"), F.lit(" "), F.col("_bg.w2"),
-                )
-            )
-            % num_buckets
-        ).alias("bucket"),
+    big = F.when(
+        F.size("_t") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("_t") - 1),
+            lambda i: F.concat(
+                F.lit(f"{salt}|2|"),
+                F.element_at(F.col("_t"), i),
+                F.lit(" "),
+                F.element_at(F.col("_t"), i + 1),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = base.select(
+        F.col(id_col), F.explode(F.concat(uni, big)).alias("_g")
     )
-    return uni.unionByName(big).groupBy(id_col, "bucket").agg(
-        F.count(F.lit(1)).alias("tf")
-    )
+    return grams.select(
+        F.col(id_col), (md5_60bit(F.col("_g")) % num_buckets).alias("bucket")
+    ).groupBy(id_col, "bucket").agg(F.count(F.lit(1)).alias("tf"))
 
 
 def _clf_margin(feats: DataFrame, docs_t: DataFrame, id_col: str,
@@ -1025,6 +1024,7 @@ def train_quality_classifier(
     iters: int = 3,
     lr: float = 20.0,
     salt: str = "qclf",
+    keep_features: bool = False,
 ) -> dict:
     """Train the hashed-ngram logistic quality classifier: ``iters``
     full-batch gradient-descent steps from zero weights. Features are
@@ -1043,7 +1043,15 @@ def train_quality_classifier(
     iteration). Updates ``w ← w − round(lr·grad/n)`` in fixed point.
     Returns ``{"w_q", "b_q", "n_docs", "num_buckets", "iters", "lr",
     "salt"}`` — json-serializable, tiny, engine-portable (gate qd66
-    replays training in unrolled DuckDB CTEs, bit-exact)."""
+    replays training in unrolled DuckDB CTEs, bit-exact).
+
+    ``keep_features=True`` additionally returns ``"features"`` — the
+    PINNED (id, bucket, tf) frame training already paid for — instead of
+    releasing it, so a caller about to SCORE the same corpus under the
+    same (num_buckets, salt) can pass it to
+    :func:`quality_classifier_scores` and skip a second full
+    feature-hash pass (the md5 n-gram hashing is the dominant CPU of
+    both train and score). The caller owns the checkpoint's lifetime."""
     if num_buckets < 2 or iters < 1 or lr <= 0:
         raise ValueError("need num_buckets ≥ 2, iters ≥ 1, lr > 0")
     from sql_data_warehouse_analytics_project_spark.llm.vocab import (
@@ -1051,9 +1059,26 @@ def train_quality_classifier(
     )
 
     spark = df.sparkSession
-    feats = _clf_buckets(
-        df, id_col, text_col, num_buckets, salt
-    ).localCheckpoint(eager=True)
+    # Pin the feature reduction PARTITIONED BY DOC ID: every later pass
+    # (margin groupBy(id), gradient join on id, label join) is keyed by
+    # the doc id, so materializing the checkpoint in that layout lets
+    # each iteration's plan satisfy its distribution requirements from
+    # the pinned RDD instead of re-exchanging the features once per
+    # margin pass and once per gradient pass (localCheckpoint preserves
+    # the physical partitioning). _clf_buckets otherwise ends hash-
+    # partitioned on (id, bucket), which satisfies neither.
+    # PINNED partition count (spark.sql.shuffle.partitions — conf-
+    # parameterised, so a cluster sets it to its own scale): an AQE-
+    # coalescible repartition was measured to collapse this frame to ONE
+    # partition at gate scale, serializing every subsequent training
+    # pass (margins, gradient joins) on one core — 2.3× slower than the
+    # pinned parallel layout despite running fewer tasks.
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    feats = (
+        _clf_buckets(df, id_col, text_col, num_buckets, salt)
+        .repartition(nparts, F.col(id_col))
+        .localCheckpoint(eager=True)
+    )
     labels = df.select(
         F.col(id_col),
         # NULL labels coalesce to negative on BOTH sides (the DuckDB
@@ -1071,7 +1096,31 @@ def train_quality_classifier(
         .drop("_y")
         .localCheckpoint(eager=True)
     )
-    n_docs = docs_t.count()
+    # ONE action for the NB-init bucket counts AND the two scalars the
+    # trainer needs (row count + positive count): the scalars ride the
+    # same collect as a null-bucket row (ct carries n_pos, cr carries
+    # n_docs) — these were three separate driver round-trips before.
+    crows_all = (
+        feats.join(docs_t.select(id_col, "y"), id_col)
+        .groupBy("bucket")
+        .agg(
+            F.sum(F.when(F.col("y") == 1, F.col("tf")).otherwise(0))
+            .cast("long").alias("ct"),
+            F.sum("tf").cast("long").alias("cr"),
+        )
+        .unionByName(
+            docs_t.agg(
+                F.lit(None).cast("long").alias("bucket"),
+                F.coalesce(F.sum("y"), F.lit(0)).cast("long").alias("ct"),
+                F.count(F.lit(1)).cast("long").alias("cr"),
+            )
+        )
+        .collect()
+    )
+    crows = [r for r in crows_all if r["bucket"] is not None]
+    scalars = next(r for r in crows_all if r["bucket"] is None)
+    n_docs = int(scalars["cr"])
+    n_pos = int(scalars["ct"])
     w_q: dict[int, int] = {}
     b_q = 0
     if n_docs:
@@ -1089,16 +1138,6 @@ def train_quality_classifier(
 
         k = 0.5
         kb = k * num_buckets
-        crows = (
-            feats.join(docs_t.select(id_col, "y"), id_col)
-            .groupBy("bucket")
-            .agg(
-                F.sum(F.when(F.col("y") == 1, F.col("tf")).otherwise(0))
-                .cast("long").alias("ct"),
-                F.sum("tf").cast("long").alias("cr"),
-            )
-            .collect()
-        )
         tt = sum(int(r["ct"]) for r in crows)
         tr = sum(int(r["cr"]) for r in crows)
         tn = tr - tt
@@ -1108,7 +1147,6 @@ def train_quality_classifier(
                 (cn + k) / (tn + kb)
             )
             w_q[int(r["bucket"])] = _round_half_away(llr * _CLF_SCALE)
-        n_pos = docs_t.agg(F.sum("y")).collect()[0][0] or 0
         b_q = _round_half_away(
             _math.log((n_pos + k) / (n_docs - n_pos + k)) * _CLF_SCALE
         )
@@ -1128,21 +1166,37 @@ def train_quality_classifier(
                 )
                 .localCheckpoint(eager=True)  # feeds grad join + bias sum
             )
+            # ONE action per iteration for bucket gradients AND the bias
+            # gradient: the bias sum rides along as a null-bucket row in
+            # the same union (both sums are exact bigints over the same
+            # pinned residuals, so the fusion is arithmetic-neutral) —
+            # previously two sequential collects per iteration.
             grows = (
                 feats.join(d.select(id_col, "cq"), id_col)
                 .groupBy("bucket")
                 .agg(F.sum(F.col("cq") * F.col("tf")).cast("long").alias("g"))
+                .unionByName(
+                    d.agg(
+                        F.lit(None).cast("long").alias("bucket"),
+                        F.coalesce(F.sum("rq"), F.lit(0))
+                        .cast("long").alias("g"),
+                    )
+                )
                 .collect()
             )
-            gb = d.agg(F.sum("rq").cast("long")).collect()[0][0] or 0
+            gb = 0
             for r in grows:
+                if r["bucket"] is None:
+                    gb = int(r["g"])
+                    continue
                 step = _round_half_away(lr * int(r["g"]) / n_docs)
                 w_q[int(r["bucket"])] = w_q.get(int(r["bucket"]), 0) - step
             b_q -= _round_half_away(lr * int(gb) / n_docs)
             _release_checkpoint(d)
-    for frame in (feats, docs_t):
-        _release_checkpoint(frame)
-    return {
+    _release_checkpoint(docs_t)
+    if not keep_features:
+        _release_checkpoint(feats)
+    out = {
         "w_q": {int(b): int(q) for b, q in w_q.items()},
         "b_q": int(b_q),
         "n_docs": int(n_docs),
@@ -1151,6 +1205,9 @@ def train_quality_classifier(
         "lr": float(lr),
         "salt": salt,
     }
+    if keep_features:
+        out["features"] = feats
+    return out
 
 
 def quality_classifier_scores(
@@ -1158,6 +1215,8 @@ def quality_classifier_scores(
     model: dict,
     id_col: str,
     text_col: str = "text",
+    *,
+    features: DataFrame | None = None,
 ) -> DataFrame:
     """Score documents under a trained classifier:
     ``(id, n_features, score, predicted)`` where ``score`` is the
@@ -1165,9 +1224,17 @@ def quality_classifier_scores(
     therefore compare identically on every engine) and ``predicted`` is
     ``score ≥ 0.5``. Work is one feature hash + one broadcast join —
     the production corpus-filter pass; documents with no tokens have no
-    features and are omitted (the training-side convention)."""
+    features and are omitted (the training-side convention).
+
+    ``features`` accepts a pre-computed (ideally pinned) ``(id, bucket,
+    tf)`` frame for the SAME ``df`` under the same (num_buckets, salt) —
+    the train-then-score-the-training-corpus flow passes the trainer's
+    ``keep_features=True`` handle and skips re-hashing the corpus (the
+    md5 n-gram pass is the dominant CPU of scoring). Caller's contract
+    that it matches, exactly like the shingle-``index`` reuse in
+    ``llm/dedup``."""
     spark = df.sparkSession
-    feats = _clf_buckets(
+    feats = features if features is not None else _clf_buckets(
         df, id_col, text_col, int(model["num_buckets"]), model["salt"]
     )
     docs_t = feats.groupBy(id_col).agg(F.sum("tf").cast("long").alias("dl"))

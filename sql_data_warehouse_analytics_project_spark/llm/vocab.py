@@ -152,6 +152,7 @@ def train_bpe(
     *,
     num_merges: int = 16,
     min_freq: int = 2,
+    driver_max_types: int = 1_000_000,
 ):
     """Full BPE tokenizer TRAINING (Sennrich et al. 2016 — the iterative
     half that :func:`bpe_pair_counts` only takes the first step of):
@@ -185,6 +186,65 @@ def train_bpe(
         .select("w", "wn", chars.alias("pieces"))
         .localCheckpoint(eager=True)
     )
+    spark = df.sparkSession
+    # Word-type vocabularies at or under ``driver_max_types`` rows (known
+    # for free — the collapse is materialized anyway) train with the
+    # classic in-memory merge loop on the driver (the
+    # ``connected_components`` driver_max_edges pattern): after the one
+    # corpus-sized collapse, BPE's working set is the TYPE vocabulary —
+    # bounded by the language, not the corpus (this is why every
+    # production BPE trainer is single-machine past the word count) — and
+    # the distributed loop's per-merge cost is fixed job/shuffle overhead
+    # ~10× the actual pair arithmetic. Tie-breaks ((freq desc, s1, s2) —
+    # tokens are ASCII, so Python and UTF8String orderings agree) and the
+    # greedy left-to-right merge are bit-identical to the distributed
+    # path, which remains the ≥millions-of-types scale story below.
+    if wc.count() <= driver_max_types:
+        rows = wc.select("w", "wn").collect()
+        _release_checkpoint(wc)
+        words = {r["w"]: int(r["wn"]) for r in rows}
+        segs: dict[str, list[str]] = {w: list(w) for w in words}
+        merges = []
+        for rank in range(1, num_merges + 1):
+            pc: dict[tuple[str, str], int] = {}
+            for w, cnt in words.items():
+                s = segs[w]
+                for a, b in zip(s, s[1:]):
+                    pc[(a, b)] = pc.get((a, b), 0) + cnt
+            if not pc:
+                break
+            (s1, s2), freq = min(
+                pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )
+            if freq < min_freq:
+                break
+            merges.append((rank, s1, s2, int(freq)))
+            m = s1 + s2
+            for w, s in segs.items():
+                out: list[str] = []
+                i = 0
+                while i < len(s):
+                    if i + 1 < len(s) and s[i] == s1 and s[i + 1] == s2:
+                        out.append(m)
+                        i += 2
+                    else:
+                        out.append(s[i])
+                        i += 1
+                segs[w] = out
+        merges_df = spark.createDataFrame(
+            merges, "rank int, s1 string, s2 string, freq bigint"
+        ) if merges else spark.createDataFrame(
+            [], "rank int, s1 string, s2 string, freq bigint"
+        )
+        word_pieces = spark.createDataFrame(
+            [(w, words[w], segs[w]) for w in words],
+            "w string, wn bigint, pieces array<string>",
+        )
+        return {
+            "merges": merges_df,
+            "word_pieces": word_pieces,
+            "n_merges": len(merges),
+        }
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(1, num_merges + 1):
         pairs = (

@@ -369,6 +369,20 @@ def fuzzy_join(
             )
     l = left.select(*keys, *[F.col(c).alias(f"l_{c}") for c in lcols])
     r = right.select(*keys, *[F.col(c).alias(f"r_{c}") for c in rcols])
+    # The per-pair Levenshtein dominates this operator by orders of
+    # magnitude over row movement, so probe-side parallelism must come
+    # from the BLOCK layout, not from however many file splits the input
+    # happens to arrive as: a small single-split side would otherwise run
+    # every in-block DP comparison on one core (measured: the whole q58
+    # broadcast-join probe executed as ONE task). Hash-partitioning the
+    # probe side by the block keys (pinned count — AQE would coalesce a
+    # small keyed exchange right back to one partition) spreads blocks
+    # across the cluster and is the same exchange a sort-merge plan would
+    # need anyway; the row payload here is thin (keys + match column).
+    nparts = int(
+        left.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    l = l.repartition(nparts, *[F.col(k) for k in keys])
     lc, rc = F.col(f"l_{left_col}"), F.col(f"r_{right_col}")
     # Two-tier prune inside the block: (1) |len(a)-len(b)| <= max_distance
     # is a lower bound on edit distance and costs O(1) per pair — the

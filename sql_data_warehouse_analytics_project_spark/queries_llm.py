@@ -1621,9 +1621,14 @@ def qd42_near_dup_against_snapshot(spark: SparkSession, sf_dir: str) -> DataFram
     replays every stage bit-exactly; the xxhash64 production path shares
     the same plumbing)."""
     docs = _docs(spark, sf_dir)
+    # the snapshot's signature pipeline (tokenize + shingle + 8 md5
+    # hashes) feeds BOTH consumers inside near_dup_against_snapshot (the
+    # band join and the agreement join) — in production it is a persisted
+    # parquet read, so the gate pins it the same way instead of running
+    # the md5 MinHash pass over the snapshot twice
     snap_sigs = dedup.minhash_signatures_portable(
         docs.filter(F.col("doc_id") % 3 == 0), "doc_id", num_hashes=8
-    )
+    ).localCheckpoint()
     return dedup.near_dup_against_snapshot(
         docs.filter(F.col("doc_id") % 3 != 0),
         snap_sigs,
@@ -3208,9 +3213,13 @@ def qd66_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     model = text.train_quality_classifier(
         docs, "doc_id", F.col("lang") == "en",
-        num_buckets=4096, iters=3, lr=5.0,
+        num_buckets=4096, iters=3, lr=5.0, keep_features=True,
     )
-    return text.quality_classifier_scores(docs, model, "doc_id")
+    # score through the trainer's pinned feature frame: same corpus, same
+    # (num_buckets, salt) — skips a second full md5 n-gram hash pass
+    return text.quality_classifier_scores(
+        docs, model, "doc_id", features=model["features"]
+    )
 
 
 @register(

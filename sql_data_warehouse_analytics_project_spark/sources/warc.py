@@ -367,7 +367,15 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
 
 
 def response_documents(records: DataFrame, *, charset: str = "utf-8") -> DataFrame:
-    """Project HTTP-response records to (uri, html) document rows."""
+    """Project HTTP-response records to (uri, html) document rows.
+
+    The charset decode is the JVM ``decode`` expression, not a Python
+    kernel: a ``mapInPandas`` here shipped every HTML body across the
+    Python boundary twice (JVM→Arrow→JVM) just to run ``bytes.decode`` —
+    pure serialization cost on the pipeline's widest column. Both paths
+    use the replacement-character policy for malformed input
+    (``java.lang.String(bytes, charset)`` ≡ Python ``errors='replace'``
+    for the well-formed-prefix streams that survive ``parse_ok``)."""
     from pyspark.sql import functions as F
 
     ok = records.filter(
@@ -375,15 +383,8 @@ def response_documents(records: DataFrame, *, charset: str = "utf-8") -> DataFra
         & F.col("http_status").isNotNull()
     )
 
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            yield pd.DataFrame({
-                "target_uri": pdf["target_uri"],
-                "http_status": pdf["http_status"],
-                "html": [bytes(b).decode(charset, "replace")
-                         for b in pdf["body"]],
-            })
-
-    return ok.select("target_uri", "http_status", "body").mapInPandas(
-        kernel, "target_uri string, http_status int, html string"
+    return ok.select(
+        "target_uri",
+        F.col("http_status").cast("int").alias("http_status"),
+        F.decode(F.col("body"), charset).alias("html"),
     )
