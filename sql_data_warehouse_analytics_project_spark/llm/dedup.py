@@ -680,6 +680,8 @@ def contaminated_ids(
     text_col: str = "text",
     n: int = 5,
     min_common: int = 1,
+    *,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Benchmark decontamination scan: training docs sharing ≥``min_common``
     word ``n``-gram shingles with an evaluation corpus — the standard
@@ -691,8 +693,10 @@ def contaminated_ids(
     training corpus — AQE broadcasts that side), the join output is just
     (doc, shingle) hits, and the per-doc count is map-side combined.
     The training text itself never shuffles."""
-    train = shingle_index(df, id_col, text_col, n)
-    evals = shingle_index(eval_df, id_col, text_col, n).select("shingle").distinct()
+    train = shingle_index(df, id_col, text_col, n, tokens_col=tokens_col)
+    evals = shingle_index(
+        eval_df, id_col, text_col, n, tokens_col=tokens_col
+    ).select("shingle").distinct()
     return (
         train.join(evals, "shingle")
         .groupBy("doc")
@@ -1117,14 +1121,24 @@ def _dup_window_positions(
     pos = width_branch(widths[0])
     for w in widths[1:]:
         pos = pos.unionByName(width_branch(w))
-    gram_docs = pos.groupBy("_g", id_col).agg(F.count(F.lit(1)).alias("_n"))
-    dup_grams = (
-        gram_docs.groupBy("_g")
-        .agg(F.count(F.lit(1)).alias("_docs"))
-        .filter(F.col("_docs") > 1)
-        .select("_g")
+    # "occurs in MORE THAN ONE document" as two stacked window counts
+    # instead of [groupBy(_g, id) → groupBy(_g) → join back to pos]: the
+    # lazy ``pos`` union fed BOTH the aggregation chain and the join, so
+    # every window was md5-hashed and exploded TWICE and the plan paid
+    # three exchanges. A gram is cross-doc duplicated iff its total
+    # occurrence count exceeds its own-document count — per-row longs,
+    # no sets — and hashpartitioning(_g) satisfies both window specs
+    # (exprs ⊆ partition keys), so the whole dup test is ONE exchange +
+    # one sort over a single md5 pass. Identical row set: kept ⟺ the
+    # gram has an occurrence outside the row's document.
+    n_all = F.count(F.lit(1)).over(Window.partitionBy("_g"))
+    n_own = F.count(F.lit(1)).over(Window.partitionBy("_g", id_col))
+    dup_pos = (
+        pos.withColumn("_xdoc", n_all > n_own)
+        .filter(F.col("_xdoc"))
+        .drop("_xdoc")
     )
-    return base.select(id_col, "n_tokens", "_t"), pos.join(dup_grams, "_g")
+    return base.select(id_col, "n_tokens", "_t"), dup_pos
 
 
 def _interval_union(dup_pos: DataFrame, keys: "list[str]") -> DataFrame:

@@ -347,12 +347,36 @@ def _kmeans_refine(base: DataFrame, cmat, n_iter: int):
     return cmat
 
 
+def _seed_sample(
+    embeddings: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n: int,
+) -> list:
+    """The ``n`` lowest-id non-null vectors as ``(id, v array<double>)``
+    rows — the ONE deterministic probe every index-build seed derives
+    from. The IVF centroid seeds, the PQ codebook seeds, the dim probe,
+    and the build-time quantization-error baseline all consume prefixes
+    of this list, so ``build_ivfpq_index`` collects it once instead of
+    running four separate lowest-id TakeOrdered jobs over the corpus
+    (each with its own Arrow/worker spin-up — pure fixed cost repeated)."""
+    return (
+        embeddings.filter(F.col(vec_col).isNotNull())
+        .orderBy(F.col(id_col))
+        .limit(n)
+        .select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
+        .collect()
+    )
+
+
 def build_ivf_index(
     embeddings: DataFrame,
     n_centroids: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     kmeans_iters: int = 2,
+    *,
+    _seed_rows: "list | None" = None,
 ) -> dict:
     """Build the IVF index ONCE, search it many times — the production
     ANN lifecycle (index construction is the expensive, corpus-sized
@@ -377,12 +401,10 @@ def build_ivf_index(
     import numpy as np
 
     nonnull = embeddings.filter(F.col(vec_col).isNotNull())
-    cent_rows = (
-        nonnull.orderBy(F.col(id_col))
-        .limit(n_centroids)
-        .select(F.col(id_col), F.col(vec_col).cast("array<double>"))
-        .collect()
-    )
+    if _seed_rows is None:
+        cent_rows = _seed_sample(embeddings, id_col, vec_col, n_centroids)
+    else:  # same projection/order — a prefix of the caller's one probe
+        cent_rows = _seed_rows[:n_centroids]
     id_sql = embeddings.schema[id_col].dataType.simpleString()
     spark = embeddings.sparkSession
     if not cent_rows:  # empty/all-null corpus: searchable, zero results
@@ -524,12 +546,13 @@ def ivf_ann_topk(
 # -- product quantization (IVF-PQ): compressed-vector ANN --------------------
 
 
-def _pq_seed_codebooks(base: DataFrame, m: int, n_codes: int) -> "np.ndarray":
+def _pq_seed_codebooks(rows: list, m: int) -> "np.ndarray":
     """Deterministic PQ seed: the ``n_codes`` lowest-id UNIT vectors,
     sliced into ``m`` subspaces → (m, n_codes, d_sub). Same seeding rule
     as the IVF coarse quantizer (low-id rows), so index builds are
-    reproducible with no RNG state."""
-    rows = base.orderBy(F.col("id")).limit(n_codes).select("v").collect()
+    reproducible with no RNG state. Takes the already-collected
+    ``(id, v)`` rows (:func:`_seed_sample` prefix) — seeding must not be
+    its own corpus job."""
     mat = np.array([r["v"] for r in rows], dtype=np.float64)
     norms = np.linalg.norm(mat, axis=1)
     norms[norms == 0] = 1.0
@@ -548,6 +571,8 @@ def train_pq(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     iters: int = 2,
+    *,
+    _seed_rows: "list | None" = None,
 ) -> list:
     """Train per-subspace PQ codebooks (classic L2 Lloyd on unit-
     normalized vectors, all ``m`` subspaces refined in ONE distributed
@@ -563,14 +588,17 @@ def train_pq(
     base = nonnull.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
     )
-    first = base.select(F.size("v").alias("n")).limit(1).collect()
-    if not first:
+    if _seed_rows is None:
+        seed_rows = _seed_sample(embeddings, id_col, vec_col, n_codes)
+    else:  # prefix of the caller's one lowest-id probe — identical rows
+        seed_rows = _seed_rows[:n_codes]
+    if not seed_rows:
         return []
-    dim = int(first[0]["n"])
+    dim = len(seed_rows[0]["v"])
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
     d_sub = dim // m
-    books = _pq_seed_codebooks(base, m, n_codes)  # (m, n_codes, d_sub)
+    books = _pq_seed_codebooks(seed_rows, m)  # (m, n_codes, d_sub)
     spark = embeddings.sparkSession
 
     for _ in range(max(0, iters)):
@@ -695,18 +723,23 @@ def build_ivfpq_index(
     corpus. Persist ``assignments`` with
     ``write_dataset(partition_by=["centroid_id"])`` and probes prune to
     their cells' directories."""
+    # ONE lowest-id probe feeds every seed consumer: IVF centroid seeds,
+    # PQ codebook seeds, the dim probe, and the build-time qerr baseline
+    # each previously ran their own TakeOrdered job over the corpus —
+    # four driver round-trips with identical row prefixes (guide §1:
+    # fixed per-job cost repeated; §5: the driver should not orchestrate
+    # what one action can fetch). 1024 = _mean_qerr's sample size.
+    seed_rows = _seed_sample(
+        embeddings, id_col, vec_col, max(1024, n_centroids, n_codes)
+    )
     ivf = build_ivf_index(
         embeddings, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col,
-        kmeans_iters=kmeans_iters,
+        kmeans_iters=kmeans_iters, _seed_rows=seed_rows,
     )
-    first = (
-        embeddings.filter(F.col(vec_col).isNotNull())
-        .select(F.size(vec_col).alias("n")).limit(1).collect()
-    )
-    dim = int(first[0]["n"]) if first else 0
+    dim = len(seed_rows[0]["v"]) if seed_rows else 0
     codebooks = train_pq(
         embeddings, m=m, n_codes=n_codes, id_col=id_col, vec_col=vec_col,
-        iters=pq_iters,
+        iters=pq_iters, _seed_rows=seed_rows,
     )
     if not codebooks:  # empty/all-null corpus: searchable, zero results
         spark = embeddings.sparkSession
@@ -729,7 +762,9 @@ def build_ivfpq_index(
         # baseline quantization error (deterministic low-id sample):
         # update_ivfpq_index compares each batch against it to decide
         # when the pinned codebooks have drifted enough to re-train
-        "qerr": _mean_qerr(embeddings, codebooks, id_col, vec_col),
+        # same 1024 lowest-id sample _mean_qerr would re-collect — reuse
+        # the probe already on the driver instead of a fifth TakeOrdered
+        "qerr": _mean_qerr_rows([r["v"] for r in seed_rows[:1024]], codebooks),
     }
 
 
@@ -916,12 +951,18 @@ def _mean_qerr(
         .select(F.col(vec_col).cast("array<double>"))
         .collect()
     )
-    if not rows or not codebooks:
+    return _mean_qerr_rows([r[0] for r in rows], codebooks)
+
+
+def _mean_qerr_rows(vecs: list, codebooks: list) -> "float | None":
+    """:func:`_mean_qerr`'s arithmetic over already-collected vectors —
+    the build path hands in its seed sample instead of re-collecting."""
+    if not vecs or not codebooks:
         return None
     bk = np.asarray(codebooks, dtype=np.float64)  # (m, c, d_sub)
     m, _, d_sub = bk.shape
     bk_sq = (bk ** 2).sum(axis=2)
-    unit = _unit_rows(np.array([r[0] for r in rows], dtype=np.float64))
+    unit = _unit_rows(np.array(vecs, dtype=np.float64))
     rec = np.empty_like(unit)
     for s in range(m):
         sub = unit[:, s * d_sub:(s + 1) * d_sub]

@@ -218,6 +218,7 @@ def bloom_contamination_prefilter(
     k: int = 4,
     mbits: int = 4096,
     salt: str = "bloom",
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Sound decontamination prefilter: flag training docs whose word
     ``n``-gram shingles MAY appear in the eval corpus, using a Bloom
@@ -237,7 +238,13 @@ def bloom_contamination_prefilter(
 
     def _shingles(frame: DataFrame, keep_id: bool) -> DataFrame:
         cols = [F.col(id_col)] if keep_id else []
-        toks = frame.select(*cols, tokens(text_col).alias("__t"))
+        # ``tokens_col`` names a pre-tokenized array column (the
+        # ``shingle_index`` contract): a pipeline running this prefilter
+        # AND the exact join over one corpus (qd78's production shape)
+        # pins the tokenize once instead of re-running the regex — the
+        # dominant CPU of the pass — in every branch.
+        t = F.col(tokens_col) if tokens_col else tokens(text_col)
+        toks = frame.select(*cols, t.alias("__t"))
         # posexplode: the ordinal is the occurrence identity the hit
         # regrouping below keys on (duplicate shingles in one doc stay
         # distinct occurrences)

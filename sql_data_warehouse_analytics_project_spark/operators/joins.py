@@ -85,12 +85,33 @@ def salted_join(
             f"salted_join salt column {salt_col!r} collides with an input "
             "column; pass a different salt_col"
         )
-    s = skewed.withColumn(salt_col, (F.rand(seed=42) * salt_buckets).cast("int"))
+    # DETERMINISTIC salt, not rand(): a retried/speculative map task
+    # re-draws rand() values, so rows can be duplicated or lost when a
+    # fetch failure re-runs part of the salted exchange (SPARK-38388 —
+    # the guide's §2.5 hazard). Hashing the whole row spreads a hot
+    # key's rows across buckets (they differ in their other columns)
+    # while staying stable under any retry. Any salt value in
+    # [0, buckets) yields the same join result — the replicated side
+    # carries every value — so this is semantically invisible.
+    s = skewed.withColumn(
+        salt_col,
+        F.pmod(F.xxhash64(F.struct(*skewed.columns)), F.lit(salt_buckets))
+        .cast("int"),
+    )
     o = other.withColumn(
         salt_col,
         F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1))),
     )
-    return s.join(o, keys + [salt_col], how).drop(salt_col)
+    # Force the shuffle-join shape the operator exists for: salting only
+    # helps when the join SHUFFLES on (keys + salt) — exactly the regime
+    # where the other side is too big to broadcast. Left to estimates,
+    # the planner happily broadcasts the salt_buckets×-EXPLODED side
+    # (measured on q43: the ×8 replica collected to the driver as one
+    # serial BroadcastExchange and the probe ran on the scan's few
+    # splits), which inflates the broadcast by the salt factor and
+    # defeats the partition-splitting entirely. Sort-merge spills
+    # gracefully at the pathological-skew scale this operator targets.
+    return s.join(o.hint("merge"), keys + [salt_col], how).drop(salt_col)
 
 
 def write_bucketed(

@@ -2473,13 +2473,21 @@ def qd56_ivfpq_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     means the quantizer or kernels regressed, not noise."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
-    exact = similarity.cosine_topk(emb, queries, k=5).select(
-        "query_id", "neighbor_id"
+    # PIN both tiny result sets (≤ queries×k·oversample rows) before the
+    # three counts below: `exact` feeds the hit join AND its own count —
+    # as a lazy plan the full GEMM top-k pipeline executed twice, and
+    # `hits.count()` re-ran the whole IVF-PQ search besides (guide §1:
+    # don't recompute what one action already produced; in production
+    # both sides are persisted search results, not re-run pipelines).
+    exact = (
+        similarity.cosine_topk(emb, queries, k=5)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint()
     )
     index = similarity.build_ivfpq_index(emb, n_centroids=16, m=8, n_codes=16)
     approx = similarity.search_ivfpq_index(
         index, queries, k=5, rerank_with=emb, oversample=16
-    )
+    ).localCheckpoint()
     hits = approx.select("query_id", "neighbor_id").join(
         exact, ["query_id", "neighbor_id"]
     )
@@ -4111,12 +4119,21 @@ def qd78_bloom_decontamination_prefilter(
     gate corpus so real false positives occur and the twin must
     reproduce each one bit-for-bit."""
     docs = _docs(spark, sf_dir)
-    train = docs.filter(F.col("doc_id") % 17 != 0)
-    evals = docs.filter(F.col("doc_id") % 17 == 0)
+    # tokenize ONCE for all four shingle derivations (bloom eval-set,
+    # bloom train probe, exact train index, exact eval index): the
+    # tokenizer regex is the dominant CPU of every branch and each lazy
+    # plan re-ran it — in production the prefilter and the exact join
+    # read one materialized token table
+    toked = docs.select(
+        "doc_id", text.tokens("text").alias("__toks")
+    ).localCheckpoint()
+    train = toked.filter(F.col("doc_id") % 17 != 0)
+    evals = toked.filter(F.col("doc_id") % 17 == 0)
     pre = sketches.bloom_contamination_prefilter(
-        train, evals, "doc_id", "text", n=5, k=4, mbits=4096)
+        train, evals, "doc_id", "text", n=5, k=4, mbits=4096,
+        tokens_col="__toks")
     exact = dedup.contaminated_ids(
-        train, evals, "doc_id", "text", n=5
+        train, evals, "doc_id", "text", n=5, tokens_col="__toks"
     ).select("doc_id", F.lit(True).alias("exactly_contaminated"))
     return pre.join(exact, "doc_id", "left").select(
         "doc_id", "n_shingles", "n_bloom_hits", "possibly_contaminated",
