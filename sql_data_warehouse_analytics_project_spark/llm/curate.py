@@ -255,17 +255,29 @@ def select_token_budget(
                 "columns and would be silently overwritten)"
             )
     q = quality if quality is not None else T.quality_score_expr(text_col)
-    base = docs.withColumn("_q", q).withColumn(
-        "n_tokens", T.token_count(text_col).cast("long")
+    # Two-phase prefix sum over a THIN PROXY (id, _q, n_tokens), not the
+    # full rows (guide §8: decide with small rows, move big rows once):
+    # the range repartition inside global_running_sum evaluates its input
+    # TWICE (the boundary-sampling pass, then the real exchange) and then
+    # checkpoints it — with the text column riding along, that meant the
+    # quality expression ran twice over the corpus and the text itself
+    # crossed two exchanges and landed in the checkpoint. The proxy sorts
+    # ~24 bytes/row; the selected ids (budget-bounded) re-attach to the
+    # full rows with one id equi-join.
+    proxy = docs.select(
+        F.col(id_col),
+        q.alias("_q"),
+        T.token_count(text_col).cast("long").alias("n_tokens"),
     )
     cum = global_running_sum(
-        base,
+        proxy,
         [F.col("_q").desc(), F.col(id_col)],
         "n_tokens",
         "running_tokens",
     )
+    selected = cum.filter(F.col("running_tokens") <= max_tokens)
     return (
-        cum.filter(F.col("running_tokens") <= max_tokens)
+        docs.join(selected, id_col)
         .withColumn("quality", F.round(F.col("_q"), 6))
         .drop("_q")
     )

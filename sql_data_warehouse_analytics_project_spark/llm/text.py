@@ -554,7 +554,14 @@ def bigram_lm_scores(
         )
         .select(F.col(id_col), F.col("_bg.w1"), F.col("_bg.w2"))
     )
-    doc_bg = big.groupBy(id_col, "w1", "w2").agg(F.count(F.lit(1)).alias("tf"))
+    # PIN the per-doc bigram reduction: it feeds BOTH the model's bigram
+    # counts and the scoring join, and as a lazy plan each consumer
+    # re-ran the tokenize + arrays_zip explode over the corpus — the
+    # second of the two heavy passes, paid twice. The pinned frame is
+    # the reduced (doc, w1, w2, tf) table the join needs anyway.
+    doc_bg = big.groupBy(id_col, "w1", "w2").agg(
+        F.count(F.lit(1)).alias("tf")
+    ).localCheckpoint()
     bc = doc_bg.groupBy("w1", "w2").agg(F.sum("tf").alias("cb"))
 
     contrib = (
@@ -634,11 +641,17 @@ def drift_from_counts(
     reference snapshot without re-reading any text). ``ca``/``cb`` are
     ``(token, ca)`` / ``(token, cb)`` integer-count DataFrames; math,
     determinism contract, and plan shape as :func:`token_drift`."""
+    # PIN the merged vocab: it feeds BOTH the totals aggregate (the
+    # broadcast build below) and the scored projection, and as a lazy
+    # plan each consumer re-ran the full outer join AND its inputs —
+    # for the drift monitors that means tokenizing the reference corpus
+    # twice per check. The pinned frame is vocab-sized (the whole point
+    # of counting first), so the checkpoint is cheap at any corpus size.
     vocab = ca.join(cb, "token", "full").select(
         "token",
         F.coalesce("ca", F.lit(0)).alias("ca"),
         F.coalesce("cb", F.lit(0)).alias("cb"),
-    )
+    ).localCheckpoint()
     totals = vocab.agg(
         F.sum("ca").cast("long").alias("na"),
         F.sum("cb").cast("long").alias("nb"),
