@@ -528,8 +528,10 @@ class Catalog:
         if not specs:
             self.append(df, layer, table)
             return None
-        # materialize once: the constraint scans AND the append below all
-        # read the checkpointed batch instead of re-running its lineage
+        # materialize once (eager): the constraint summary is a UNION of
+        # per-rule scans of this batch — concurrent leaf stages that would
+        # race on an unmaterialized pin's block locks — and the append
+        # below reads it a further time
         df = df.localCheckpoint(eager=True)
         summary = C.check(self, df, specs)
         failed = summary.filter(~F.col("passed")).collect()

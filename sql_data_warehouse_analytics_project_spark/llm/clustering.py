@@ -76,7 +76,9 @@ def connected_components(
     # path and the distributed min-propagation path the SAME edge set: the
     # fast path would otherwise raise comparing None while the distributed
     # path silently ignored such rows.
-    e0 = e0.localCheckpoint(eager=True)
+    # lazy: the driver_max_edges count() is a full scan, so it doubles as
+    # the materializing action (one job instead of two)
+    e0 = e0.localCheckpoint(eager=False)
     if e0.count() <= driver_max_edges:
         parent: dict[int, int] = {}
 
@@ -108,7 +110,10 @@ def connected_components(
     e = (
         e0.unionByName(e0.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .distinct()
-        .localCheckpoint(eager=True)
+        # lazy: the eager init-fold checkpoint just below scans this
+        # through a single leaf and pins it as a side effect — one fewer
+        # driver job, no stage-level contention
+        .localCheckpoint(eager=False)
     )
     # Fold the first propagation round into initialization: the symmetric
     # edge list already holds every node as `u`, so min(self, min neighbor)
@@ -117,6 +122,9 @@ def connected_components(
         e.groupBy("u")
         .agg(F.min("v").alias("_mn"))
         .select(F.col("u").alias("node"), F.least("u", "_mn").alias("comp"))
+        # EAGER: this materialization computes the lazy symmetrized edge
+        # list through a single leaf and pins both; the loop's joins then
+        # fan out over already-materialized frames
         .localCheckpoint(eager=True)
     )
     for _ in range(max_iter - 1):
@@ -140,9 +148,11 @@ def connected_components(
                     "_changed"
                 ),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         labels = new_labels.select("node", "comp")
+        # the convergence probe is a full scan — it materializes the
+        # round's lazy checkpoint as a side effect
         if not new_labels.agg(F.max("_changed")).first()[0]:
             break
     return labels

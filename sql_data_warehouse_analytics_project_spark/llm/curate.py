@@ -106,6 +106,11 @@ def curate_corpus(
         # zero part files, where schema inference would fail
         return spark.read.schema(df.schema).parquet(path)
 
+    # Stage pins stay EAGER: every boundary feeds multiple consumers
+    # (the next stage AND the report/audit legs), and a lazy pin turns
+    # those consumers into concurrent leaf stages racing on the
+    # unmaterialized partitions' block locks (measured ~2x wall on the
+    # funnel) — see the policy note in llm/dedup.shingle-index docstring.
     def _mat(df: DataFrame) -> DataFrame:
         return df.localCheckpoint() if materialize else df
 

@@ -201,7 +201,16 @@ def ngram_jaccard_pairs(
     The index is materialized once (localCheckpoint): four downstream
     consumers (sizes, hot-shingle stats, both join sides) would otherwise
     re-run the interpreted tokenize/shingle expression pipeline four times
-    — the dominant cost. localCheckpoint rather than persist: persist
+    — the dominant cost. The pin stays EAGER here (and at every other
+    fan-out site in this module): with a lazy checkpoint the consumers
+    become INDEPENDENT leaf stages of one job, the scheduler runs them
+    concurrently, and their tasks race on the unmaterialized partitions'
+    block locks — measured ~2× wall on the fan-out keys versus the eager
+    materialize-then-consume order. Lazy pins (eager=False) are used in
+    this engine only where the next in-function action scans the frame
+    through a single leaf, so that action doubles as the materializer
+    with no stage-level contention. localCheckpoint rather than persist:
+    persist
     registers the (large) plan with the CacheManager, and EVERY later
     query in the session then pays plan-canonicalization matching against
     it; a checkpoint gives the same reuse with no session-wide residue.
@@ -930,7 +939,7 @@ def embedding_dup_pairs(
     # checkpoint lives on executors (distributed), so it is not itself
     # bounded by the driver-memory cap being enforced here; mapInPandas
     # below also reads from it instead of re-deriving.
-    base = base.localCheckpoint(eager=True)
+    base = base.localCheckpoint(eager=False)  # pinned by the probe collect
     probe = base.agg(
         F.count(F.lit(1)).alias("n"), F.max(F.size("v")).alias("dim")
     ).collect()[0]

@@ -103,7 +103,9 @@ def build_bm25_index(
     three separate explode pipelines). One pass is the floor and this is
     it."""
     tf, _ = _tokenize(corpus, id_col, text_col)
-    tf = tf.localCheckpoint()
+    # lazy pin: the n_docs/total_dl collect below is a full scan through
+    # dl, so it doubles as the materializing job
+    tf = tf.localCheckpoint(eager=False)
     dl = tf.groupBy("doc").agg(F.sum("tf").cast("long").alias("dl"))
     row = dl.agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_dl")
@@ -149,8 +151,9 @@ def update_bm25_index(
     tf_b, _ = _tokenize(new_docs, id_col, text_col)
     # the batch reduction feeds 3-4 downstream plans — pin it once; dl_b
     # re-derives from the PINNED tf (a tiny agg over reduced rows), so
-    # the batch never tokenizes twice and needs no second checkpoint
-    tf_b = tf_b.localCheckpoint()
+    # the batch never tokenizes twice and needs no second checkpoint.
+    # Lazy: the batch-scalars collect below is the materializing scan.
+    tf_b = tf_b.localCheckpoint(eager=False)
     dl_b = tf_b.groupBy("doc").agg(F.sum("tf").cast("long").alias("dl"))
     batch = dl_b.agg(
         F.count(F.lit(1)).alias("n"), F.sum("dl").alias("dl_sum")
@@ -178,7 +181,7 @@ def update_bm25_index(
         # docstring); the pin bounds cost per update, not plan depth.
         replaced = old_postings.join(
             F.broadcast(batch_ids), "doc", "semi"
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)  # pinned by the gone collect
         gone = replaced.select("doc", "dl").distinct().agg(
             F.count(F.lit(1)).alias("n"), F.sum("dl").alias("dl_sum")
         ).collect()[0]
@@ -403,7 +406,7 @@ def update_bm25_index_on_disk(
     n_buckets = int(extra["doc_buckets"])
 
     tf_b, _ = _tokenize(new_docs, id_col, text_col)
-    tf_b = tf_b.localCheckpoint()
+    tf_b = tf_b.localCheckpoint(eager=False)  # pinned by the collect below
     dl_b = tf_b.groupBy("doc").agg(F.sum("tf").cast("long").alias("dl"))
     batch = dl_b.agg(
         F.count(F.lit(1)).alias("n"), F.sum("dl").alias("dl_sum")
@@ -425,7 +428,7 @@ def update_bm25_index_on_disk(
     )
     replaced = affected.join(
         F.broadcast(batch_ids), "doc", "semi"
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)  # pinned by the gone collect
     gone = replaced.select("doc", "dl").distinct().agg(
         F.count(F.lit(1)).alias("n"), F.sum("dl").alias("dl_sum")
     ).collect()[0]

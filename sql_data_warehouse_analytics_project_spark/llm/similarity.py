@@ -818,7 +818,7 @@ def search_ivfpq_index(
     qprobe = qbase.mapInPandas(
         _ivf_assign_kernel(spark, cmat, n_probe),
         schema=f"id {id_sql}, centroid_id int",
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)  # pinned by the cell-prune collect
     qside = F.broadcast(
         queries.select(
             F.col(id_col).alias("query_id"),
@@ -1201,7 +1201,8 @@ def update_ivfpq_index(
     new_rows = _assign_encode(
         new_embeddings, extra["centroids"], extra["codebooks"],
         id_col, vec_col, id_sql,
-    ).localCheckpoint(eager=True)  # batch-sized; feeds cells probe + write
+    ).localCheckpoint(eager=False)  # batch-sized; feeds cells probe +
+    # write (the probe's distinct-collect is the materializing scan)
     cells_new = sorted(
         r[0] for r in new_rows.select("centroid_id").distinct().collect()
     )

@@ -537,9 +537,10 @@ def bigram_lm_scores(
         base.select(F.explode("_t").alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("cu"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
-    v = uc.count()  # vocab size — one scalar, the smoothing denominator
+    v = uc.count()  # vocab size — one scalar, the smoothing denominator;
+    # a full scan, so it is also the job that materializes the lazy pin
 
     big = (
         base.filter(F.size("_t") >= 2)
@@ -561,7 +562,7 @@ def bigram_lm_scores(
     # the reduced (doc, w1, w2, tf) table the join needs anyway.
     doc_bg = big.groupBy(id_col, "w1", "w2").agg(
         F.count(F.lit(1)).alias("tf")
-    ).localCheckpoint()
+    ).localCheckpoint()  # eager: feeds two concurrent leaves (bc + join)
     bc = doc_bg.groupBy("w1", "w2").agg(F.sum("tf").alias("cb"))
 
     contrib = (
@@ -651,7 +652,9 @@ def drift_from_counts(
         "token",
         F.coalesce("ca", F.lit(0)).alias("ca"),
         F.coalesce("cb", F.lit(0)).alias("cb"),
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)  # lazy is contention-free here: the
+    # broadcast(totals) stage below is dependency-ordered BEFORE the
+    # crossJoin probe, so its single-leaf scan pins the vocab first
     totals = vocab.agg(
         F.sum("ca").cast("long").alias("na"),
         F.sum("cb").cast("long").alias("nb"),
@@ -1086,6 +1089,12 @@ def train_quality_classifier(
     # partition at gate scale, serializing every subsequent training
     # pass (margins, gradient joins) on one core — 2.3× slower than the
     # pinned parallel layout despite running fewer tasks.
+    # EAGER on purpose (measured): a lazy pin here rode docs_t's
+    # materialization, but interleaved A/B showed qd66 +18% both times —
+    # the trainer's 8+ subsequent passes are sensitive to exactly when
+    # and how this frame lands in the block manager, and the eager
+    # materialize-then-train order is the faster shape. One job saved
+    # was not worth it on the suite's #1 key.
     nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     feats = (
         _clf_buckets(df, id_col, text_col, num_buckets, salt)
@@ -1177,7 +1186,9 @@ def train_quality_classifier(
                         F.col("resid") / F.col("dl") * _CLF_SCALE, 0
                     ).cast("long"),
                 )
-                .localCheckpoint(eager=True)  # feeds grad join + bias sum
+                .localCheckpoint(eager=True)  # feeds grad join + bias
+                # sum — two concurrent leaves, so the pin must be eager
+                # (a lazy pin makes those leaves race on block locks)
             )
             # ONE action per iteration for bucket gradients AND the bias
             # gradient: the bias sum rides along as a null-bucket row in

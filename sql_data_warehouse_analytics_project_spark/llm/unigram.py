@@ -177,7 +177,9 @@ def train_unigram(
             "need vocab_size ≥ 1, max_piece_len ≥ 2, em_iters ≥ 1"
         )
     spark = df.sparkSession
-    wc = _word_types(df, text_col).localCheckpoint(eager=True)
+    # lazy: the single-char candidate collect below is a full scan over
+    # the word types, so it doubles as the materializing action
+    wc = _word_types(df, text_col).localCheckpoint(eager=False)
 
     # candidate seeding: every substring of length 1..max_piece_len of
     # every word type, weighted by word count — in-row generation (one

@@ -184,7 +184,9 @@ def train_bpe(
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("wn"))
         .select("w", "wn", chars.alias("pieces"))
-        .localCheckpoint(eager=True)
+        # lazy: the driver_max_types count() below is a full scan, so it
+        # doubles as the materializing action (one job instead of two)
+        .localCheckpoint(eager=False)
     )
     spark = df.sparkSession
     # Word-type vocabularies at or under ``driver_max_types`` rows (known
@@ -246,6 +248,7 @@ def train_bpe(
             "n_merges": len(merges),
         }
     merges: list[tuple[int, str, str, int]] = []
+    prev = None  # the materialized frame the current (lazy) wc derives from
     for rank in range(1, num_merges + 1):
         pairs = (
             wc.filter(F.size("pieces") >= 2)
@@ -266,15 +269,28 @@ def train_bpe(
             .limit(1)
             .collect()
         )
+        # the TakeOrdered argmax scans every pair, so it is also the job
+        # that materializes this round's lazy re-segmentation checkpoint —
+        # only now is the PREVIOUS round's pinned frame safe to free
+        if prev is not None:
+            _release_checkpoint(prev)
+            prev = None
         if not best or best[0]["freq"] < min_freq:
             break
         s1, s2, freq = best[0]["s1"], best[0]["s2"], int(best[0]["freq"])
         merges.append((rank, s1, s2, freq))
         nxt = wc.select(
             "w", "wn", _apply_merge(F.col("pieces"), s1, s2).alias("pieces")
-        ).localCheckpoint(eager=True)
-        _release_checkpoint(wc)
+        ).localCheckpoint(eager=False)
+        prev = wc
         wc = nxt
+    if prev is not None:
+        # loop exhausted with the last re-segmentation still lazy: pin it
+        # now so its parent's blocks can be freed (same net memory as the
+        # eager form; the count is the one materialization the final
+        # round deferred)
+        wc.count()
+        _release_checkpoint(prev)
     spark = df.sparkSession
     merges_df = spark.createDataFrame(
         merges, "rank int, s1 string, s2 string, freq bigint"

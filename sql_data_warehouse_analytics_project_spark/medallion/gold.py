@@ -635,10 +635,10 @@ def run_gold_incremental(catalog, *, run_context=None) -> dict:
     # the mapping diff, and the possible rewrite all reuse the result.
     new_dim_c = build_dim_customers(
         read("crm_customers"), read("erp_customers"), read("erp_locations")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)  # pinned by the dim_state probe below
     new_dim_p = build_dim_products(
         read("crm_products"), read("erp_product_categories")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
 
     def dim_state(name, new_df, natural, skey):
         """Hash-bucketed dim diff: one narrow join instead of five

@@ -289,19 +289,25 @@ def contiguous_rank(
     partition and orders partitions by key range, so offset+local IS the
     global rank regardless of where the sampled range boundaries fall.
 
-    The ranked frame is localCheckpointed (eager) before the counts
-    job: range boundaries come from sampling whose seed varies per RDD
+    The ranked frame is localCheckpointed before the counts job: range
+    boundaries come from sampling whose seed varies per RDD
     instantiation, so the counts job and the consuming job MUST observe
     one materialized partitioning — recomputation could legally shuffle
     rows across partition borders between the two jobs and corrupt the
-    offsets. The checkpoint is dim-sized; the collect is bounded by the
-    partition count (cluster topology, not data volume).
+    offsets. The checkpoint is LAZY (``eager=False``): the counts
+    aggregate below is a full scan, so it doubles as the materializing
+    action — one driver job pins the partitioning AND returns the
+    per-partition counts, where the eager form paid a separate
+    materialization job first (measured: 1 job / ~0.3 s saved per rank
+    at bench scale; a fixed driver round-trip at every scale). The
+    checkpoint is dim-sized; the collect is bounded by the partition
+    count (cluster topology, not data volume).
     """
     for reserved in ("_cr_pid", "_cr_lrn", "_cr_off", name):
         if reserved in df.columns:
             raise ValueError(f"contiguous_rank: column {reserved!r} already exists")
     ranked = _contiguous_local_ranks(df, order_by, num_partitions).localCheckpoint(
-        eager=True
+        eager=False
     )
     counts = {
         r["_cr_pid"]: r["_cr_n"]
@@ -641,12 +647,15 @@ def global_running_sum(
     the offsets ride as long literals; decimal/float prefix sums would
     need a typed-offset variant and are not this operator's use case.
     The ranked frame is localCheckpointed for the same
-    range-boundary-reseeding reason :func:`contiguous_rank` documents."""
+    range-boundary-reseeding reason :func:`contiguous_rank` documents —
+    and, like there, the checkpoint is LAZY: the totals aggregate below
+    is a full scan, so its job both pins the partitioning and returns
+    the per-partition totals (one driver job instead of two)."""
     for reserved in ("_cr_pid", "_cr_lrn", name):
         if reserved in df.columns:
             raise ValueError(f"global_running_sum: column {reserved!r} already exists")
     part = _contiguous_local_ranks(df, order_by, num_partitions).localCheckpoint(
-        eager=True
+        eager=False
     )
     totals = {
         r["_cr_pid"]: r["_t"]

@@ -68,7 +68,9 @@ def traverse(
     # 8 tasks on exactly the graphs that need the cluster.
     if broadcast_frontier:
         oriented = oriented.coalesce(8)
-    oriented = oriented.localCheckpoint(eager=True)
+    # lazy: the fixpoint's first frontier materialization scans the whole
+    # edge list (the join), so it pins this too — one fewer driver job
+    oriented = oriented.localCheckpoint(eager=False)
 
     spark = lineage.sparkSession
     base = spark.createDataFrame(

@@ -1154,13 +1154,13 @@ def qd25_minhash_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = (
         dedup.ngram_jaccard_pairs(docs, "doc_id", threshold=0.8, index=idx)
         .select("id_a", "id_b")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
         .withColumn("_e", F.lit(1))
     )
     lsh = (
         dedup.minhash_dedup_pairs(docs, "doc_id", threshold=0.8, index=idx)
         .select("id_a", "id_b")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
         .withColumn("_l", F.lit(1))
     )
     return exact.join(lsh, ["id_a", "id_b"], "full").agg(
@@ -1628,7 +1628,7 @@ def qd42_near_dup_against_snapshot(spark: SparkSession, sf_dir: str) -> DataFram
     # the md5 MinHash pass over the snapshot twice
     snap_sigs = dedup.minhash_signatures_portable(
         docs.filter(F.col("doc_id") % 3 == 0), "doc_id", num_hashes=8
-    ).localCheckpoint()
+    ).localCheckpoint(eager=True)
     return dedup.near_dup_against_snapshot(
         docs.filter(F.col("doc_id") % 3 != 0),
         snap_sigs,
@@ -2482,12 +2482,12 @@ def qd56_ivfpq_recall_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = (
         similarity.cosine_topk(emb, queries, k=5)
         .select("query_id", "neighbor_id")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     index = similarity.build_ivfpq_index(emb, n_centroids=16, m=8, n_codes=16)
     approx = similarity.search_ivfpq_index(
         index, queries, k=5, rerank_with=emb, oversample=16
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     hits = approx.select("query_id", "neighbor_id").join(
         exact, ["query_id", "neighbor_id"]
     )
@@ -2729,7 +2729,7 @@ def qd60_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     weights = sampling.dsir_importance_weights(
         docs, "doc_id", F.col("lang") == "en"
-    ).localCheckpoint(eager=True)  # weights feed BOTH the top-k and the flag join
+    ).localCheckpoint(eager=False)  # weights feed BOTH the top-k and the flag join
     sel = sampling.dsir_select(weights, "doc_id", 50).select("doc_id")
     return weights.join(
         F.broadcast(sel.withColumn("selected", F.lit(True))), "doc_id", "left"
@@ -4126,7 +4126,7 @@ def qd78_bloom_decontamination_prefilter(
     # read one materialized token table
     toked = docs.select(
         "doc_id", text.tokens("text").alias("__toks")
-    ).localCheckpoint()
+    ).localCheckpoint()  # eager: four consumer branches fan out over it
     train = toked.filter(F.col("doc_id") % 17 != 0)
     evals = toked.filter(F.col("doc_id") % 17 == 0)
     pre = sketches.bloom_contamination_prefilter(

@@ -154,8 +154,10 @@ def bronze_batch_sink(
                 return
         # materialize once: the audit count and the append would otherwise
         # each execute the full enrichment plan
-        enriched = enrich_bronze(batch_df, batch_id=bid).localCheckpoint(eager=True)
-        n = enriched.count()
+        enriched = enrich_bronze(batch_df, batch_id=bid).localCheckpoint(
+            eager=False
+        )
+        n = enriched.count()  # full scan — also materializes the lazy pin
         catalog.append(enriched, "bronze", table)  # creates the table on batch 0
         # foreachBatch runs on a CLONED micro-batch session; the append
         # refreshes only the clone's file-listing cache, so the parent
@@ -540,7 +542,10 @@ def bm25_index_sink(
         cp = resolved.get("id") or "default"
         part = f"cp={cp}/batch_id={batch_id}"
         tf, _ = _tokenize(batch_df, id_col, text_col)
-        tf = tf.localCheckpoint()  # one pin; dl derives from the pinned tf
+        tf = tf.localCheckpoint()  # one (eager) pin; dl derives from the
+        # pinned tf — the postings write scans tf through two leaves
+        # (join probe + dl's map stage), so a lazy pin would make those
+        # stages race on block locks
         dl = tf.groupBy("doc").agg(F.sum("tf").cast("long").alias("dl"))
         writers.write_partitioned_slice(
             tf.join(dl, "doc").select("term", "doc", "tf", "dl"),
