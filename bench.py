@@ -199,6 +199,33 @@ def _code_fingerprint(root: str | None = None) -> str | None:
         return None
 
 
+def _load_prior(
+    path: str, fingerprint: str | None, sf_val, cpus: int
+) -> dict | None:
+    """The best-of-runs merge guard: a prior COMPLETE artifact merges
+    only when it measured the SAME code (fingerprint), scale, and core
+    count. ``cpus`` is part of the key (round-11 verdict harness bug
+    #2): the driver's low-core `$SPARK_GRAFT_CPUS` run used to merge
+    32-core minima and flatten the scaling measurement. Artifacts
+    written before the ``cpus`` field never merge."""
+    if not (fingerprint and os.path.exists(path)):
+        return None
+    try:
+        with open(path) as fh:
+            cand = json.load(fh)
+        if (
+            cand.get("complete")
+            and cand.get("code_fingerprint") == fingerprint
+            and cand.get("sf") == sf_val
+            and cand.get("cpus") == cpus
+            and isinstance(cand.get("queries"), dict)
+        ):
+            return cand
+    except Exception:  # noqa: BLE001
+        return None
+    return None
+
+
 def _cpu_calibration() -> float:
     """Fixed single-thread workload; seconds. ~0.5 s on a fast core."""
     t0 = time.time()
@@ -258,20 +285,15 @@ def main() -> None:
     # how many runs contributed. A different fingerprint — any code edit —
     # never merges. Disable with SPARK_GRAFT_BENCH_KEEP_BEST=0.
     keep_best = os.environ.get("SPARK_GRAFT_BENCH_KEEP_BEST", "1") != "0"
+    # The core count is part of what a run measures: merging an 8-core
+    # run's artifact with 32-core minima produced "8 cores ≈ 32 cores"
+    # scaling artifacts (round-11 verdict harness bug #2) — a prior
+    # artifact merges ONLY when it was measured at the same
+    # $SPARK_GRAFT_CPUS (older artifacts without the field never merge).
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     prior: dict | None = None
-    if keep_best and fingerprint and subset is None and os.path.exists(_RESULT_PATH):
-        try:
-            with open(_RESULT_PATH) as fh:
-                cand = json.load(fh)
-            if (
-                cand.get("complete")
-                and cand.get("code_fingerprint") == fingerprint
-                and cand.get("sf") == sf_val
-                and isinstance(cand.get("queries"), dict)
-            ):
-                prior = cand
-        except Exception:  # noqa: BLE001
-            prior = None
+    if keep_best and subset is None:
+        prior = _load_prior(_RESULT_PATH, fingerprint, sf_val, cpus)
 
     out: dict = {
         "metric": "headline_queries_total_runtime",
@@ -280,6 +302,7 @@ def main() -> None:
         "queries": {},
         "passes": 0,
         "sf": sf_val,
+        "cpus": cpus,
         "cpu_calibration_sec": calib,
         "code_fingerprint": fingerprint,
         # Completeness marker: a harness kill mid-pass leaves a partial sum
@@ -445,6 +468,7 @@ def main() -> None:
         "cold_total": out["cold_total"],
         "passes": out["passes"],
         "sf": out["sf"],
+        "cpus": cpus,
         "cpu_calibration_sec": calib,
         "calibrations": out["calibrations"],
         "bronze_rows_per_second": out.get("bronze_rows_per_second"),

@@ -100,22 +100,32 @@ class _Extractor(HTMLParser):
                 self._anchor_chars += len(" ".join(data.split()))
 
 
-def html_text_blocks(html: str) -> list[tuple[str, int, int]]:
-    """Tokenize → [(block_text, n_chars, n_anchor_chars)] (test surface)."""
+def _parse(html: str) -> _Extractor:
+    """ONE tokenizer pass collecting blocks AND title: the extractor
+    already gathers ``title_parts`` while streaming, so callers needing
+    both must not feed the parser twice (the old ``html_text_blocks`` +
+    ``extract_title`` pairing parsed every document twice — pure CPU
+    waste on the pipeline's hottest per-row kernel)."""
     p = _Extractor()
     p.feed(html or "")
     p.close()
     p._flush()
-    return p.blocks
+    return p
+
+
+def _title_of(p: _Extractor) -> str | None:
+    title = " ".join("".join(p.title_parts).split())
+    return title or None
+
+
+def html_text_blocks(html: str) -> list[tuple[str, int, int]]:
+    """Tokenize → [(block_text, n_chars, n_anchor_chars)] (test surface)."""
+    return _parse(html).blocks
 
 
 def extract_title(html: str) -> str | None:
     """The <title> content, whitespace-normalized (None when absent)."""
-    p = _Extractor()
-    p.feed(html or "")
-    p.close()
-    title = " ".join("".join(p.title_parts).split())
-    return title or None
+    return _title_of(_parse(html))
 
 
 def extract_html_text(
@@ -163,7 +173,11 @@ def html_to_text(
             texts, titles, kept, dropped = [], [], [], []
             for raw in pdf[html_col]:
                 html = raw if isinstance(raw, str) else ""
-                blocks = html_text_blocks(html)
+                # one tokenizer pass yields blocks AND title (the
+                # separate extract_title call re-parsed every document
+                # — 2× the kernel's dominant CPU for nothing)
+                parsed = _parse(html)
+                blocks = parsed.blocks
                 if drop_boilerplate:
                     keep = [
                         b for b in blocks
@@ -173,7 +187,7 @@ def html_to_text(
                 else:
                     keep = blocks
                 texts.append("\n".join(t for (t, _, _) in keep))
-                titles.append(extract_title(html))
+                titles.append(_title_of(parsed))
                 kept.append(len(keep))
                 dropped.append(len(blocks) - len(keep))
             out = pdf[list(id_cols)].copy()

@@ -156,7 +156,15 @@ def cosine_topk(
                 "cos",
             )
         )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    # rank on the ROUNDED score (matching the emitted `cosine` column):
+    # the GEMM's summation order differs from the old fold's by ulps, and
+    # ranking raw doubles would let a near-tie pair swap ranks between
+    # engines/kernels — 6dp pre-rank rounding + the neighbor-id tiebreak
+    # make the rank a pure function of the emitted values (round-11
+    # verdict #3: the docstring claimed this; now the code does it).
+    w = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("cos"), 6).desc(), F.col("neighbor_id")
+    )
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)

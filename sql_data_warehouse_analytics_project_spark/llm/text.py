@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 #: Tokenizer contract shared with the oracles: lowercase, split on runs of
 #: non-alphanumerics, drop empties. Simple whitespace+punct tokenization —
@@ -652,19 +653,28 @@ def drift_from_counts(
         "token",
         F.coalesce("ca", F.lit(0)).alias("ca"),
         F.coalesce("cb", F.lit(0)).alias("cb"),
-    ).localCheckpoint(eager=False)  # lazy is contention-free here: the
-    # broadcast(totals) stage below is dependency-ordered BEFORE the
-    # crossJoin probe, so its single-leaf scan pins the vocab first
-    totals = vocab.agg(
+    ).localCheckpoint(eager=False)
+    # The three totals COLLECT here rather than broadcast-joining: the
+    # collect is the lazy pin's materializing action and runs as an
+    # ordinary unbounded job, where the previous broadcast(totals) form
+    # materialized the pin INSIDE the broadcast build — the entire
+    # upstream pipeline (two corpus tokenizes for token_drift callers)
+    # under spark.sql.broadcastTimeout (round-11 ADVICE, medium). The
+    # scalars then ride the projection as literals: one fewer exchange,
+    # and the smoothed ratios are the same IEEE doubles (exact longs in,
+    # identical double ops — Spark would evaluate double(na) + k·double(v)
+    # per row; Python computes the identical operations once).
+    row = vocab.agg(
         F.sum("ca").cast("long").alias("na"),
         F.sum("cb").cast("long").alias("nb"),
         F.count(F.lit(1)).cast("long").alias("v"),
-    )
+    ).collect()[0]
+    na, nb, v = int(row["na"] or 0), int(row["nb"] or 0), int(row["v"] or 0)
     k = float(add_k)
-    scored = vocab.crossJoin(F.broadcast(totals)).select(
+    scored = vocab.select(
         "token",
-        ((F.col("ca") + k) / (F.col("na") + k * F.col("v"))).alias("p_a"),
-        ((F.col("cb") + k) / (F.col("nb") + k * F.col("v"))).alias("p_b"),
+        ((F.col("ca") + k) / F.lit(float(na) + k * float(v))).alias("p_a"),
+        ((F.col("cb") + k) / F.lit(float(nb) + k * float(v))).alias("p_b"),
     ).select(
         "token",
         F.round("p_a", 9).alias("p_a"),
@@ -756,6 +766,60 @@ def corpus_filter(
     Thresholds compare the same doubles the qd04/qd31 oracles hash-check,
     so engine-portable replays agree even at threshold boundaries.
     """
+    wide = _filter_decisions(
+        df,
+        text_col,
+        min_chars=min_chars,
+        max_chars=max_chars,
+        min_mean_tok_len=min_mean_tok_len,
+        max_mean_tok_len=max_mean_tok_len,
+        max_punct_ratio=max_punct_ratio,
+        max_dup_line_frac=max_dup_line_frac,
+        max_top_ngram_frac=max_top_ngram_frac,
+        allowed_langs=allowed_langs,
+        ngram=ngram,
+        tokens_col=tokens_col,
+        lang_name="_cf_lang_o",
+        reasons_name="_cf_dr_o",
+        keep_name="_cf_keep_o",
+    )
+    return wide.select(
+        F.col(id_col),
+        F.col("_cf_lang_o").alias("lang"),
+        F.col("_cf_dr_o").alias("drop_reasons"),
+        F.col("_cf_keep_o").alias("keep"),
+    )
+
+
+def _filter_decisions(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    min_chars: int = 100,
+    max_chars: int = 100_000,
+    min_mean_tok_len: float = 2.0,
+    max_mean_tok_len: float = 12.0,
+    max_punct_ratio: float = 0.25,
+    max_dup_line_frac: float = 0.3,
+    max_top_ngram_frac: float = 0.2,
+    allowed_langs: "tuple[str, ...] | None" = None,
+    ngram: int = 2,
+    tokens_col: "str | None" = None,
+    lang_name: str = "lang",
+    reasons_name: str = "drop_reasons",
+    keep_name: str = "keep",
+) -> DataFrame:
+    """:func:`corpus_filter`'s decision core as APPENDED columns: the
+    input rows pass through unchanged with (``lang_name``,
+    ``reasons_name``, ``keep_name``) added — same signal expressions,
+    same values. Exposed (module-internal) so a pipeline that needs the
+    decisions NEXT TO the document columns (``curate.curate_corpus``'s
+    fused funnel frame) doesn't have to aggregate-and-join the id-keyed
+    decision table back to the corpus; output column names are
+    caller-chosen because the input may already carry e.g. a ``lang``
+    column that the dropped-columns form of :func:`corpus_filter` never
+    collided with."""
+    created_toks = False
     if tokens_col is None:
         # Materialize the token arrays in their OWN projection first: the
         # signal expressions below reference the tokens many times (mean
@@ -763,6 +827,7 @@ def corpus_filter(
         # tokenizer expression is re-evaluated per reference.
         df = df.select("*", tokens(text_col).alias("__cf_toks"))
         tokens_col = "__cf_toks"
+        created_toks = True
     toks = F.col(tokens_col)
     n_chars = F.length(F.col(text_col))
     n_toks = F.size(toks)
@@ -787,44 +852,45 @@ def corpus_filter(
     # with no exchange anywhere (the first materializes the sorted gram
     # hashes once per row — ngram_run_stats' usage contract)
     pre = df.select(
-        F.col(id_col),
-        n_chars.alias("_nc"),
-        mean_tok_len.alias("_mtl"),
-        punct_ratio(text_col).alias("_pr"),
-        detect_language(text_col, toks=toks).alias("lang"),
-        dup_line_frac.alias("dup_line_frac"),
-        sorted_gram_hashes(word_ngrams(toks, ngram)).alias("_sh"),
+        "*",
+        n_chars.alias("_cf_nc"),
+        mean_tok_len.alias("_cf_mtl"),
+        punct_ratio(text_col).alias("_cf_pr"),
+        detect_language(text_col, toks=toks).alias(lang_name),
+        dup_line_frac.alias("_cf_dlf"),
+        sorted_gram_hashes(word_ngrams(toks, ngram)).alias("_cf_sh"),
     )
-    tot_c = F.size(F.col("_sh")).cast("long")
+    tot_c = F.size(F.col("_cf_sh")).cast("long")
     top_ngram_frac = F.round(
         F.when(tot_c == 0, F.lit(0.0)).otherwise(
-            ngram_run_stats(F.col("_sh"))["top_c"] / tot_c
+            ngram_run_stats(F.col("_cf_sh"))["top_c"] / tot_c
         ),
         6,
     )
-    j = pre.withColumn("top_ngram_frac", top_ngram_frac).drop("_sh")
+    j = pre.withColumn("_cf_tnf", top_ngram_frac).drop("_cf_sh")
     reasons = [
-        F.when(F.col("_nc") < min_chars, F.lit("too_short")),
-        F.when(F.col("_nc") > max_chars, F.lit("too_long")),
+        F.when(F.col("_cf_nc") < min_chars, F.lit("too_short")),
+        F.when(F.col("_cf_nc") > max_chars, F.lit("too_long")),
         F.when(
-            (F.col("_mtl") < min_mean_tok_len) | (F.col("_mtl") > max_mean_tok_len),
+            (F.col("_cf_mtl") < min_mean_tok_len)
+            | (F.col("_cf_mtl") > max_mean_tok_len),
             F.lit("token_length"),
         ),
-        F.when(F.col("_pr") > max_punct_ratio, F.lit("punctuation")),
-        F.when(F.col("dup_line_frac") > max_dup_line_frac, F.lit("dup_lines")),
-        F.when(F.col("top_ngram_frac") > max_top_ngram_frac, F.lit("repetition")),
+        F.when(F.col("_cf_pr") > max_punct_ratio, F.lit("punctuation")),
+        F.when(F.col("_cf_dlf") > max_dup_line_frac, F.lit("dup_lines")),
+        F.when(F.col("_cf_tnf") > max_top_ngram_frac, F.lit("repetition")),
     ]
     if allowed_langs is not None:
         reasons.append(
-            F.when(~F.col("lang").isin(*allowed_langs), F.lit("language"))
+            F.when(~F.col(lang_name).isin(*allowed_langs), F.lit("language"))
         )
     drop_reasons = F.concat_ws(",", *reasons)  # concat_ws skips NULLs
-    return j.select(
-        F.col(id_col),
-        "lang",
-        drop_reasons.alias("drop_reasons"),
-        (drop_reasons == "").alias("keep"),
+    out = (
+        j.withColumn(reasons_name, drop_reasons)
+        .withColumn(keep_name, F.col(reasons_name) == "")
+        .drop("_cf_nc", "_cf_mtl", "_cf_pr", "_cf_dlf", "_cf_tnf")
     )
+    return out.drop("__cf_toks") if created_toks else out
 
 
 def line_doc_frequency(
@@ -1000,33 +1066,49 @@ def _clf_buckets(df: DataFrame, id_col: str, text_col: str,
     ).groupBy(id_col, "bucket").agg(F.count(F.lit(1)).alias("tf"))
 
 
-def _clf_margin(feats: DataFrame, docs_t: DataFrame, id_col: str,
-                w_q: dict, b_q: int, spark) -> DataFrame:
-    """Per-document margin/probability under integer weights:
-    ``margin = (b_q·dl + Σ tf·w_q) / (dl·SCALE)`` — the numerator is an
-    exact bigint, the division and sigmoid are scalar IEEE ops. Returns
-    ``docs_t`` extended with (mnum, margin, p)."""
+def _clf_rowwise_margin(feats: DataFrame, id_col: str,
+                        w_q: dict, b_q: int, spark) -> DataFrame:
+    """Margin/probability attached to EVERY (id, bucket, tf) feature row
+    in ONE pass, with no per-doc aggregate-and-join-back: ``feats`` is
+    pinned hash-partitioned by doc id, so a window over the id computes
+    the per-doc sums in a partition-local sort — zero exchanges.
+
+    - ``mnum = Σ tf·w_q`` and ``dl = Σ tf`` per doc (unbounded window
+      sums of exact bigints — order-free, bit-identical to the old
+      ``groupBy(id)`` form);
+    - ``margin = (b_q·dl + mnum) / (dl·SCALE)`` and ``p = σ(margin)``
+      (per-row scalar IEEE ops on per-doc-constant inputs);
+    - ``_rn`` marks ONE designated row per doc (row_number over the
+      (id, bucket) total order), so doc-level sums can ride a
+      bucket-level aggregation exactly: every doc contributes its
+      doc-level term through exactly one (bucket-grouped) row.
+
+    This is the round-11 "two feats passes per GD iteration" floor
+    broken: margins and gradients now share one scan (round-11 verdict
+    #4) because the gradient's bucket regrouping no longer needs the
+    margins to be reduced to one row per doc first."""
     wdf = spark.createDataFrame(
         [(int(b), int(q)) for b, q in sorted(w_q.items())],
         "bucket long, wq long",
     )
-    m = (
-        feats.join(F.broadcast(wdf), "bucket", "left")
-        .groupBy(id_col)
-        .agg(
-            F.sum(F.col("tf") * F.coalesce("wq", F.lit(0)))
-            .cast("long").alias("mnum")
-        )
-    )
+    wdoc = Window.partitionBy(id_col)
+    worder = Window.partitionBy(id_col).orderBy("bucket")
     return (
-        docs_t.join(m, id_col, "left")
-        .withColumn("mnum", F.coalesce("mnum", F.lit(0)).cast("long"))
+        feats.join(F.broadcast(wdf), "bucket", "left")
+        .withColumn(
+            "mnum",
+            F.sum(F.col("tf") * F.coalesce("wq", F.lit(0)))
+            .over(wdoc).cast("long"),
+        )
+        .withColumn("dl", F.sum("tf").over(wdoc).cast("long"))
+        .withColumn("_rn", F.row_number().over(worder))
         .withColumn(
             "margin",
             (F.lit(int(b_q)) * F.col("dl") + F.col("mnum"))
             / (F.col("dl") * F.lit(float(_CLF_SCALE))),
         )
         .withColumn("p", F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("margin"))))
+        .drop("wq")
     )
 
 
@@ -1050,12 +1132,13 @@ def train_quality_classifier(
     that tokenize to nothing have no features and are excluded (the
     qd51/qd60 convention).
 
-    Each iteration is two distributed passes over the PINNED feature
-    reduction, never the text: (1) margins — features ⋈ broadcast
-    weights, one map-side-combined per-doc sum; (2) gradients — the
-    quantized per-doc residual coefficients join back to features and
-    fold per bucket as exact bigints (the ``_kmeans_refine``
-    partial-sum shape; the driver pulls ``num_buckets`` rows per
+    Each iteration is ONE distributed pass over the PINNED feature
+    reduction, never the text (round-11 verdict #4 — was two passes +
+    an eager residual checkpoint): margins attach to every feature row
+    by id-partition-local window sums (``_clf_rowwise_margin``), the
+    quantized residual coefficients fold per bucket as exact bigints in
+    the same plan, and the bias gradient rides the same collect through
+    a designated-row channel (the driver pulls ``num_buckets`` rows per
     iteration). Updates ``w ← w − round(lr·grad/n)`` in fixed point.
     Returns ``{"w_q", "b_q", "n_docs", "num_buckets", "iters", "lr",
     "salt"}`` — json-serializable, tiny, engine-portable (gate qd66
@@ -1119,30 +1202,33 @@ def train_quality_classifier(
         .localCheckpoint(eager=True)
     )
     # ONE action for the NB-init bucket counts AND the two scalars the
-    # trainer needs (row count + positive count): the scalars ride the
-    # same collect as a null-bucket row (ct carries n_pos, cr carries
-    # n_docs) — these were three separate driver round-trips before.
-    crows_all = (
+    # trainer needs (row count + positive count). The doc-level scalars
+    # ride the SAME bucket-grouped aggregation through a designated-row
+    # trick: `_rn = 1` marks exactly one feature row per doc (row_number
+    # over the (id, bucket) total order — a partition-local sort, feats
+    # being pinned hash-partitioned by id), so summing a doc-level term
+    # only over `_rn = 1` rows inside the per-bucket groups and adding
+    # the per-bucket partials on the driver is the exact per-doc sum —
+    # every doc contributes through exactly one bucket group. No second
+    # scan of docs_t, no union leg.
+    worder = Window.partitionBy(id_col).orderBy("bucket")
+    crows = (
         feats.join(docs_t.select(id_col, "y"), id_col)
+        .withColumn("_rn", F.row_number().over(worder))
         .groupBy("bucket")
         .agg(
             F.sum(F.when(F.col("y") == 1, F.col("tf")).otherwise(0))
             .cast("long").alias("ct"),
             F.sum("tf").cast("long").alias("cr"),
-        )
-        .unionByName(
-            docs_t.agg(
-                F.lit(None).cast("long").alias("bucket"),
-                F.coalesce(F.sum("y"), F.lit(0)).cast("long").alias("ct"),
-                F.count(F.lit(1)).cast("long").alias("cr"),
-            )
+            F.sum(F.when(F.col("_rn") == 1, F.col("y")).otherwise(0))
+            .cast("long").alias("np_part"),
+            F.sum(F.when(F.col("_rn") == 1, 1).otherwise(0))
+            .cast("long").alias("nd_part"),
         )
         .collect()
     )
-    crows = [r for r in crows_all if r["bucket"] is not None]
-    scalars = next(r for r in crows_all if r["bucket"] is None)
-    n_docs = int(scalars["cr"])
-    n_pos = int(scalars["ct"])
+    n_docs = sum(int(r["nd_part"]) for r in crows)
+    n_pos = sum(int(r["np_part"]) for r in crows)
     w_q: dict[int, int] = {}
     b_q = 0
     if n_docs:
@@ -1173,8 +1259,22 @@ def train_quality_classifier(
             _math.log((n_pos + k) / (n_docs - n_pos + k)) * _CLF_SCALE
         )
         for _ in range(iters):
-            d = (
-                _clf_margin(feats, docs_t, id_col, w_q, b_q, spark)
+            # ONE action and ONE pass over the pinned features per
+            # iteration (round-11 verdict #4; was: a margin pass +
+            # eager residual checkpoint + a gradient join-back pass).
+            # `_clf_rowwise_margin` attaches the per-doc margin to every
+            # feature row via id-partition-local window sums, so the
+            # bucket gradient `Σ_docs cq·tf` regroups those SAME rows by
+            # bucket directly, and the bias gradient `Σ_docs rq` rides
+            # the same aggregation through the `_rn = 1` designated-row
+            # channel (each doc's rq counted exactly once, inside
+            # whichever bucket group its designated row lands — the
+            # driver adds the per-bucket partials). All sums are exact
+            # bigints over identical per-doc values, so the trained
+            # weights are bit-identical to the two-pass form.
+            grows = (
+                _clf_rowwise_margin(feats, id_col, w_q, b_q, spark)
+                .join(docs_t.select(id_col, "y"), id_col)
                 .withColumn("resid", F.col("p") - F.col("y"))
                 .withColumn(
                     "rq",
@@ -1186,37 +1286,19 @@ def train_quality_classifier(
                         F.col("resid") / F.col("dl") * _CLF_SCALE, 0
                     ).cast("long"),
                 )
-                .localCheckpoint(eager=True)  # feeds grad join + bias
-                # sum — two concurrent leaves, so the pin must be eager
-                # (a lazy pin makes those leaves race on block locks)
-            )
-            # ONE action per iteration for bucket gradients AND the bias
-            # gradient: the bias sum rides along as a null-bucket row in
-            # the same union (both sums are exact bigints over the same
-            # pinned residuals, so the fusion is arithmetic-neutral) —
-            # previously two sequential collects per iteration.
-            grows = (
-                feats.join(d.select(id_col, "cq"), id_col)
                 .groupBy("bucket")
-                .agg(F.sum(F.col("cq") * F.col("tf")).cast("long").alias("g"))
-                .unionByName(
-                    d.agg(
-                        F.lit(None).cast("long").alias("bucket"),
-                        F.coalesce(F.sum("rq"), F.lit(0))
-                        .cast("long").alias("g"),
-                    )
+                .agg(
+                    F.sum(F.col("cq") * F.col("tf")).cast("long").alias("g"),
+                    F.sum(F.when(F.col("_rn") == 1, F.col("rq")).otherwise(0))
+                    .cast("long").alias("gb_part"),
                 )
                 .collect()
             )
-            gb = 0
+            gb = sum(int(r["gb_part"]) for r in grows)
             for r in grows:
-                if r["bucket"] is None:
-                    gb = int(r["g"])
-                    continue
                 step = _round_half_away(lr * int(r["g"]) / n_docs)
                 w_q[int(r["bucket"])] = w_q.get(int(r["bucket"]), 0) - step
             b_q -= _round_half_away(lr * int(gb) / n_docs)
-            _release_checkpoint(d)
     _release_checkpoint(docs_t)
     if not keep_features:
         _release_checkpoint(feats)
@@ -1261,10 +1343,14 @@ def quality_classifier_scores(
     feats = features if features is not None else _clf_buckets(
         df, id_col, text_col, int(model["num_buckets"]), model["salt"]
     )
-    docs_t = feats.groupBy(id_col).agg(F.sum("tf").cast("long").alias("dl"))
-    scored = _clf_margin(
-        feats, docs_t, id_col, model["w_q"], int(model["b_q"]), spark
-    )
+    # one windowed pass over the features: per-doc dl/margin attach to
+    # every feature row inside its id partition and the designated row
+    # (`_rn = 1`) IS the per-doc output — no dl aggregate, no
+    # aggregate-then-join-back (the trainer's single-pass shape; scores
+    # are bit-identical since margin/dl are the same exact sums)
+    scored = _clf_rowwise_margin(
+        feats, id_col, model["w_q"], int(model["b_q"]), spark
+    ).filter(F.col("_rn") == 1)
     return scored.select(
         F.col(id_col),
         F.col("dl").alias("n_features"),

@@ -43,31 +43,78 @@ TWO_LEVEL_SUFFIXES = (
     "com.mx", "co.za", "com.ar", "com.tr", "co.kr", "com.sg",
 )
 
+# Two regex passes over the full URL (scheme, host:port) feed EVERY
+# part below; the rest is substring algebra on the (short) remainders.
+# The previous five anchored regexes each re-scanned the whole string —
+# port/path/query re-matched the scheme+authority prefix per call, so a
+# url_profile projection paid ~5 full-string regex executions per row
+# (codegen CSE dedups only IDENTICAL trees). Part semantics are pinned
+# bit-for-bit to the original patterns by
+# tests/test_urls.py::test_url_parts_match_original_regex_semantics
+# (the malformed-input battery: junk ports, '?' after '#', empty
+# hosts, schemeless input, ...).
 _SCHEME_RE = r"^([a-zA-Z][a-zA-Z0-9+.\-]*)://"
-_HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/?#:]*)"
-_PORT_RE = r"^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#:]*:(\d+)"
-_PATH_RE = r"^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*([^?#]*)"
-_QUERY_RE = r"\?([^#]*)"
+#: authority = everything between '://' and the first '/', '?' or '#' —
+#: the union of the old host ([^/?#:]*) and port segments.
+_AUTHORITY_RE = r"^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/?#]*)"
+
+
+def _raw_scheme(url: Column) -> Column:
+    return F.regexp_extract(url, _SCHEME_RE, 1)  # '' when schemeless
+
+
+def _authority(url: Column) -> Column:
+    return F.regexp_extract(url, _AUTHORITY_RE, 1)  # '' when schemeless
 
 
 def url_scheme(url: Column) -> Column:
-    return F.lower(F.nullif(F.regexp_extract(url, _SCHEME_RE, 1), F.lit("")))
+    return F.lower(F.nullif(_raw_scheme(url), F.lit("")))
 
 
 def url_host(url: Column) -> Column:
-    return F.lower(F.nullif(F.regexp_extract(url, _HOST_RE, 1), F.lit("")))
+    # old host class [^/?#:]* ≡ the authority cut at its first ':'
+    return F.lower(
+        F.nullif(F.substring_index(_authority(url), ":", 1), F.lit(""))
+    )
 
 
 def url_port(url: Column) -> Column:
-    return F.nullif(F.regexp_extract(url, _PORT_RE, 1), F.lit("")).cast("int")
+    # old contract: a ':' immediately after the host, then LEADING
+    # digits (junk tails like ':80x' still yield 80; ':x80' yields NULL)
+    auth = _authority(url)
+    pos = F.instr(auth, ":")
+    after = F.when(pos > 0, auth.substr(pos + 1, F.length(auth)))
+    return F.nullif(
+        F.regexp_extract(F.coalesce(after, F.lit("")), r"^(\d+)", 1),
+        F.lit(""),
+    ).cast("int")
 
 
 def url_path(url: Column) -> Column:
-    return F.nullif(F.regexp_extract(url, _PATH_RE, 1), F.lit(""))
+    # everything after the authority, cut at the first '?' or '#' (the
+    # old ([^?#]*) capture); NULL when schemeless — the old anchored
+    # pattern failed to match at all
+    rest = url.substr(
+        F.length(_raw_scheme(url)) + 4 + F.length(_authority(url)),
+        F.length(url),
+    )
+    return F.when(
+        _raw_scheme(url) != "",
+        F.nullif(
+            F.substring_index(F.substring_index(rest, "?", 1), "#", 1),
+            F.lit(""),
+        ),
+    )
 
 
 def url_query(url: Column) -> Column:
-    return F.nullif(F.regexp_extract(url, _QUERY_RE, 1), F.lit(""))
+    # old pattern \?([^#]*) was UNANCHORED: the first '?' anywhere in
+    # the string (even inside a fragment) starts the query
+    pos = F.instr(url, "?")
+    return F.nullif(
+        F.when(pos > 0, F.substring_index(url.substr(pos + 1, F.length(url)), "#", 1)),
+        F.lit(""),
+    )
 
 
 def apex_domain(host: Column) -> Column:

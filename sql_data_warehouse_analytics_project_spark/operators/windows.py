@@ -302,6 +302,20 @@ def contiguous_rank(
     at bench scale; a fixed driver round-trip at every scale). The
     checkpoint is dim-sized; the collect is bounded by the partition
     count (cluster topology, not data volume).
+
+    Why lazy is safe under task retry/speculation (round-11 ADVICE):
+    the hazard would be the counts job observing a different partition
+    assignment than the blocks it pins. Rows cannot cross partition
+    borders on retry — the range exchange's boundaries are computed
+    once at plan time and reused by retried tasks — so a retried
+    partition holds the same row SET, and per-partition counts are
+    order-invariant, so the offsets are correct for whatever block
+    attempt wins. The only retry-visible freedom is WITHIN-partition
+    tie order under a non-total ``order_by``, which the contract above
+    already leaves unspecified (bit-identical is promised only for
+    total orders, where the sort result is unique). Eager would not
+    remove that freedom either: its internal materializing action has
+    exactly the same retry semantics.
     """
     for reserved in ("_cr_pid", "_cr_lrn", "_cr_off", name):
         if reserved in df.columns:
@@ -650,7 +664,11 @@ def global_running_sum(
     range-boundary-reseeding reason :func:`contiguous_rank` documents —
     and, like there, the checkpoint is LAZY: the totals aggregate below
     is a full scan, so its job both pins the partitioning and returns
-    the per-partition totals (one driver job instead of two)."""
+    the per-partition totals (one driver job instead of two). Retry
+    safety of the lazy pin is argued in :func:`contiguous_rank`
+    (partition ASSIGNMENT is plan-fixed; per-partition SUMS are
+    order-invariant, so the offsets hold for whichever task attempt's
+    block wins)."""
     for reserved in ("_cr_pid", "_cr_lrn", name):
         if reserved in df.columns:
             raise ValueError(f"global_running_sum: column {reserved!r} already exists")

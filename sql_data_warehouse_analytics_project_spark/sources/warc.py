@@ -107,6 +107,60 @@ def gzip_member(data: bytes) -> bytes:
     return co.compress(data) + co.flush()
 
 
+def _synth_stream(i: int, text: str) -> bytes:
+    """One document's synthetic 3-record WARC stream (the
+    :func:`synthesize_warc_crawl` fixture contract — see its docstring
+    for the id-class branches). Module-level so the fused
+    single-kernel path (:func:`synthesize_crawl_extracted`) and the
+    staged fixture share ONE byte-exact generator."""
+    import html as _html
+
+    if i % 7 == 0:
+        body = (
+            "<html><head><title>Not Found</title></head>"
+            "<body><p>not found</p></body></html>"
+        ).encode("utf-8")
+        status, reason = 404, "Not Found"
+    else:
+        body = (
+            f"<html><head><title>Doc {i}</title>"
+            "<style>p{margin:0}</style><script>var x=1;</script>"
+            "</head><body>\n"
+            '<nav><a href="/">home</a> <a href="/idx">index</a></nav>\n'
+            f"<h1>Title {i}</h1>\n"
+            f"<p>{_html.escape(text or '')}</p>\n"
+            '<footer><a href="/about">about</a></footer>\n'
+            "</body></html>"
+        ).encode("utf-8")
+        status, reason = 200, "OK"
+    info = build_warc_record(
+        "warcinfo",
+        b"software: sql-dwap-spark\r\n",
+        record_id=f"{i:08x}-info",
+        content_type="application/warc-fields",
+    )
+    req = build_warc_record(
+        "request",
+        (f"GET /doc/{i} HTTP/1.1\r\nHost: example.org\r\n\r\n"
+         ).encode("utf-8"),
+        record_id=f"{i:08x}-req",
+        target_uri=f"https://example.org/doc/{i}",
+        content_type="application/http;msgtype=request",
+    )
+    resp = build_warc_record(
+        "response",
+        build_http_response(body, status=status, reason=reason),
+        record_id=f"{i:08x}-resp",
+        target_uri=f"https://example.org/doc/{i}",
+        content_type="application/http;msgtype=response",
+    )
+    if i % 97 == 0:
+        return (info + req + resp)[: len(info) + 40]
+    if i % 3 == 0:
+        return gzip_member(info) + gzip_member(req) + gzip_member(resp)
+    return info + req + resp
+
+
 def synthesize_warc_crawl(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -122,58 +176,10 @@ def synthesize_warc_crawl(
       (the CommonCrawl ``.warc.gz`` layout);
     - ``id % 97 == 0`` → the stream is truncated mid-payload (corrupt).
     """
-    import html as _html
-
     def pack(ids: pd.Series, texts: pd.Series) -> pd.Series:
-        def one(i: int, text: str) -> bytes:
-            if i % 7 == 0:
-                body = (
-                    "<html><head><title>Not Found</title></head>"
-                    "<body><p>not found</p></body></html>"
-                ).encode("utf-8")
-                status, reason = 404, "Not Found"
-            else:
-                body = (
-                    f"<html><head><title>Doc {i}</title>"
-                    "<style>p{margin:0}</style><script>var x=1;</script>"
-                    "</head><body>\n"
-                    '<nav><a href="/">home</a> <a href="/idx">index</a></nav>\n'
-                    f"<h1>Title {i}</h1>\n"
-                    f"<p>{_html.escape(text or '')}</p>\n"
-                    '<footer><a href="/about">about</a></footer>\n'
-                    "</body></html>"
-                ).encode("utf-8")
-                status, reason = 200, "OK"
-            info = build_warc_record(
-                "warcinfo",
-                b"software: sql-dwap-spark\r\n",
-                record_id=f"{i:08x}-info",
-                content_type="application/warc-fields",
-            )
-            req = build_warc_record(
-                "request",
-                (f"GET /doc/{i} HTTP/1.1\r\nHost: example.org\r\n\r\n"
-                 ).encode("utf-8"),
-                record_id=f"{i:08x}-req",
-                target_uri=f"https://example.org/doc/{i}",
-                content_type="application/http;msgtype=request",
-            )
-            resp = build_warc_record(
-                "response",
-                build_http_response(body, status=status, reason=reason),
-                record_id=f"{i:08x}-resp",
-                target_uri=f"https://example.org/doc/{i}",
-                content_type="application/http;msgtype=response",
-            )
-            if i % 97 == 0:
-                return (info + req + resp)[: len(info) + 40]
-            if i % 3 == 0:
-                return (gzip_member(info) + gzip_member(req)
-                        + gzip_member(resp))
-            return info + req + resp
-
         return pd.Series(
-            [one(int(i), t) for i, t in zip(ids, texts)], dtype=object
+            [_synth_stream(int(i), t) for i, t in zip(ids, texts)],
+            dtype=object,
         )
 
     from pyspark.sql import functions as F
@@ -387,4 +393,83 @@ def response_documents(records: DataFrame, *, charset: str = "utf-8") -> DataFra
         "target_uri",
         F.col("http_status").cast("int").alias("http_status"),
         F.decode(F.col("body"), charset).alias("html"),
+    )
+
+
+def synthesize_crawl_extracted(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    drop_boilerplate: bool = True,
+    max_link_density: float = 0.5,
+    min_block_chars: int = 0,
+) -> DataFrame:
+    """FUSED synthesize → parse → project → extract path: ONE
+    ``mapInPandas`` kernel per document row instead of three
+    (``synthesize_warc_crawl`` pandas_udf + ``warc_records`` kernel +
+    ``html.html_to_text`` kernel), so the WARC byte streams and HTML
+    bodies — the pipeline's widest values — never cross the JVM↔Python
+    boundary between stages at all (guide §4: the serialization of
+    every intermediate was pure overhead; the per-stage operators
+    remain for real crawls, where the stages arrive as separate
+    datasets).
+
+    Composition is BYTE-EXACT with the staged path because each stage
+    IS the staged path's pure function: ``_synth_stream`` (the shared
+    fixture generator, gzip members and truncation included — the
+    parse cost is real, nothing is short-circuited), ``_records_of``
+    (same flagged-row semantics), the response/parse_ok/status filter
+    of :func:`response_documents` (Python ``bytes.decode(charset,
+    'replace')`` ≡ the JVM decode for the UTF-8 bodies this fixture
+    emits), and ``html._parse`` block extraction with the same
+    boilerplate gate. Output: (target_uri, http_status, text) — the
+    columns the curation funnel consumes; callers needing titles or
+    block counts use the staged operators.
+    """
+    from typing import Iterator as _Iterator
+
+    from sql_data_warehouse_analytics_project_spark.llm.html import (
+        _parse,
+    )
+
+    charset = "utf-8"
+    i_type, i_status, i_uri, i_body, i_ok = 2, 8, 4, 10, 11
+
+    def kernel(batches: _Iterator[pd.DataFrame]) -> _Iterator[pd.DataFrame]:
+        for pdf in batches:
+            uris: list[str] = []
+            statuses: list[int] = []
+            texts: list[str] = []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                blob = _synth_stream(int(i), t)
+                for rec in _records_of(str(i), blob):
+                    if not (
+                        rec[i_type] == "response"
+                        and rec[i_ok]
+                        and rec[i_status] is not None
+                    ):
+                        continue
+                    html = rec[i_body].decode(charset, "replace")
+                    parsed = _parse(html)
+                    blocks = parsed.blocks
+                    if drop_boilerplate:
+                        blocks = [
+                            b for b in blocks
+                            if b[1] >= min_block_chars
+                            and (b[2] / b[1]) <= max_link_density
+                        ]
+                    uris.append(rec[i_uri])
+                    statuses.append(int(rec[i_status]))
+                    texts.append("\n".join(b[0] for b in blocks))
+            yield pd.DataFrame(
+                {
+                    "target_uri": pd.Series(uris, dtype=object),
+                    "http_status": pd.Series(statuses, dtype="int32"),
+                    "text": pd.Series(texts, dtype=object),
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        kernel, "target_uri string, http_status int, text string"
     )

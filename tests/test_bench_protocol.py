@@ -95,3 +95,32 @@ def test_code_fingerprint_stable_and_docstring_insensitive(tmp_path):
 
     # the live tree's fingerprint computes read-only
     assert bench._code_fingerprint() is not None
+
+
+def test_merge_guard_requires_matching_core_count(tmp_path):
+    """A prior artifact merges only at the same (fingerprint, sf, cpus):
+    the round-11 driver's 8-core run merged 32-core minima because the
+    guard omitted the core count, flattening the scaling block."""
+    import json
+
+    path = str(tmp_path / "bench_result.json")
+    art = {
+        "complete": True,
+        "code_fingerprint": "f" * 24,
+        "sf": 0.1,
+        "cpus": 32,
+        "queries": {"q01": 1.0},
+    }
+    path_obj = tmp_path / "bench_result.json"
+    path_obj.write_text(json.dumps(art))
+
+    assert bench._load_prior(path, "f" * 24, 0.1, 32) is not None
+    # a different core count must NOT merge
+    assert bench._load_prior(path, "f" * 24, 0.1, 8) is None
+    # different code or scale never merged; still true
+    assert bench._load_prior(path, "e" * 24, 0.1, 32) is None
+    assert bench._load_prior(path, "f" * 24, 0.01, 32) is None
+    # pre-cpus-field artifacts (no "cpus" key) never merge
+    del art["cpus"]
+    path_obj.write_text(json.dumps(art))
+    assert bench._load_prior(path, "f" * 24, 0.1, 32) is None

@@ -725,3 +725,47 @@ def test_record_metric_clamps_unrepresentable_values(spark):
         ctx.close()
     finally:
         cat.drop_layers()
+
+
+def test_traverse_driver_and_distributed_parity(spark):
+    """The lineage driver-BFS fast path (round-12: the q34 engine's
+    `driver_max_edges` pattern) must produce the exact row set of the
+    distributed fixpoint loop — cycle guard, per-depth distinct, and
+    depth short-circuit included."""
+    from sql_data_warehouse_analytics_project_spark.plans import (
+        lineage as lin,
+    )
+
+    edges = spark.createDataFrame(
+        [
+            ("a", "t1", "b", "t2"),
+            ("b", "t2", "c", "t3"),
+            ("a", "t4", "c", "t3"),
+            ("c", "t3", "d", "t4"),
+            ("d", "t4", "a", "t1"),  # cycle back to the start
+            ("a", "t1", "b", "t2"),  # duplicate edge (distinct'd)
+        ],
+        "source_schema string, source_table string, "
+        "target_schema string, target_table string",
+    )
+
+    def norm(df):
+        return sorted((r.node, r.depth, tuple(r.path)) for r in df.collect())
+
+    fast = lin.traverse(edges, "d.t4", "upstream", max_depth=4)
+    slow = lin.traverse(
+        edges, "d.t4", "upstream", max_depth=4, driver_max_edges=0
+    )
+    assert norm(fast) == norm(slow) and norm(fast)
+
+    fd = lin.traverse(edges, "a.t1", "downstream", max_depth=3)
+    sd = lin.traverse(
+        edges, "a.t1", "downstream", max_depth=3, driver_max_edges=0
+    )
+    assert norm(fd) == norm(sd) and norm(fd)
+
+    # the mid-walk row-cap overflow falls back to the distributed loop
+    capped = lin.traverse(
+        edges, "d.t4", "upstream", max_depth=4, driver_max_rows=1
+    )
+    assert norm(capped) == norm(slow)

@@ -54,6 +54,41 @@ def _norm_rows(cols, rows):
     return sorted_cols, out
 
 
+#: Keys whose floating-point cells may differ by summation ORDER between
+#: engines with no rounding convention available to absorb it:
+#: ``corr``'s covariance accumulation is order-dependent in the last
+#: ulp, and q60 emits the raw double (changing the emitted value to a
+#: rounded one would change the declared query's output — forbidden in
+#: optimization rounds). Verified: the one observed divergence
+#: (q60 at sf0.001) is EXACTLY one float ulp and reproduces on every
+#: commit since the key landed (round-11 close-out). Everything else
+#: still compares bit-exactly; a tolerant key's cells must agree within
+#: ``_ULP_TOL`` ulps or the key FAILS as before.
+_ULP_TOLERANT = {"q60_grouped_correlation"}
+_ULP_TOL = 2
+
+
+def _within_ulps(a: str, b: str, n: int = _ULP_TOL) -> bool:
+    """True when two normalized cell strings are floats within n ulps."""
+    if a == b:
+        return True
+    try:
+        fa, fb = float(a), float(b)
+    except ValueError:
+        return False
+    if math.isnan(fa) or math.isnan(fb):
+        return False
+    hi = max(abs(fa), abs(fb))
+    return abs(fa - fb) <= n * math.ulp(hi)
+
+
+def _rows_within_ulps(sr, dr) -> bool:
+    return all(
+        len(a) == len(b) and all(_within_ulps(x, y) for x, y in zip(a, b))
+        for a, b in zip(sr, dr)
+    )
+
+
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
@@ -172,8 +207,11 @@ def main() -> int:
         elif len(sr) != len(dr):
             status = f"ROWCOUNT MISMATCH spark={len(sr)} duckdb={len(dr)}"
         elif sr != dr:
-            diffs = [(a, b) for a, b in zip(sr, dr) if a != b][:3]
-            status = f"VALUE MISMATCH first-diffs={diffs}"
+            if name in _ULP_TOLERANT and _rows_within_ulps(sr, dr):
+                status = "ok"  # documented corr summation-order tolerance
+            else:
+                diffs = [(a, b) for a, b in zip(sr, dr) if a != b][:3]
+                status = f"VALUE MISMATCH first-diffs={diffs}"
         if status == "ok":
             print(f"PASS  {name} ({len(sr)} rows, {time.time()-t0:.1f}s)")
             record(name, "PASS", len(sr), t0)
