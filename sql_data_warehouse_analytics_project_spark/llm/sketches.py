@@ -182,6 +182,49 @@ def bloom_build(
     return df.select(F.explode(pos).alias("pos")).distinct()
 
 
+#: Largest filter that rides the plan as a LITERAL long-array bitmask
+#: (64 Kbits → 1024 longs). Bigger filters keep the broadcast-join form
+#: — at the 10^9-bit scale the mask belongs in a broadcast variable,
+#: not an expression tree.
+_BLOOM_EXPR_MAX_BITS = 1 << 16
+
+
+def _bloom_mask_words(bloom: DataFrame, mbits: int) -> "list[int] | None":
+    """Collect the (≤ mbits, by construction) set-bit positions into an
+    mbits-bit bitmask as signed-64 words, or None when the filter is too
+    large for the literal-expression membership path. The collect is the
+    operator's one bounded action — exactly the manual Bloom-filter
+    broadcast of guide §3.2, with the bitmap as plan constant."""
+    if mbits > _BLOOM_EXPR_MAX_BITS:
+        return None
+    words = [0] * ((mbits + 63) // 64)
+    for r in bloom.select("pos").collect():
+        p = int(r["pos"])
+        words[p >> 6] |= 1 << (p & 63)
+    return [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+
+
+def _bloom_hit_expr(term: Column, mask: Column, k: int, mbits: int,
+                    salt: str) -> Column:
+    """Pure-expression membership: ALL k salted positions set in the
+    literal mask — no explode, no join, no exchange. NULL terms probe
+    NULL positions and coalesce to false (the join form's behavior)."""
+    pos = _bloom_positions(term, k, mbits, salt)
+    return F.coalesce(
+        F.forall(
+            pos,
+            lambda p: F.getbit(
+                F.element_at(
+                    mask, (p.cast("long") / F.lit(64)).cast("int") + 1
+                ),
+                (p % 64).cast("int"),
+            )
+            == 1,
+        ),
+        F.lit(False),
+    )
+
+
 def bloom_possibly_contains(
     bloom: DataFrame,
     terms: DataFrame,
@@ -194,8 +237,26 @@ def bloom_possibly_contains(
     """Membership probe: a term is possibly-present iff ALL k of its
     positions are set. No false negatives ever (every inserted term set
     exactly these bits); false-positive odds fall with mbits/k sizing.
-    The bloom side is ≤ mbits rows — broadcast; the probe side never
-    shuffles wide."""
+
+    For filters up to ``_BLOOM_EXPR_MAX_BITS`` the bitmap collects into
+    a literal long-array and membership is a per-row EXPRESSION (k md5
+    probes + bit tests) — the k-way position explode, the broadcast
+    join, and its regrouping exchange disappear from the plan entirely
+    (the probe side previously shuffled k rows per term). Larger
+    filters keep the join form."""
+    words = _bloom_mask_words(bloom, mbits)
+    if words is not None:
+        mask = F.array(*[F.lit(w).cast("long") for w in words])
+        return (
+            terms.select(F.col(term_col).alias("term"))
+            .distinct()  # the join form's groupBy(term) output grain
+            .select(
+                "term",
+                _bloom_hit_expr(
+                    F.col("term"), mask, k, mbits, salt
+                ).alias("possibly_present"),
+            )
+        )
     pos = _bloom_positions(F.col(term_col), k, mbits, salt)
     probe = terms.select(
         F.col(term_col).alias("term"), F.explode(pos).alias("pos")
@@ -258,6 +319,34 @@ def bloom_contamination_prefilter(
         _shingles(eval_df, keep_id=False).select("shingle").distinct(),
         "shingle", k=k, mbits=mbits, salt=salt,
     )
+    words = _bloom_mask_words(bloom, mbits)
+    if words is not None:
+        # Expression form (the 100 TB shape made literal): the bitmap is
+        # a plan constant, so the per-doc counts are ONE narrow map over
+        # the token arrays — the k-way position explode (k rows per
+        # shingle occurrence through a broadcast join) and BOTH
+        # regrouping exchanges ((id, occ) then id) vanish, as does the
+        # final ids left-join (every doc row computes its own counts;
+        # word_ngrams of a short/NULL-token doc is the empty array, so
+        # the (0, 0, false) rows fall out identically).
+        from .text import tokens, word_ngrams
+
+        mask = F.array(*[F.lit(w).cast("long") for w in words])
+        t = F.col(tokens_col) if tokens_col else tokens(text_col)
+        grams = word_ngrams(t, n)
+        n_sh = F.size(grams).cast("long")
+        n_hit = F.size(
+            F.filter(
+                grams,
+                lambda g: _bloom_hit_expr(g, mask, k, mbits, salt),
+            )
+        ).cast("long")
+        return df.select(
+            F.col(id_col),
+            n_sh.alias("n_shingles"),
+            n_hit.alias("n_bloom_hits"),
+            (n_hit > 0).alias("possibly_contaminated"),
+        )
     train = _shingles(df, keep_id=True)
     pos = _bloom_positions(F.col("shingle"), k, mbits, salt)
     hits = (

@@ -114,13 +114,68 @@ def pytest_runtestloop(session):
         return None
 
 
+#: Modules whose tests may run in DIFFERENT workers: verified to have
+#: no module-scoped fixture that accumulates cross-test state (test_llm's
+#: module fixtures are read-only parquet frames; the other four have
+#: none). Everything else ships as one unit to one worker — e.g.
+#: test_ops's `ctx` fixture logs errors that later tests in the module
+#: assert on, so splitting it would manufacture failures.
+_SPLIT_OK = {
+    "tests/test_entry.py",
+    "tests/test_incremental.py",
+    "tests/test_llm.py",
+    "tests/test_properties.py",
+    "tests/test_streaming.py",
+}
+
+#: Approximate per-module wall seconds (round-12 baseline `--durations`
+#: profile of the full sequential run) — bin-packing weights, not
+#: assertions; unknown modules default small.
+_MODULE_WEIGHTS = {
+    "tests/test_streaming.py": 731,
+    "tests/test_entry.py": 624,
+    "tests/test_incremental.py": 322,
+    "tests/test_llm.py": 309,
+    "tests/test_ops.py": 242,
+    "tests/test_medallion.py": 180,
+    "tests/test_properties.py": 144,
+    "tests/test_operators.py": 76,
+    "tests/test_sources.py": 56,
+    "tests/test_dml.py": 32,
+    "tests/test_cli.py": 25,
+    "tests/test_plans.py": 21,
+    "tests/test_local_oracles.py": 16,
+    "tests/test_edges.py": 12,
+}
+
+
 def _run_sharded(session, n: int) -> bool:
     t0 = time.time()
-    items = sorted(session.items, key=lambda it: it.nodeid)
-    shards: list[list[str]] = [[] for _ in range(n)]
-    for i, it in enumerate(items):
-        shards[i % n].append(it.nodeid)
-    shards = [s for s in shards if s]
+    # Work units: (weight, [nodeids]) — whole modules by default,
+    # per-item for the _SPLIT_OK modules; greedy heaviest-first onto the
+    # least-loaded worker. Items keep collection order within a worker.
+    by_module: dict[str, list] = {}
+    for it in session.items:
+        by_module.setdefault(it.nodeid.split("::", 1)[0], []).append(it)
+    units: list[tuple[float, list[str]]] = []
+    for mod, its in by_module.items():
+        w = float(_MODULE_WEIGHTS.get(mod, 10))
+        if mod in _SPLIT_OK:
+            units.extend((w / len(its), [it.nodeid]) for it in its)
+        else:
+            units.append((w, [it.nodeid for it in its]))
+    units.sort(key=lambda u: -u[0])
+    loads = [0.0] * n
+    order: list[list[tuple[int, str]]] = [[] for _ in range(n)]
+    pos = {it.nodeid: j for j, it in enumerate(session.items)}
+    for w, ids in units:
+        k = loads.index(min(loads))
+        loads[k] += w
+        order[k].extend((pos[i], i) for i in ids)
+    shards = [
+        [nid for _, nid in sorted(bucket)] for bucket in order if bucket
+    ]
+    items = session.items
 
     cpus = os.cpu_count() or 8
     per_worker_cpus = str(max(3, cpus // len(shards)))

@@ -8,7 +8,7 @@ tracker and a per-query job group:
 - number of Spark jobs the query submitted (driver fixed cost ~ #jobs)
 - number of stages and tasks (scheduling overhead ~ #tasks)
 - ``explain("formatted")`` of the returned DataFrame, written to
-  ``plans/r11/<key>_<tag>.txt`` when ``--plans <tag>`` is given
+  ``plans/$SPARK_GRAFT_PLANS_ROUND/<key>_<tag>.txt`` (default r12) when ``--plans <tag>`` is given
 
 Usage:
     python tools/profile_queries.py [--plans before] [key ...]
@@ -71,7 +71,9 @@ def main() -> None:
     sc = spark.sparkContext
     tracker = sc.statusTracker()
     out = {}
-    plans_dir = os.path.join(REPO, "plans", "r11")
+    plans_dir = os.path.join(
+        REPO, "plans", os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r12")
+    )
     os.makedirs(plans_dir, exist_ok=True)
 
     for key in keys:
