@@ -164,18 +164,37 @@ class Catalog:
 
     def _publish(self, layer: str, table: str, gen_q: str,
                  comment: str | None = None) -> None:
-        """Point the table view at ``gen_q`` with ONE atomic
-        ``CREATE OR REPLACE VIEW`` metastore update. Carries the existing
-        view comment forward when none is given."""
+        """Point the table view at ``gen_q`` without the view EVER being
+        absent.
+
+        For an existing view the repoint is ``ALTER VIEW … AS`` — ONE
+        ``catalog.alterTable`` call, so a concurrent reader resolves the
+        old or the new definition, never a missing view. ``CREATE OR
+        REPLACE VIEW`` is NOT that: Spark's ``CreateViewCommand``
+        implements replace as ``dropTable`` + ``createTable`` ("nothing
+        we need to retain… just drop and create"), leaving a real
+        TABLE_OR_VIEW_NOT_FOUND window that the concurrent-reader test
+        hit under a loaded box (round 12). The generation pointer (and
+        an explicit comment) follow as ``ALTER VIEW … SET
+        TBLPROPERTIES`` — a reader between the two statements sees the
+        new definition with the previous pointer, whose generation
+        table is still retained, i.e. consistent-but-stale, never
+        broken. Only the FIRST publish of a table creates the view —
+        no reader can hold its name before it ever exists."""
         q = self.qualified(layer, table)
-        if comment is None and self._is_view(q):
-            try:
-                comment = self.spark.catalog.getTable(q).description
-            except Exception:  # noqa: BLE001 — description is cosmetic
-                comment = None
+        escaped = (
+            comment.replace("\\", "\\\\").replace("'", "\\'")
+            if comment else None
+        )
+        if self._is_view(q):
+            self.spark.sql(f"ALTER VIEW {q} AS SELECT * FROM {gen_q}")
+            props = f"'{GEN_PROP}'='{gen_q}'"
+            if escaped:
+                props += f", 'comment'='{escaped}'"
+            self.spark.sql(f"ALTER VIEW {q} SET TBLPROPERTIES ({props})")
+            return
         stmt = f"CREATE OR REPLACE VIEW {q} "
-        if comment:
-            escaped = comment.replace("\\", "\\\\").replace("'", "\\'")
+        if escaped:
             stmt += f"COMMENT '{escaped}' "
         stmt += (
             f"TBLPROPERTIES ('{GEN_PROP}'='{gen_q}') AS SELECT * FROM {gen_q}"
@@ -315,8 +334,10 @@ class Catalog:
         """Full-table replace via generation write + ATOMIC view republish.
 
         The new state is written completely as a brand-new generation
-        table (``<table>__gNNNNNN``), then ONE ``CREATE OR REPLACE VIEW``
-        statement — a single metastore update — repoints the table at it.
+        table (``<table>__gNNNNNN``), then one ``ALTER VIEW … AS`` — a
+        single ``alterTable`` metastore update — repoints the table at it
+        (see :meth:`_publish` for why CREATE OR REPLACE VIEW is not
+        atomic in Spark).
         A concurrent reader resolves the view to the old or the new
         generation, never to a missing table or a half-swapped state (the
         reference gets this atomicity from PostgreSQL transactions,

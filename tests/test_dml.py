@@ -146,7 +146,7 @@ def test_incremental_batch_cuts_on_value_boundary(spark):
 
 def test_overwrite_publish_is_atomic_and_crash_safe(spark, monkeypatch):
     """Round-9 generation protocol: an overwrite writes a NEW generation
-    table and publishes it with ONE CREATE OR REPLACE VIEW. Kill it right
+    table and publishes it with ONE atomic ALTER VIEW AS repoint. Kill it right
     before the publish: the published state (and every reader) is
     untouched, the fully-written generation stays durable, and a retry —
     or recover_staging after an interrupted legacy ADOPTION — completes
@@ -170,7 +170,7 @@ def test_overwrite_publish_is_atomic_and_crash_safe(spark, monkeypatch):
         # crash BEFORE the publish: view still serves the old generation
         real_sql = spark.sql
         def crash_on_publish(q, **kw):
-            if q.startswith(f"CREATE OR REPLACE VIEW {target}"):
+            if q.startswith(f"ALTER VIEW {target} AS"):
                 raise RuntimeError("simulated crash before publish")
             return real_sql(q, **kw)
         monkeypatch.setattr(spark, "sql", crash_on_publish)
